@@ -1,0 +1,120 @@
+"""Text-analysis column expressions for the training-data pipeline.
+
+Language-ID, quality scoring, token counting and document fingerprinting
+over the ``documents`` table — all as built-in-function expressions
+(JVM-side, codegen-friendly), no Python in the hot path. Designed so the
+same arithmetic is expressible in ANSI SQL for oracle checking: integer
+counts and single final divisions only (see functions/money.py for why).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_PATTERN = r"\s+"
+
+# Tiny deterministic marker-word lists per language for the n-gram/stopword
+# language-ID heuristic. Real corpora would use trained profiles; the
+# heuristic structure (per-language hit counts -> argmax with lexicographic
+# tiebreak) is what matters and is what the oracle re-implements.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+EN_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "on")
+
+FINGERPRINT_MOD = 1_000_003
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization with empty tokens dropped."""
+    return F.filter(
+        F.split(F.trim(_col(c)), TOKEN_SPLIT_PATTERN), lambda t: t != F.lit("")
+    )
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c))
+
+
+def stopword_hits(tok: Column, words: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Number of tokens found in `words` (lowercased exact match)."""
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tok, lambda t: F.array_contains(wordset, F.lower(t))))
+
+
+def char_count(tok: Column) -> Column:
+    """Total characters across tokens (exact int, order-independent)."""
+    return F.aggregate(tok, F.lit(0), lambda acc, t: acc + F.length(t))
+
+
+def lang_scores(tok: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts."""
+    return {lang: stopword_hits(tok, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id(tok: Column) -> Column:
+    """Argmax language by marker hits; ties break lexicographically.
+
+    Implemented as a fold over languages in sorted order keeping the
+    strictly-greater score — identical logic is a CASE cascade in SQL.
+    """
+    scores = lang_scores(tok)
+    ordered = sorted(scores)  # lexicographic -> deterministic tiebreak
+    best_lang = F.lit(ordered[0])
+    best_score = scores[ordered[0]]
+    for lang in ordered[1:]:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def word_ngrams(tok: Column, n: int) -> Column:
+    """Word n-gram shingles: ARRAY<STRING> of space-joined n-token windows."""
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n)))
+    return F.when(F.size(tok) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_poly_hash(t: Column) -> Column:
+    """Cheap deterministic per-token hash from length + boundary chars.
+
+    Used by the *oracle-checkable* fingerprint path; production
+    fingerprints should use :func:`fingerprint64`.
+    """
+    return (
+        F.length(t) * 961
+        + F.ascii(F.substring(t, 1, 1)) * 31
+        + F.ascii(F.substring(t, -1, 1))
+    ).cast("long")
+
+
+def fingerprint_rolling(tok: Column) -> Column:
+    """Order-sensitive rolling document fingerprint (Karp-Rabin shape).
+
+    ``acc = (acc * 31 + h(token)) mod 1_000_003`` folded left-to-right —
+    exactly reproducible in ANSI SQL via a reduce/fold, unlike engine-
+    specific hash functions.
+    """
+    return F.aggregate(
+        tok,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + token_poly_hash(t)) % FINGERPRINT_MOD,
+    )
+
+
+def fingerprint64(c: Column | str) -> Column:
+    """Production 64-bit content fingerprint (xxhash64, JVM-side)."""
+    return F.xxhash64(_col(c))

@@ -1,0 +1,54 @@
+"""Testdata table loaders.
+
+The driver ships deterministic TPC-H-ish parquet tables plus an events
+stream table and training-data tables (documents, embeddings) under
+``/root/testdata/sf*/`` (see TESTDATA.md). These are the engine's
+benchmark/correctness inputs.
+
+Scans stay declarative (``spark.read.parquet``) so Catalyst gets native
+predicate pushdown, column pruning and partition-size planning; never
+collect-and-recreate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+# (region/nation are constant-size; supplier/part/customer grow with SF but
+# stay several orders of magnitude under the fact tables — still broadcast
+# candidates at sf<=1; AQE re-checks at runtime.)
+BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown testdata table {name!r}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
