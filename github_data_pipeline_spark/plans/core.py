@@ -1,0 +1,93 @@
+"""Query registry — the engine's oracle-checkable analytics surface.
+
+Every operator from SURVEY.md §2 is exposed here as a named query:
+a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) an ANSI-SQL oracle string DuckDB runs on the same
+parquet tables. The driver hash-compares both sides at sf=0.01, so the
+builders alias every computed column to the exact oracle column name.
+
+Hash-stability rules (see functions/money.py):
+
+* aggregate money in integer cents, divide once at the end;
+* never emit a double produced by a shuffled double-SUM;
+* deterministic ORDER/tie-breaks wherever LIMIT/top-k is involved.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    """One oracle-checkable query/operator demonstration."""
+
+    name: str
+    builder: Builder
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+class Registry:
+    def __init__(self) -> None:
+        self._queries: dict[str, Query] = {}
+
+    def add(
+        self,
+        name: str,
+        oracle: str | None,
+        doc: str = "",
+        tags: Iterable[str] = (),
+    ) -> Callable[[Builder], Builder]:
+        """Decorator: register ``fn(spark, sf_dir) -> DataFrame``."""
+
+        def deco(fn: Builder) -> Builder:
+            if name in self._queries:
+                raise ValueError(f"duplicate query name {name!r}")
+            self._queries[name] = Query(
+                name=name, builder=fn, oracle=oracle, doc=doc, tags=tuple(tags)
+            )
+            return fn
+
+        return deco
+
+    def queries(self) -> dict[str, Builder]:
+        return {n: q.builder for n, q in self._queries.items()}
+
+    def oracle_sql(self) -> dict[str, str]:
+        return {
+            n: q.oracle for n, q in self._queries.items() if q.oracle is not None
+        }
+
+    def __getitem__(self, name: str) -> Query:
+        return self._queries[name]
+
+    def __iter__(self):
+        return iter(self._queries.values())
+
+    def __len__(self) -> int:
+        return len(self._queries)
+
+
+REGISTRY = Registry()
+
+
+def all_plans() -> Registry:
+    """Import every plan module (side-effect: registration) and return
+    the populated registry."""
+    from . import (  # noqa: F401
+        dedup_plans,
+        events_plans,
+        multimodal_plans,
+        relational,
+        similarity_plans,
+        text_plans,
+    )
+
+    return REGISTRY
