@@ -1,1 +1,418 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication operators over ``documents``/``embeddings`` — the
+training-data-pipeline core (BASELINE.json north-star): exact hash
+dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+Every variant is oracle-checked. Hashes are engine-neutral on purpose:
+md5-hex prefixes parsed to integers (identical in Spark and DuckDB)
+instead of engine-specific hash builtins, so the oracle reproduces the
+exact signatures. Production swaps in xxhash64 without any plan change.
+
+Scale design (100 TB):
+
+* exact dedup — one hash-partitioned groupBy on the content hash; the
+  hash is computed map-side so the shuffle carries (hash, id) only.
+* n-gram Jaccard — the exact pairwise form shuffles once on the shingle
+  (inverted index) and once on the pair; it is quadratic in cluster
+  size, so at scale it runs *after* LSH banding has cut candidates.
+* MinHash LSH — signatures are 16 map-side aggregates over one shingle
+  shuffle; banding multiplies rows by bands (4x), and the band join is
+  an equi-join whose skew AQE handles; candidate pairs << full cross.
+* SimHash — map-side 32 conditional sums per doc, then near-neighbor
+  search restricted to a 16-bit prefix band (65k buckets) before the
+  hamming filter, avoiding the full cross join.
+* embedding near-dup — coarse-partition (label = IVF cell) before the
+  quadratic in-cell scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources.tables import load_table
+from .core import REGISTRY
+
+_add = REGISTRY.add
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_GRAMS = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+# MinHash parameters — shared literals between the Spark builder and the
+# SQL oracle. p fits products in int64: a < 2^31, (h % p) < 2^30.
+MINHASH_P = 1_000_000_007
+MINHASH_K = 16
+MINHASH_BAND_ROWS = 4
+MINHASH_PERMS: list[tuple[int, int]] = [
+    ((i * 2_654_435_761 + 104_729) % MINHASH_P, (i * 40_503 + 7) % MINHASH_P)
+    for i in range(1, MINHASH_K + 1)
+]
+
+# 60-bit md5 prefix -> integer, then reduced mod p. Identical on both
+# engines because md5 hex is identical.
+_DUCK_H = f"(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_P})"
+
+
+def _spark_shingle_hash(s: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): distinct 3-gram shingles per document."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(T.word_ngrams(T.tokens("text"), 3))
+    return d.select("doc_id", F.explode(grams).alias("s"))
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+@_add(
+    "exact_dedup_reingest",
+    """
+    WITH reingested AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id, text FROM documents
+    ), grouped AS (
+      SELECT md5(text) AS content_hash,
+             MIN(doc_id) AS keeper_doc_id,
+             COUNT(*) AS copies
+      FROM reingested GROUP BY md5(text)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS distinct_docs,
+           CAST(SUM(copies) AS BIGINT) AS total_rows,
+           CAST(SUM(copies - 1) AS BIGINT) AS dropped,
+           CAST(SUM(keeper_doc_id) AS BIGINT) AS keeper_id_sum
+    FROM grouped
+    """,
+    doc="Exact content-hash dedup over a simulated double ingest: "
+    "groupBy(md5(text)) keeping the smallest id. The hash is computed "
+    "map-side; the shuffle carries (hash, id) pairs only — at 100 TB "
+    "the text never moves.",
+    tags=("dedup", "exact"),
+)
+def exact_dedup_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grouped = (
+        d.unionByName(d)
+        .select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+    return grouped.agg(
+        F.count(F.lit(1)).alias("distinct_docs"),
+        F.sum("copies").alias("total_rows"),
+        F.sum(F.col("copies") - 1).alias("dropped"),
+        F.sum("keeper_doc_id").alias("keeper_id_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup (exact pairwise via inverted shingle index)
+# --------------------------------------------------------------------------
+
+
+@_add(
+    "neardup_jaccard_pairs",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, {_GRAMS} AS g
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ), ex AS (
+      SELECT doc_id, unnest(g) AS s FROM grams
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(len(ga.g) + len(gb.g) - shared AS BIGINT) AS union_size,
+           CAST(shared AS DOUBLE) / (len(ga.g) + len(gb.g) - shared) AS jaccard
+    FROM pairs
+    JOIN grams ga ON ga.doc_id = doc_a
+    JOIN grams gb ON gb.doc_id = doc_b
+    WHERE shared * 5 >= (len(ga.g) + len(gb.g) - shared) * 4
+    """,
+    doc="Exact 3-gram-shingle Jaccard >= 0.8 pairs via an inverted "
+    "shingle index (explode -> self-equi-join -> shared counts). The "
+    "threshold test stays in integers (shared*5 >= union*4) so no "
+    "float enters the predicate. Quadratic in near-dup cluster size — "
+    "the scale path runs minhash_lsh_candidates first and feeds only "
+    "candidates through this verifier.",
+    tags=("dedup", "jaccard"),
+)
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("grams_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("grams_b")
+    )
+    union_size = F.col("grams_a") + F.col("grams_b") - F.col("shared")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("shared") * 5 >= union_size * 4)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared"),
+            union_size.cast("long").alias("union_size"),
+            (F.col("shared").cast("double") / union_size).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------------
+
+_SIG_COLS_SQL = ",\n      ".join(
+    f"MIN(({a} * h + {b}) % {MINHASH_P}) AS sig{i}"
+    for i, (a, b) in enumerate(MINHASH_PERMS)
+)
+_BAND_STRUCTS_SQL = ", ".join(
+    "{'band': %d, 'key': md5(%s)}"
+    % (
+        band,
+        " || '-' || ".join(
+            f"sig{band * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+        ),
+    )
+    for band in range(MINHASH_K // MINHASH_BAND_ROWS)
+)
+
+
+@_add(
+    "minhash_lsh_candidates",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_GRAMS.replace('(t)', '(t)')}) AS s
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ), hashed AS (
+      SELECT doc_id, {_DUCK_H} AS h FROM ex
+    ), sigs AS (
+      SELECT doc_id,
+      {_SIG_COLS_SQL}
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, u.b.band AS band, u.b.key AS key
+      FROM sigs, UNNEST([{_BAND_STRUCTS_SQL}]) AS u(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash (k=16, md5-derived shingle hashes, 16 affine "
+    "permutations mod 1e9+7) banded 4x4 into LSH buckets; candidate "
+    "pairs share at least one band. Signatures are 16 map-side MINs "
+    "over one shingle shuffle; the band self-join touches only bucket "
+    "collisions — the step that makes 100 TB near-dup linear-ish "
+    "instead of quadratic.",
+    tags=("dedup", "minhash", "lsh"),
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    hashed = sh.select("doc_id", _spark_shingle_hash(F.col("s")).alias("h"))
+    sig_cols = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    sigs = hashed.groupBy("doc_id").agg(*sig_cols)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col(f"sig{band * MINHASH_BAND_ROWS + r}")
+                            for r in range(MINHASH_BAND_ROWS)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for band in range(MINHASH_K // MINHASH_BAND_ROWS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+_DUCK_H32 = "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)"
+_BITSUM_COLS_SQL = ",\n      ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN w ELSE -w END) AS b{j}"
+    for j in range(_SIMHASH_BITS)
+)
+_ASSEMBLE_SQL = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+)
+
+
+@_add(
+    "simhash_hamming_pairs",
+    f"""
+    WITH tokc AS (
+      SELECT doc_id, tok, COUNT(*) AS w
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), hashed AS (
+      SELECT doc_id, {_DUCK_H32} AS h, w FROM tokc
+    ), bitsums AS (
+      SELECT doc_id, {_BITSUM_COLS_SQL}
+      FROM hashed GROUP BY doc_id
+    ), sims AS (
+      SELECT doc_id, CAST({_ASSEMBLE_SQL} AS BIGINT) AS simhash FROM bitsums
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b
+      ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    doc="32-bit SimHash near-dup: per-token md5-derived hash, "
+    "frequency-weighted bit votes, sign-assembled signature; pairs "
+    "must agree on the high-16-bit prefix band (bucketing that avoids "
+    "the full cross join) and lie within hamming distance 6. Bit "
+    "votes are 32 conditional sums in one grouped aggregate.",
+    tags=("dedup", "simhash"),
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tokc = (
+        d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    hashed = tokc.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+        "w",
+    )
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, F.col("w"))
+            .otherwise(-F.col("w"))
+        ).alias(f"b{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    bitsums = hashed.groupBy("doc_id").agg(*bit_cols)
+    simhash = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    sims = bitsums.select("doc_id", simhash.cast("long").alias("simhash"))
+    a = sims.alias("a")
+    b = sims.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.shiftright(F.col("a.simhash"), 16) == F.shiftright(F.col("b.simhash"), 16))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 6)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (IVF-style coarse partition first)
+# --------------------------------------------------------------------------
+
+_DUCK_DOT = (
+    "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+)
+_DUCK_NORM = (
+    "sqrt(list_reduce(list_transform(generate_series(1, len({v}.embedding)), "
+    "i -> {v}.embedding[i]::DOUBLE * {v}.embedding[i]::DOUBLE), (x, y) -> x + y))"
+)
+
+
+@_add(
+    "embedding_neardup_pairs",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')})
+             AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')}) > 0.95
+    """,
+    doc="Embedding near-dup: cosine > 0.95 within a coarse partition "
+    "(label plays the IVF cell / LSH bucket), so the quadratic scan is "
+    "per-cell, not global. The dot product is a left-fold of doubles "
+    "in array order on both engines — bit-identical, no UDF "
+    "(functions/vectors.py).",
+    tags=("dedup", "embedding"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") > 0.95)
+    )
