@@ -84,6 +84,7 @@ def all_plans() -> Registry:
     from . import (  # noqa: F401
         dedup_plans,
         events_plans,
+        github_plans,
         multimodal_plans,
         relational,
         similarity_plans,

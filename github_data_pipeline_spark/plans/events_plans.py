@@ -1,1 +1,186 @@
-"""Placeholder — populated in later milestones."""
+"""Analytics over the ``events`` stream table — the batch twins of the
+streaming jobs in ``streaming/`` (SURVEY.md §2.10 extension target).
+
+Tumbling windows, sessionization, JSON prop extraction and per-user
+top-k are all expressed so the identical SQL runs on DuckDB: window
+starts via date_trunc, sessions via the lag/gap-cumsum islands idiom
+(what session_window() computes internally), props via regexp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.money import cents
+from ..sources.tables import load_table
+from .core import REGISTRY
+
+_add = REGISTRY.add
+
+SESSION_GAP_MIN = 30
+
+
+@_add(
+    "events_hourly_rollup",
+    """
+    SELECT
+      CAST(STRFTIME(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%SZ') AS VARCHAR) AS hour_start,
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS events,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour rollup — the batch twin of the streaming "
+    "windowed agg (streaming/jobs.py). date_trunc keys the window "
+    "start; with watermarking the same agg runs incrementally under "
+    "Structured Streaming. Partial aggregation makes the shuffle "
+    "carry only group rows.",
+    tags=("events", "window"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), fmt).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.countDistinct("user_id").alias("users"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+    )
+
+
+@_add(
+    "events_sessionization",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL {SESSION_GAP_MIN} MINUTE
+             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+        SUM(is_new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS events,
+           CAST(STRFTIME(MIN(ts), '%Y-%m-%dT%H:%M:%S.%fZ') AS VARCHAR) AS session_start,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    doc="Sessionization with a 30-minute inactivity gap via the "
+    "lag/cumsum islands idiom — exactly what session_window() "
+    "computes under Structured Streaming (streaming/jobs.py holds "
+    "the stateful twin). One shuffle on user_id; all three window "
+    "functions share it.",
+    tags=("events", "session"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (
+            F.col("ts").cast("long") - prev_ts.cast("long")
+            > SESSION_GAP_MIN * 60
+        )
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(is_new).over(wsum).alias("session_seq"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.date_format(
+                F.min("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+            ).alias("session_start"),
+            (
+                F.max("ts").cast("long") - F.min("ts").cast("long")
+            ).alias("duration_sec"),
+        )
+        .withColumn("session_seq", F.col("session_seq").cast("long"))
+    )
+
+
+@_add(
+    "events_props_extract",
+    """
+    SELECT
+      CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS k_mod,
+      CAST(COUNT(*) AS BIGINT) AS events,
+      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Semi-structured prop extraction (the reference parses JSON "
+    "payloads everywhere, SURVEY §2.8): regex pull of props.k, "
+    "grouped rollup. from_json is the richer path; regexp keeps the "
+    "oracle engine-neutral and stays in codegen.",
+    tags=("events", "json"),
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long") % 10
+    return (
+        e.groupBy(k.alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+    )
+
+
+@_add(
+    "events_top_users_per_type",
+    """
+    SELECT event_type, user_id, events, spend_cents FROM (
+      SELECT event_type, user_id,
+        CAST(COUNT(*) AS BIGINT) AS events,
+        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type
+          ORDER BY SUM(CAST(ROUND(value * 100) AS BIGINT)) DESC, user_id ASC
+        ) AS rn
+      FROM events GROUP BY event_type, user_id
+    ) WHERE rn <= 3
+    """,
+    doc="Grouped top-k (scenario-6 hotspot shape over the stream "
+    "table): aggregate then per-type ROW_NUMBER with deterministic "
+    "tie-break; WindowGroupLimit caps the sort buffers.",
+    tags=("events", "topk"),
+)
+def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(cents("value")).alias("spend_cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("spend_cents"), F.asc("user_id")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "user_id", "events", "spend_cents")
+    )

@@ -1,1 +1,177 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity search over the ``embeddings`` table (SURVEY.md §7.9).
+
+Brute-force cosine top-k is the correctness baseline; the IVF-style
+variant restricts the scan to a coarse partition (label = cell id) —
+the plan shape that keeps ANN sub-quadratic at 100 TB (real IVF learns
+centroids; the partitioned-join + per-cell-topk physique is identical).
+
+Cosine is a left-fold of doubles in array order on BOTH engines
+(functions/vectors.py vs DuckDB list_reduce), so scores are
+bit-identical and even the DOUBLE column hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..sources.tables import load_table
+from .core import REGISTRY
+
+_add = REGISTRY.add
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a}.embedding)), "
+    "i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+@_add(
+    "ann_bruteforce_topk",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_duck_cos('q', 'c')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_cos('q', 'c')} DESC, c.vec_id ASC
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM scored WHERE rank <= {TOP_K}
+    """,
+    doc="Exact brute-force cosine top-k: broadcast the (small) query "
+    "set against the corpus, per-query ROW_NUMBER with vec_id "
+    "tie-break. The corpus is scanned once, never shuffled; only "
+    "(query, score) pairs move. This is the ground-truth baseline "
+    "ANN variants are recall-measured against.",
+    tags=("similarity", "ann"),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    cos = V.cosine(F.col("qvec"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+@_add(
+    "ann_ivf_topk",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_duck_cos('q', 'c')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_cos('q', 'c')} DESC, c.vec_id ASC
+             ) AS rank
+      FROM embeddings q
+      JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM scored WHERE rank <= {TOP_K}
+    """,
+    doc="IVF-style ANN: probe only the query's coarse cell (label) — "
+    "an equi-join on the cell id instead of a cross join, so cost "
+    "scales with cell size, not corpus size. With learned centroids "
+    "the cell id comes from an argmin-over-centroids map stage; the "
+    "join/topk plan is unchanged.",
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "label", "embedding")
+    cos = V.cosine(F.col("qvec"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+_DIM = 64
+
+
+@_add(
+    "label_centroids",
+    f"""
+    WITH comp AS (
+      SELECT label, u.i AS dim,
+             SUM(CAST(ROUND(embedding[u.i]::DOUBLE * 1000000000) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM embeddings, UNNEST(generate_series(1, {_DIM})) AS u(i)
+      GROUP BY label, u.i
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS members,
+           LIST(CAST(s AS DOUBLE) / n / 1000000000.0 ORDER BY dim) AS centroid
+    FROM comp GROUP BY label
+    """,
+    doc="Per-cell centroid (the k-means E-step / IVF training "
+    "primitive). Float components are fixed-pointed to nano units "
+    "before summing so the reduction is exact and order-independent — "
+    "the same trick functions/money.py uses for money — then divided "
+    "once. One shuffle on (label, dim).",
+    tags=("similarity", "centroid"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    comp = exploded.groupBy("label", "pos").agg(
+        F.sum(F.round(F.col("val").cast("double") * 1e9).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_dim = comp.select(
+        "label",
+        "pos",
+        "n",
+        (F.col("s").cast("double") / F.col("n") / F.lit(1e9)).alias("c"),
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("n").cast("long").alias("members"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "c"))
+        ).getField("c").alias("centroid"),
+    )

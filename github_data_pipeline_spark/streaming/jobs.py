@@ -1,0 +1,114 @@
+"""Structured Streaming jobs over the ``events`` stream table.
+
+The reference has no continuous streaming — its closest construct is
+incremental batch with a 300 s lookback (SURVEY §2.10). These jobs are
+the engine's extension of that semantics to true streams, and each has
+a batch twin in plans/events_plans.py whose oracle pins the produced
+values (tests drive the stream with availableNow over the same parquet
+and diff against the batch result).
+
+Late data: the watermark plays the reference's
+``INCREMENTAL_LOOKBACK_SEC`` role — events later than the watermark
+horizon are dropped instead of re-fetched (config.py:25).
+
+Scale: stateful aggs keyed by (window/event_type) and (user_id) hash-
+partition the state store; at 100 TB/day the knobs are watermark delay
+and ``spark.sql.shuffle.partitions`` for state shards — plan shape is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import cents
+
+WATERMARK = "30 minutes"
+SESSION_GAP = "30 minutes"
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of the events table (schema from the batch
+    reader; ts arrives as nano-long and converts exactly like the batch
+    path in sources/tables.py)."""
+    from ..sources.tables import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    reader = (
+        spark.readStream.schema(
+            # pre-conversion schema: ts is the raw nano long
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # glob form: the file-stream source requires a directory/glob, and a
+    # glob also makes it pick up new event files as they land
+    raw = reader.parquet(f"{sf_dir}/events.parque*")
+    _ = batch  # schema parity asserted in tests
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def hourly_rollup_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of events_hourly_rollup: tumbling 1h window +
+    per-type counts/sums, watermarked for state cleanup."""
+    fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), fmt).alias("hour_start"),
+            "event_type",
+            "events",
+            "approx_users",
+            "value_cents",
+        )
+    )
+
+
+def session_stream(events: DataFrame) -> DataFrame:
+    """Streaming sessionization via session_window — the stateful twin
+    of the lag/cumsum islands idiom in events_sessionization."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "events",
+            "value_cents",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> list:
+    """Drain the stream with the availableNow trigger into a memory sink
+    and return the rows — incremental-batch execution of the streaming
+    plan (the Structured Streaming analog of the reference's catch-up
+    run)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()

@@ -1,0 +1,149 @@
+"""Streaming jobs (availableNow vs batch twin) and the incremental
+merge layer (FIXTURES.md incremental scenario)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from github_data_pipeline_spark.operators.incremental import (
+    apply_file_changes,
+    detail_backfill_keys,
+    head_unchanged,
+    incremental_watermark,
+    upsert_by_key,
+)
+from github_data_pipeline_spark.streaming.jobs import (
+    hourly_rollup_stream,
+    read_events_stream,
+    run_available_now,
+    session_stream,
+)
+
+ISSUE_SCHEMA = "number int, state string, updated_at string, payload string"
+
+
+def test_streaming_hourly_matches_batch(spark, sf_dir):
+    stream = hourly_rollup_stream(read_events_stream(spark, sf_dir))
+    rows = run_available_now(stream, "hourly_t")
+    got = {
+        (r["hour_start"], r["event_type"]): (r["events"], r["value_cents"])
+        for r in rows
+    }
+    from github_data_pipeline_spark.plans import all_plans
+
+    batch = all_plans()["events_hourly_rollup"].builder(spark, sf_dir)
+    want = {
+        (r["hour_start"], r["event_type"]): (r["events"], r["value_cents"])
+        for r in batch.collect()
+    }
+    # exact counts/sums match; users is approx in the stream (HLL state)
+    assert got == want and len(got) > 0
+
+
+def test_streaming_sessions_match_batch(spark, sf_dir):
+    rows = run_available_now(
+        session_stream(read_events_stream(spark, sf_dir)), "sessions_t"
+    )
+    got = {
+        (r["user_id"], r["session_start"].isoformat()): r["events"]
+        for r in rows
+    }
+    from github_data_pipeline_spark.plans import all_plans
+
+    batch = all_plans()["events_sessionization"].builder(spark, sf_dir)
+    want = {
+        (r["user_id"], r["session_start"].replace("Z", "").replace("T", "T")): r["events"]
+        for r in batch.collect()
+    }
+    # keys: batch emits wire-format strings; normalize to isoformat
+    want = {
+        (u, s[:-1] if s.endswith("Z") else s): v for (u, s), v in want.items()
+    }
+    got = {(u, s): v for (u, s), v in got.items()}
+    assert got == want and len(got) > 0
+
+
+def _issues(spark, rows):
+    return spark.createDataFrame(rows, ISSUE_SCHEMA)
+
+
+def test_incremental_upsert_semantics(spark):
+    cached = _issues(
+        spark,
+        [
+            (1, "open", "2024-01-01T00:00:00Z", "old-1"),
+            (2, "open", "2024-01-02T00:00:00Z", "old-2"),
+            (3, "closed", "2024-01-03T00:00:00Z", "old-3"),
+        ],
+    )
+    # fetched overlaps the cached max by less than the lookback:
+    # an update of #2, a brand-new #4, and a boundary record #3
+    fetched = _issues(
+        spark,
+        [
+            (2, "closed", "2024-01-02T12:00:00Z", "new-2"),
+            (3, "closed", "2024-01-03T00:00:00Z", "refetched-3"),
+            (4, "open", "2024-01-03T00:02:00Z", "new-4"),
+        ],
+    )
+    merged = {
+        r["number"]: (r["state"], r["payload"])
+        for r in upsert_by_key(cached, fetched, "number").collect()
+    }
+    assert merged == {
+        1: ("open", "old-1"),          # cached-only retained
+        2: ("closed", "new-2"),        # fetched overrides
+        3: ("closed", "refetched-3"),  # boundary record overrides
+        4: ("open", "new-4"),          # new key added
+    }
+
+
+def test_incremental_watermark_lookback(spark):
+    cached = _issues(
+        spark,
+        [
+            (1, "open", "2024-01-01T00:00:00Z", "x"),
+            (2, "open", "2024-01-03T00:00:00Z", "x"),
+        ],
+    )
+    wm = incremental_watermark(cached, ts_cols=("updated_at",))
+    assert wm == datetime.datetime(2024, 1, 2, 23, 55)  # max - 300s
+    assert incremental_watermark(
+        _issues(spark, []), ts_cols=("updated_at",)
+    ) is None
+
+
+def test_detail_backfill_only_new_keys(spark):
+    cached = _issues(spark, [(1, "open", "t", "x")])
+    fetched = _issues(
+        spark, [(1, "open", "t", "y"), (5, "open", "t", "z")]
+    )
+    assert [
+        r["number"]
+        for r in detail_backfill_keys(fetched, cached, "number").collect()
+    ] == [5]
+
+
+def test_apply_file_changes(spark):
+    cached = spark.createDataFrame(
+        [("a.py", 1), ("b.py", 2), ("old.py", 3)], "path string, v int"
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a.py", "modified", None),
+            ("new.py", "renamed", "old.py"),
+            ("b.py", "removed", None),
+        ],
+        "path string, status string, previous_path string",
+    )
+    kept, refresh = apply_file_changes(cached, changes)
+    assert {r["path"] for r in kept.collect()} == {"a.py"}
+    assert {r["path"] for r in refresh.collect()} == {"a.py", "new.py"}
+
+
+def test_head_short_circuit():
+    assert head_unchanged("abc", "abc") is True
+    assert head_unchanged("abc", "def") is False
+    assert head_unchanged(None, "abc") is False
