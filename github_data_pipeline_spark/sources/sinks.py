@@ -1,0 +1,100 @@
+"""Sinks: columnar canonical store + artifact/bulk parity writers.
+
+The reference persists deterministic JSON artifacts per dataset
+(``collectors.py:33-39``) and bulk-loads Elasticsearch with stable
+``_id``s and batch accounting (``src/indexing/client.py:54-102``,
+``indexer.py:115-178``). Here the canonical store is partitioned
+Parquet keyed by the same deterministic ids (functions/hashing.py);
+JSON artifacts and an ES-bulk-shaped writer exist for migration parity.
+
+Scale: partition by ``repo_name`` so per-repo queries prune files; at
+real scale add a date subpartition on the big tables. Upserts rewrite
+only the partitions containing changed keys (with Delta available,
+``write_upsert`` becomes DeltaTable.merge one-for-one).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.incremental import upsert_by_key
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("repo_name",),
+    mode: str = "overwrite",
+) -> None:
+    """Canonical columnar write, partitioned for pruning."""
+    writer = df.write.mode(mode)
+    cols = [c for c in partition_by if c in df.columns]
+    if cols:
+        writer = writer.partitionBy(*cols)
+    writer.parquet(path)
+
+
+def write_upsert(
+    spark: SparkSession,
+    fresh: DataFrame,
+    path: str,
+    key_cols: list[str] | str,
+    partition_by: tuple[str, ...] = ("repo_name",),
+) -> None:
+    """Keyed upsert into a Parquet table: fetched rows override stored
+    rows, stored-only rows retained (the §1.4 identity contract —
+    re-ingesting never duplicates). Delta swap-in: DeltaTable.merge."""
+    if os.path.exists(path):
+        cached = spark.read.parquet(path)
+        merged = upsert_by_key(cached, fresh, key_cols)
+    else:
+        merged = fresh
+    # parquet cannot overwrite in place from its own scan: materialize
+    staging = path.rstrip("/") + ".staging"
+    write_table(merged, staging, partition_by)
+    final_df = spark.read.parquet(staging)
+    write_table(final_df, path, partition_by)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def write_json_artifact(df: DataFrame, path: str) -> None:
+    """Line-delimited JSON artifact (the reference's per-dataset JSON
+    file, made splittable). Deterministic given a sorted input."""
+    df.write.mode("overwrite").json(path)
+
+
+def bulk_index(
+    df: DataFrame,
+    id_col: str,
+    send_batch: Callable[[list[tuple[str, str]]], int],
+    batch_size: int = 500,
+) -> tuple[int, int]:
+    """ES-bulk-shaped sink: (doc-id, json-doc) batches through
+    ``send_batch`` (returns #ok), with ok/fail accounting
+    (client.py:54-102). The real ES writer is the elasticsearch-hadoop
+    connector (`es.mapping.id`); this path exists for parity tests and
+    air-gapped runs — batches stream through toLocalIterator, bounding
+    driver memory at one batch."""
+    docs = df.select(
+        F.col(id_col).alias("_id"), F.to_json(F.struct(*df.columns)).alias("_doc")
+    )
+    ok = fail = 0
+    batch: list[tuple[str, str]] = []
+    for row in docs.toLocalIterator():
+        batch.append((row["_id"], row["_doc"]))
+        if len(batch) >= batch_size:
+            n = send_batch(batch)
+            ok += n
+            fail += len(batch) - n
+            batch = []
+    if batch:
+        n = send_batch(batch)
+        ok += n
+        fail += len(batch) - n
+    return ok, fail

@@ -1,0 +1,70 @@
+"""Sink layer: partitioned writes, keyed upsert (no dup on re-ingest),
+bulk accounting (reference client.py:54-102, indexer batch semantics)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from github_data_pipeline_spark.functions.hashing import key_issue
+from github_data_pipeline_spark.sources.sinks import (
+    bulk_index,
+    write_table,
+    write_upsert,
+)
+
+SCHEMA = "repo_name string, number int, state string"
+
+
+def test_partitioned_write_and_prune(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("o/a", 1, "open"), ("o/b", 2, "open")], SCHEMA
+    )
+    path = str(tmp_path / "issues")
+    write_table(df, path)
+    assert os.path.isdir(os.path.join(path, "repo_name=o%2Fa"))
+    back = spark.read.parquet(path).filter(F.col("repo_name") == "o/a")
+    assert back.count() == 1
+
+
+def test_upsert_idempotent_reingest(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [("o/a", 1, "open"), ("o/a", 2, "open")], SCHEMA
+    )
+    write_upsert(spark, v1, path, ["repo_name", "number"])
+    # re-ingest same + one update + one new
+    v2 = spark.createDataFrame(
+        [("o/a", 2, "closed"), ("o/a", 3, "open")], SCHEMA
+    )
+    write_upsert(spark, v2, path, ["repo_name", "number"])
+    got = {
+        (r["number"]): r["state"] for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: "open", 2: "closed", 3: "open"}
+    # third identical ingest: still no duplicates
+    write_upsert(spark, v2, path, ["repo_name", "number"])
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_bulk_index_accounting(spark):
+    df = spark.createDataFrame(
+        [("o/a", n, "open") for n in range(7)], SCHEMA
+    ).withColumn("_key", key_issue("repo_name", "number"))
+    batches = []
+
+    def send(batch):
+        batches.append(len(batch))
+        # fail one doc in the first batch
+        return len(batch) - (1 if len(batches) == 1 else 0)
+
+    ok, fail = bulk_index(df, "_key", send, batch_size=3)
+    assert batches == [3, 3, 1]
+    assert (ok, fail) == (6, 1)
+
+
+def test_stable_ids_deterministic(spark):
+    df = spark.createDataFrame([("o/a", 7, "open")], SCHEMA)
+    k1 = df.select(key_issue("repo_name", "number").alias("k")).collect()[0]["k"]
+    assert k1 == "o/a#issue#7"
