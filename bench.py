@@ -32,8 +32,19 @@ def main() -> None:
     registry = all_plans()
 
     # Warm the JVM + parquet footers once so per-query numbers measure the
-    # plans, not first-touch JIT/IO.
-    registry["orders_by_status"].builder(spark, sf_dir).count()
+    # plans, not first-touch JIT/IO: touch every table and exercise one
+    # agg + one join + one codegen-heavy expression pipeline.
+    from github_data_pipeline_spark.sources.tables import (
+        TESTDATA_TABLES,
+        load_table,
+    )
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).count()
+    for warm in ("orders_by_status", "top_customers_by_revenue", "doc_token_stats"):
+        registry[warm].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for q in registry:

@@ -95,8 +95,17 @@ def stable_hash_id(cols: dict[str, Column | str], salt: str = "") -> Column:
     types the reference hashes (strings / integers / booleans / null).
     """
     fields = [_c(cols[name]).alias(name) for name in sorted(cols)]
-    doc = F.to_json(F.struct(*fields))
+    # ignoreNullFields=false: json.dumps keeps nulls, so must we —
+    # Spark's default silently drops them and breaks hash parity
+    doc = F.to_json(F.struct(*fields), {"ignoreNullFields": "false"})
     return F.sha1(F.concat(doc, F.lit(salt)))
+
+
+def canonical_json(cols: dict[str, Column | str]) -> Column:
+    """The sorted-key, compact-separator JSON string itself (the byte
+    input of stable_hash_id) — oracle-comparable directly."""
+    fields = [_c(cols[name]).alias(name) for name in sorted(cols)]
+    return F.to_json(F.struct(*fields), {"ignoreNullFields": "false"})
 
 
 def stable_hash_id_py(doc: dict[str, Any], salt: str = "") -> str:

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .core import REGISTRY
 
 _add = REGISTRY.add
@@ -63,7 +63,7 @@ def _spark_shingle_hash(s: F.Column) -> F.Column:
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, s): distinct 3-gram shingles per document."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     grams = F.array_distinct(T.word_ngrams(T.tokens("text"), 3))
     return d.select("doc_id", F.explode(grams).alias("s"))
 
@@ -171,9 +171,11 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("grams_b")
     )
     union_size = F.col("grams_a") + F.col("grams_b") - F.col("shared")
+    # per-doc size tables are |docs| rows — broadcast, don't shuffle the
+    # (much larger) pair table twice
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .filter(F.col("shared") * 5 >= union_size * 4)
         .select(
             "doc_a",
@@ -321,7 +323,7 @@ _ASSEMBLE_SQL = " + ".join(
     tags=("dedup", "simhash"),
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     tokc = (
         d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -400,9 +402,17 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vectors as V
 
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # precompute each vector's norm once (|rows| folds) instead of
+    # twice per pair (|pairs| folds) — identical IEEE result, ~2/3
+    # fewer array folds in the quadratic stage
+    withnorm = e.select(
+        "vec_id", "label", "embedding", V.norm("embedding").alias("nrm")
+    )
+    a = withnorm.alias("a")
+    b = withnorm.alias("b")
+    cos = V.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(
             b,

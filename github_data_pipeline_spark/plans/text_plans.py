@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .core import REGISTRY
 
 _add = REGISTRY.add
@@ -57,7 +57,7 @@ def _duck_marker_hits(markers: tuple[str, ...]) -> str:
     tags=("text",),
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = T.tokens("text")
     return d.select(
         "doc_id",
@@ -101,7 +101,7 @@ _SCORE_ROWS = ", ".join(
     tags=("text", "langid"),
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = T.tokens("text")
     return (
         d.select("doc_id", "lang", T.lang_id(toks).alias("predicted"))
@@ -142,7 +142,7 @@ _EN_STOPS = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
     tags=("text", "quality"),
 )
 def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = T.tokens("text")
     scored = d.select(
         "source",
@@ -183,7 +183,7 @@ def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "fingerprint"),
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", T.fingerprint_rolling(T.tokens("text")).alias("fingerprint")
     )

@@ -58,6 +58,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Fan a small scan out across cores before expensive per-row work.
+
+    A table that fits one parquet split arrives as one partition, which
+    serializes downstream explode/regex/ngram compute on a single core
+    (and AQE keeps it coalesced). One cheap round-robin shuffle of the
+    narrow input buys full parallelism for the heavy map stage. At real
+    scale the scan has many splits and this becomes a no-op decision —
+    call it only in front of compute-heavy expressions.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 

@@ -1,0 +1,71 @@
+"""Physical-plan regression guards: the properties that make these
+queries scale must not silently disappear (filter pushdown, column
+pruning, broadcast dims, TakeOrderedAndProject, partial aggregation,
+no Python row-at-a-time UDFs in JVM-only pipelines)."""
+
+from __future__ import annotations
+
+import pytest
+
+from github_data_pipeline_spark.plans import all_plans
+
+REGISTRY = all_plans()
+
+
+def _plan(spark, sf_dir, name, mode="simple") -> str:
+    df = REGISTRY[name].builder(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary", "formatted")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    # column pruning: only the 7 needed columns in ReadSchema
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for q in ("revenue_by_nation", "top_customers_by_revenue"):
+        plan = _plan(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, q
+    # nation must never be the shuffled side
+    assert "SortMergeJoin" not in _plan(spark, sf_dir, "top_customers_by_revenue")
+
+
+def test_topk_lowers_to_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(
+        spark, sf_dir, "top_customers_by_revenue"
+    )
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary", "formatted")
+    # two HashAggregate nodes (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_udfs_in_jvm_pipelines(spark, sf_dir):
+    # every query except the explicitly-Python multimodal decode must
+    # stay JVM-side (no BatchEvalPython / ArrowEvalPython nodes)
+    python_ok = {"multimodal_decode_features"}
+    for q in REGISTRY:
+        if q.name in python_ok:
+            continue
+        plan = _plan(spark, sf_dir, q.name)
+        assert "EvalPython" not in plan, f"{q.name} fell off the JVM path"
+
+
+def test_multimodal_decode_is_arrow_batched(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_decode_features")
+    assert "MapInPandas" in plan  # Arrow-batched, not row-at-a-time
+
+
+@pytest.mark.parametrize(
+    "name", ["events_sessionization", "top_orders_per_customer"]
+)
+def test_single_shuffle_windows(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    # the window functions share one hash partitioning on the key
+    assert plan.count("Exchange hashpartitioning") <= 2
