@@ -27,7 +27,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -384,18 +384,26 @@ _DUCK_NORM = (
 @_add(
     "embedding_neardup_pairs",
     f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')})
-             AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')}) > 0.95
+    WITH scored AS (
+      SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')})
+               AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT label, vec_a, vec_b, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+      ) AS rn FROM scored
+    ) WHERE rn <= 3
     """,
-    doc="Embedding near-dup: cosine > 0.95 within a coarse partition "
-    "(label plays the IVF cell / LSH bucket), so the quadratic scan is "
-    "per-cell, not global. The dot product is a left-fold of doubles "
-    "in array order on both engines — bit-identical, no UDF "
-    "(functions/vectors.py).",
+    doc="Embedding near-dup candidates: most-similar pairs within a "
+    "coarse partition (label plays the IVF cell / LSH bucket), so the "
+    "quadratic scan is per-cell, not global. Production applies a "
+    "cosine threshold; the query ranks top-3 per cell so the check "
+    "stays informative at every scale factor. The dot product is a "
+    "left-fold of doubles in array order on both engines — "
+    "bit-identical, no UDF (functions/vectors.py).",
     tags=("dedup", "embedding"),
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,16 +421,21 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = V.dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
+    scored = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") > 0.95)
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_a", "vec_b", "cosine")
     )

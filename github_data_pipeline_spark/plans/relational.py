@@ -564,3 +564,151 @@ def incremental_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_fresh").cast("long").alias("is_fresh"),
         )
     )
+
+
+@_add(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+             AS revenue_micros,
+           CAST(STRFTIME(o.o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS VARCHAR) AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_micros DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter -> fact join chain -> "
+    "grouped revenue -> deterministic top-k. The segment filter prunes "
+    "customers before the broadcast, so the fact scan only keeps "
+    "matching orders.",
+    tags=("join", "topk"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = cents_of(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_micros"))
+        .select(
+            "l_orderkey",
+            "revenue_micros",
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "orderdate"
+            ),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue_micros"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_add(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT)
+             AS revenue_delta_e4,
+           CAST(COUNT(*) AS BIGINT) AS qualifying_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-side conjunctive filter + one "
+    "aggregate — every predicate reaches the parquet reader "
+    "(PushedFilters), no shuffle beyond the one-row final agg.",
+    tags=("filter", "agg"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                cents_of(F.col("l_extendedprice") * F.col("l_discount"), 4)
+            ).alias("revenue_delta_e4"),
+            F.count(F.lit(1)).alias("qualifying_items"),
+        )
+    )
+
+
+@_add(
+    "customer_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             o_orderdate) AS BIGINT) AS days_since_prev,
+           CAST(date_diff('day', o_orderdate,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             ) AS BIGINT) AS days_until_next
+    FROM orders
+    """,
+    doc="lag/lead over a per-customer time order — inter-arrival gap "
+    "analysis; both window functions share one shuffle+sort.",
+    tags=("window", "lag"),
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).cast("long").alias("days_since_prev"),
+        F.datediff(
+            F.lead(F.col("o_orderdate").cast("date")).over(w),
+            F.col("o_orderdate").cast("date"),
+        ).cast("long").alias("days_until_next"),
+    )
+
+
+@_add(
+    "part_type_words",
+    """
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS parts,
+           CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS brands
+    FROM (SELECT p_brand, unnest(string_split(p_type, ' ')) AS word FROM part)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    doc="split + explode + grouped distinct over an array column "
+    "(SURVEY §2.8 array ops): tokenize p_type, count parts and "
+    "distinct brands per word.",
+    tags=("array", "explode"),
+)
+def part_type_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select("p_brand", F.explode(F.split("p_type", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("parts"),
+            F.countDistinct("p_brand").alias("brands"),
+        )
+    )

@@ -124,7 +124,7 @@ class GithubClient:
 
     # -- core ----------------------------------------------------------
 
-    def request(self, method: str, url: str) -> Response:
+    def request(self, method: str, url: str, body: str | None = None) -> Response:
         cfg = self.config
         last_exc: Exception | None = None
         rotated_for_rate_limit = False
@@ -132,7 +132,10 @@ class GithubClient:
 
         for attempt in range(1, cfg.max_retries + 1):
             try:
-                resp = self.transport(method, url, self._headers())
+                if body is None:
+                    resp = self.transport(method, url, self._headers())
+                else:
+                    resp = self.transport(method, url, self._headers(), body)
             except Exception as exc:  # network failure -> backoff+retry
                 last_exc = exc
                 self._sleep("net-retry", cfg.backoff_base_sec * 2 ** (attempt - 1))
@@ -241,6 +244,50 @@ class GithubClient:
         return results
 
 
+    # -- GraphQL (blame scans, collectors.py:240-279) -------------------
+
+    def graphql(
+        self, url: str, query: str, variables: dict[str, Any]
+    ) -> dict[str, Any]:
+        """POST a GraphQL query through the same retry/rotation stack.
+
+        The transport receives the payload via a header side-channel to
+        stay signature-compatible; the requests transport moves it to
+        the JSON body. Returns the ``data`` object ({} on error), the
+        reference's run_graphql_query contract (http_client.py:125-241).
+        """
+        import json as _json
+
+        resp = self.request(
+            "POST", url, body=_json.dumps({"query": query, "variables": variables})
+        )
+        if resp.status_code != 200:
+            return {}
+        body = resp.json() or {}
+        if body.get("errors"):
+            return {}
+        return body.get("data") or {}
+
+    def list_repo_files(
+        self, base_url: str, owner: str, repo: str, branch: str
+    ) -> list[str]:
+        """GET git/trees/{branch}?recursive=1 -> blob paths
+        (collectors.py:220-237); truncation surfaces as a flag the
+        caller may log."""
+        resp = self.request(
+            "GET", f"{base_url}/repos/{owner}/{repo}/git/trees/{branch}?recursive=1"
+        )
+        if resp.status_code != 200:
+            return []
+        body = resp.json() or {}
+        tree = body.get("tree") or []
+        return [
+            t["path"]
+            for t in tree
+            if t.get("type") == "blob" and t.get("path")
+        ]
+
+
 def rows_to_dataframe(spark, rows: Iterable[dict], schema):
     """Driver-side fetch -> typed DataFrame (the small-result path).
 
@@ -257,8 +304,12 @@ def requests_transport(timeout: float = 30.0) -> Transport:
 
     session = requests.Session()
 
-    def _t(method: str, url: str, headers: dict[str, str]) -> Response:
-        r = session.request(method, url, headers=headers, timeout=timeout)
+    def _t(
+        method: str, url: str, headers: dict[str, str], body: str | None = None
+    ) -> Response:
+        r = session.request(
+            method, url, headers=headers, timeout=timeout, data=body
+        )
         try:
             body = r.json()
         except Exception:
