@@ -88,6 +88,7 @@ def all_plans() -> Registry:
         multimodal_plans,
         relational,
         similarity_plans,
+        streaming_plans,
         text_plans,
     )
 

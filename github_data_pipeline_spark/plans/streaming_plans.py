@@ -1,0 +1,86 @@
+"""Registry entries that execute the Structured Streaming layer.
+
+``stream_user_ledger`` actually runs the stateful stream (availableNow
+drain into a memory sink) inside the builder; its final per-user state
+must equal the batch aggregate, which is what the DuckDB oracle
+computes — an end-to-end correctness gate on the streaming path
+itself.
+
+``approx_lineitem_stats`` exposes the approximate-aggregate surface
+(HLL distinct, quantile sketches). Sketch outputs are engine-specific
+by nature, so it is a rows-only entry (the driver records the weaker
+check); the exact twins live in the relational plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .core import REGISTRY
+
+_add = REGISTRY.add
+
+
+@_add(
+    "stream_user_ledger",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS total_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="The custom stateful streaming operator (streaming/stateful.py, "
+    "applyInPandasWithState) drained with availableNow: the final "
+    "per-user ledger state must equal the batch aggregate the oracle "
+    "computes. This runs a real streaming query with a state store — "
+    "the strongest check the streaming layer gets.",
+    tags=("streaming", "stateful"),
+)
+def stream_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import read_events_stream
+    from ..streaming.stateful import user_ledger_stream
+
+    name = "stream_user_ledger_sink"
+    spark.catalog.dropTempView(name) if name in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    stream = user_ledger_stream(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    # single availableNow batch -> one update row per user == final state
+    return spark.sql(
+        f"SELECT user_id, total_events, total_value_cents FROM {name}"
+    )
+
+
+@_add(
+    "approx_lineitem_stats",
+    None,  # sketches are engine-specific: rows-only check by design
+    doc="Approximate aggregates for the 100 TB path: HLL++ distinct "
+    "counts and quantile sketches over lineitem. Exact twins "
+    "(distinct_counts, pricing_summary) are oracle-checked; this "
+    "entry proves the approx surface runs and returns sane shapes.",
+    tags=("approx", "agg"),
+)
+def approx_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("rows"),
+    )
