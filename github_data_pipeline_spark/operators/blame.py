@@ -23,7 +23,7 @@ the exploded form (SURVEY §7 hard-part 5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.refs import author_key, one_line
@@ -95,10 +95,33 @@ def blame_range_details(
 
 
 def blame_file_rollup(
-    blame_ranges: DataFrame, commits: DataFrame | None
+    blame_ranges: DataFrame,
+    commits: DataFrame | None,
+    max_files: int = 0,
 ) -> DataFrame:
     """Per-file nested doc: authors (sorted by lines desc) with ordered
-    ranges, totals, and first-N examples."""
+    ranges, totals, and first-N examples.
+
+    ``max_files`` caps the number of files processed (BLAME_FILE_LIMIT,
+    collectors.py:330-332). The reference keeps the first N in listing
+    order; rows are unordered here, so the deterministic stand-in is
+    the first N paths in lexicographic order."""
+    if max_files:
+        keep = (
+            blame_ranges.select("repo_name", "ref", "path")
+            .distinct()
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("repo_name", "ref").orderBy("path")
+                ),
+            )
+            .filter(F.col("_rk") <= max_files)
+            .drop("_rk")
+        )
+        blame_ranges = blame_ranges.join(
+            F.broadcast(keep), ["repo_name", "ref", "path"], "left_semi"
+        )
     det = blame_range_details(blame_ranges, commits)
 
     range_struct = F.struct(

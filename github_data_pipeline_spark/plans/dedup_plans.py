@@ -439,3 +439,99 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("label", "vec_a", "vec_b", "cosine")
     )
+
+
+_SIG_MATCHES_SQL = " + ".join(
+    f"(CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END)"
+    for i in range(MINHASH_K)
+)
+
+
+@_add(
+    "minhash_estimate_vs_exact",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_GRAMS}) AS s
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ), hashed AS (
+      SELECT doc_id, {_DUCK_H} AS h FROM ex
+    ), sigs AS (
+      SELECT doc_id,
+      {_SIG_COLS_SQL}
+      FROM hashed GROUP BY doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM ex GROUP BY doc_id
+    ), shared AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+      FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) * 2 >= 50
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(({_SIG_MATCHES_SQL}) AS BIGINT) AS matching_components,
+           CAST(s.shared AS DOUBLE) / (za.n_grams + zb.n_grams - s.shared)
+             AS exact_jaccard,
+           CAST(({_SIG_MATCHES_SQL}) AS DOUBLE) / {MINHASH_K}
+             AS estimated_jaccard
+    FROM shared s
+    JOIN sigs a ON a.doc_id = s.doc_a
+    JOIN sigs b ON b.doc_id = s.doc_b
+    JOIN sizes za ON za.doc_id = s.doc_a
+    JOIN sizes zb ON zb.doc_id = s.doc_b
+    """,
+    doc="MinHash estimator quality: for pairs sharing >= 25 shingles, "
+    "the fraction of matching signature components (the unbiased "
+    "Jaccard estimator) side by side with exact Jaccard — the "
+    "recall/precision dial for choosing k and band shape. Exactly "
+    "reproducible in SQL because the signatures are engine-neutral.",
+    tags=("dedup", "minhash", "estimate"),
+)
+def minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    hashed = sh.select("doc_id", _spark_shingle_hash(F.col("s")).alias("h"))
+    sig_cols = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    sigs = hashed.groupBy("doc_id").agg(*sig_cols)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    shared = (
+        x.join(
+            y,
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") * 2 >= 50)
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    matches = None
+    for i in range(MINHASH_K):
+        term = F.when(
+            F.col(f"a.sig{i}") == F.col(f"b.sig{i}"), 1
+        ).otherwise(0)
+        matches = term if matches is None else matches + term
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("grams_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("grams_b"))
+    return (
+        shared.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("long").alias("matching_components"),
+            (
+                F.col("shared").cast("double")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("shared"))
+            ).alias("exact_jaccard"),
+            (matches.cast("double") / MINHASH_K).alias("estimated_jaccard"),
+        )
+    )

@@ -712,3 +712,32 @@ def part_type_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("p_brand").alias("brands"),
         )
     )
+
+
+@_add(
+    "orders_per_customer_histogram",
+    """
+    SELECT order_cnt, CAST(COUNT(*) AS BIGINT) AS customers
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS order_cnt
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY order_cnt
+    """,
+    doc="TPC-H Q13 shape: aggregate-of-aggregate (orders per customer, "
+    "then the customer-count distribution). Two shuffles by "
+    "construction; the second input is already |customers| rows.",
+    tags=("agg", "histogram"),
+)
+def orders_per_customer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+    return per_cust.groupBy("order_cnt").agg(
+        F.count(F.lit(1)).alias("customers")
+    )

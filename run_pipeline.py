@@ -1,0 +1,63 @@
+"""CLI entry point — the reference's ``run_pipeline.py`` analog.
+
+Offline mode (default): runs the full per-repo pipeline over the
+committed domain fixtures and writes the partitioned warehouse, then
+answers the scenario queries via spark.sql as a smoke report.
+
+    python run_pipeline.py [--out /tmp/warehouse] [--max-prs N]
+
+With live credentials a GithubClient + requests_transport feeds the
+same process_repo; this container is air-gapped, so the fixture path
+is the runnable one (the reference's run_retrieval/run_indexing split
+maps to process_repo / write_repo_tables + register_views).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="warehouse dir")
+    ap.add_argument("--max-prs", type=int, default=0)
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    args = ap.parse_args()
+
+    from github_data_pipeline_spark.pipeline import (
+        process_repo,
+        register_views,
+        write_repo_tables,
+    )
+    from github_data_pipeline_spark.session import get_spark
+    from github_data_pipeline_spark.sources.fixtures import REPO, load_fixtures
+
+    spark = get_spark("run-pipeline", master=f"local[{args.cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = args.out or os.path.join(tempfile.gettempdir(), "gdp_warehouse")
+    fixtures = load_fixtures(spark)
+    tables = process_repo(fixtures, REPO, max_prs=args.max_prs)
+    paths = write_repo_tables(tables, out)
+    print(f"wrote {len(paths)} tables under {out}:")
+    for name, path in sorted(paths.items()):
+        print(f"  {name:28s} {spark.read.parquet(path).count():6d} rows")
+
+    register_views(spark, {n: spark.read.parquet(p) for n, p in paths.items()})
+    print("\nscenario smoke (spark.sql):")
+    for label, sql in [
+        ("open/closed issues", "SELECT COUNT(*) AS total, SUM(CASE WHEN state='open' THEN 1 ELSE 0 END) AS open FROM issues"),
+        ("distinct authors", "SELECT COUNT(DISTINCT user.login) AS authors FROM issues"),
+        ("top cross-repo target", "SELECT target.repo_name AS t, COUNT(*) AS refs FROM cross_repo_links GROUP BY 1 ORDER BY refs DESC, t LIMIT 1"),
+        ("auto-close links", "SELECT COUNT(*) AS n FROM pr_links WHERE would_auto_close"),
+    ]:
+        print(f"  {label}: {[tuple(r) for r in spark.sql(sql).collect()]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -376,3 +376,8 @@ def test_scenario_9_lifecycle_coverage(fx, issues, commits):
     )
     assert pr_linked == 5  # issues 1, 2, 5, 33, 155
     assert commit_closed == 3  # issues 1, 2, 133
+
+
+def test_blame_file_limit(fx, commits):
+    capped = blame_file_rollup(fx["blame_ranges"], commits, max_files=1)
+    assert [r["path"] for r in capped.select("path").collect()] == ["a.py"]
