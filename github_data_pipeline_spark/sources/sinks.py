@@ -63,6 +63,28 @@ def write_upsert(
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def ensure_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    partition_by: tuple[str, ...] = ("repo_name",),
+) -> None:
+    """Catalog-managed table DDL — the reference's create-if-missing
+    index mapping (client.py:36-52): first write creates the table,
+    later writes append; schema is enforced by the catalog."""
+    if spark.catalog.tableExists(table):
+        # insertInto is positional and partitioned tables reorder
+        # columns (partition cols last) — align by name first
+        ordered = df.select(*spark.table(table).columns)
+        ordered.write.mode("append").insertInto(table)
+        return
+    writer = df.write.mode("overwrite")
+    cols = [c for c in partition_by if c in df.columns]
+    if cols:
+        writer = writer.partitionBy(*cols)
+    writer.saveAsTable(table)
+
+
 def write_json_artifact(df: DataFrame, path: str) -> None:
     """Line-delimited JSON artifact (the reference's per-dataset JSON
     file, made splittable). Deterministic given a sorted input."""

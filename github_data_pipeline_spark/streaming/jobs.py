@@ -95,6 +95,37 @@ def session_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_upsert_to_parquet(
+    events: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """Streaming incremental merge: each micro-batch upserts into the
+    parquet table by key (foreachBatch -> sources.sinks.write_upsert) —
+    the synthesis of the reference's cache-merge semantics (§2.10) with
+    a continuous source. Exactly-once per batch via the checkpoint;
+    with Delta the body becomes a MERGE and gains file pruning."""
+    from ..sources.sinks import write_upsert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_upsert(batch_df.sparkSession, batch_df, path, key_cols,
+                     partition_by=())
+
+    q = (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> list:
     """Drain the stream with the availableNow trigger into a memory sink
     and return the rows — incremental-batch execution of the streaming

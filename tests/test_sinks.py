@@ -68,3 +68,17 @@ def test_stable_ids_deterministic(spark):
     df = spark.createDataFrame([("o/a", 7, "open")], SCHEMA)
     k1 = df.select(key_issue("repo_name", "number").alias("k")).collect()[0]["k"]
     assert k1 == "o/a#issue#7"
+
+
+def test_ensure_table_create_then_append(spark):
+    import uuid
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    from github_data_pipeline_spark.sources.sinks import ensure_table
+
+    df1 = spark.createDataFrame([("o/a", 1, "open")], SCHEMA)
+    ensure_table(spark, df1, name)
+    assert spark.table(name).count() == 1
+    ensure_table(spark, spark.createDataFrame([("o/a", 2, "open")], SCHEMA), name)
+    assert spark.table(name).count() == 2
+    spark.sql(f"DROP TABLE {name}")

@@ -147,3 +147,27 @@ def test_head_short_circuit():
     assert head_unchanged("abc", "abc") is True
     assert head_unchanged("abc", "def") is False
     assert head_unchanged(None, "abc") is False
+
+
+def test_stream_upsert_foreachbatch(spark, sf_dir, tmp_path):
+    """Streaming -> keyed upsert sink: drained table equals the batch
+    dedup by event_id; a second drain with the same checkpoint is a
+    no-op (exactly-once)."""
+    from github_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        stream_upsert_to_parquet,
+    )
+
+    path = str(tmp_path / "events_upserted")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_dir)
+    stream_upsert_to_parquet(stream, path, ["event_id"], ckpt)
+    from github_data_pipeline_spark.sources.tables import load_table
+
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(path).count() == n_batch
+    # re-drain: checkpoint marks everything processed -> unchanged
+    stream_upsert_to_parquet(
+        read_events_stream(spark, sf_dir), path, ["event_id"], ckpt
+    )
+    assert spark.read.parquet(path).count() == n_batch
