@@ -184,3 +184,55 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("event_type", "user_id", "events", "spend_cents")
     )
+
+
+@_add(
+    "events_asof_last_click",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_left
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), carried AS (
+      SELECT user_id, ts, event_id, event_type, value, is_left,
+        LAST_VALUE(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts ASC, is_left ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS last_click_ts
+      FROM tagged
+    )
+    SELECT user_id, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS purchase_cents,
+           CAST(date_diff('second', last_click_ts, ts) AS BIGINT)
+             AS sec_since_click
+    FROM carried WHERE is_left = 1
+    """,
+    doc="As-of join (operators/asof.py): each purchase gets the latest "
+    "prior-or-simultaneous click by the same user, via the union-merge "
+    "+ last(ignorenulls) running window — one shuffle on user_id, no "
+    "range cross-join. Null sec_since_click = purchase before any "
+    "click.",
+    tags=("events", "asof"),
+)
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", ts="ts",
+        right_value_cols=["click_ts"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        cents("value").alias("purchase_cents"),
+        (
+            F.col("ts").cast("long") - F.col("click_ts_asof").cast("long")
+        ).alias("sec_since_click"),
+    )

@@ -741,3 +741,37 @@ def orders_per_customer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     return per_cust.groupBy("order_cnt").agg(
         F.count(F.lit(1)).alias("customers")
     )
+
+
+@_add(
+    "orders_rollup",
+    """
+    SELECT
+      COALESCE(o_orderpriority, 'ALL') AS priority,
+      COALESCE(o_orderstatus, 'ALL') AS status,
+      CAST(COUNT(*) AS BIGINT) AS orders,
+      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="ROLLUP hierarchy (priority -> status -> grand total) — beyond "
+    "the reference's aggregation surface (SURVEY §2.4 notes rollup is "
+    "free in Spark). One Expand + one shuffle; COALESCE folds the "
+    "grouping nulls into stable labels for the oracle.",
+    tags=("agg", "rollup"),
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            F.sum(cents("o_totalprice")).alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "orders",
+            "revenue_cents",
+        )
+    )
