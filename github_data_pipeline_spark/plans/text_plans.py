@@ -187,3 +187,41 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", T.fingerprint_rolling(T.tokens("text")).alias("fingerprint")
     )
+
+
+@_add(
+    "bpe_ish_token_counts",
+    r"""
+    SELECT
+      CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+        AS subword_tokens,
+      CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        AS whitespace_tokens,
+      CAST(SUM(length(text)) AS BIGINT) AS chars,
+      CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+        / SUM(length(text)) AS tokens_per_char
+    FROM documents
+    """,
+    doc="Token counting with a BPE-ish pretokenizer regex (letter runs "
+    "| digit runs | single punctuation — the GPT-2-style split shape) "
+    "next to plain whitespace counts: the budget estimator a training "
+    "pipeline runs before the real tokenizer. Pure regexp_extract_all, "
+    "stays in codegen.",
+    tags=("text", "tokens"),
+)
+def bpe_ish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    )
+    ws = F.size(T.tokens("text"))
+    return d.agg(
+        F.sum(bpe).alias("subword_tokens"),
+        F.sum(ws).alias("whitespace_tokens"),
+        F.sum(F.length("text")).alias("chars"),
+        (
+            F.sum(bpe).cast("double") / F.sum(F.length("text"))
+        ).alias("tokens_per_char"),
+    )

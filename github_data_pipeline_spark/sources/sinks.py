@@ -47,19 +47,55 @@ def write_upsert(
 ) -> None:
     """Keyed upsert into a Parquet table: fetched rows override stored
     rows, stored-only rows retained (the §1.4 identity contract —
-    re-ingesting never duplicates). Delta swap-in: DeltaTable.merge."""
-    if os.path.exists(path):
-        cached = spark.read.parquet(path)
-        merged = upsert_by_key(cached, fresh, key_cols)
-    else:
-        merged = fresh
-    # parquet cannot overwrite in place from its own scan: materialize
-    staging = path.rstrip("/") + ".staging"
-    write_table(merged, staging, partition_by)
-    final_df = spark.read.parquet(staging)
-    write_table(final_df, path, partition_by)
-    import shutil
+    re-ingesting never duplicates). Delta swap-in: DeltaTable.merge.
 
+    With a partitioned table, only the partitions containing fresh
+    keys are merged and rewritten (dynamic partition overwrite) — at
+    100 TB an incremental batch touches a handful of repo partitions,
+    not the table.
+    """
+    import shutil
+    from functools import reduce
+
+    cols = [c for c in partition_by if c in fresh.columns]
+    staging = path.rstrip("/") + ".staging"
+    if not os.path.exists(path):
+        merged = fresh
+        target_mode = "overwrite"
+    elif cols:
+        affected = [
+            tuple(r) for r in fresh.select(*cols).distinct().collect()
+        ]
+        cached = spark.read.parquet(path)
+        pred = reduce(
+            lambda a, b: a | b,
+            [
+                reduce(
+                    lambda x, y: x & y,
+                    [F.col(c) == v for c, v in zip(cols, vals)],
+                )
+                for vals in affected
+            ],
+        )
+        merged = upsert_by_key(cached.filter(pred), fresh, key_cols)
+        target_mode = "dynamic"
+    else:
+        merged = upsert_by_key(spark.read.parquet(path), fresh, key_cols)
+        target_mode = "overwrite"
+
+    # parquet cannot overwrite in place from its own scan: stage the
+    # merged (affected-partitions-only) slice, then overwrite
+    write_table(merged, staging, partition_by)
+    staged = spark.read.parquet(staging)
+    if target_mode == "dynamic":
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            staged.write.mode("overwrite").partitionBy(*cols).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        write_table(staged, path, partition_by)
     shutil.rmtree(staging, ignore_errors=True)
 
 

@@ -82,3 +82,36 @@ def test_ensure_table_create_then_append(spark):
     ensure_table(spark, spark.createDataFrame([("o/a", 2, "open")], SCHEMA), name)
     assert spark.table(name).count() == 2
     spark.sql(f"DROP TABLE {name}")
+
+
+def test_upsert_rewrites_only_affected_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: merging repo B's fresh rows must not
+    rewrite repo A's partition files."""
+    import glob as _glob
+    import os as _os
+
+    path = str(tmp_path / "multi")
+    base = spark.createDataFrame(
+        [("o/a", 1, "open"), ("o/b", 2, "open")], SCHEMA
+    )
+    write_upsert(spark, base, path, ["repo_name", "number"])
+    a_files_before = sorted(_glob.glob(f"{path}/repo_name=o%2Fa/*.parquet"))
+    mtimes_before = [_os.path.getmtime(f) for f in a_files_before]
+
+    fresh_b = spark.createDataFrame(
+        [("o/b", 2, "closed"), ("o/b", 3, "open")], SCHEMA
+    )
+    write_upsert(spark, fresh_b, path, ["repo_name", "number"])
+
+    a_files_after = sorted(_glob.glob(f"{path}/repo_name=o%2Fa/*.parquet"))
+    assert a_files_after == a_files_before
+    assert [_os.path.getmtime(f) for f in a_files_after] == mtimes_before
+    got = {
+        (r["repo_name"], r["number"]): r["state"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("o/a", 1): "open",
+        ("o/b", 2): "closed",
+        ("o/b", 3): "open",
+    }
