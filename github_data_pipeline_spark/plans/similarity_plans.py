@@ -175,3 +175,32 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("pos", "c"))
         ).getField("c").alias("centroid"),
     )
+
+
+@_add(
+    "kmeans_cluster_sizes",
+    None,  # iterative algorithm: rows-only by contract
+    doc="In-engine k-means (operators/clustering.py): deterministic "
+    "seeding, 3 Lloyd iterations as broadcast-argmin scans + exact "
+    "fixed-point centroid updates; output is the cluster size "
+    "distribution + per-cluster mean squared distance. Iterative -> "
+    "no SQL oracle (driver records rows-only); invariants (nearest-"
+    "centroid assignment, monotone inertia) are pinned in "
+    "tests/test_clustering.py.",
+    tags=("similarity", "kmeans", "iterative"),
+)
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _, assignments = kmeans_fit(e, k=8, n_iter=3)
+    return (
+        assignments.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("members"),
+            F.sum("sq_dist").alias("total_sq_dist"),
+        )
+        .withColumn(
+            "mean_sq_dist", F.col("total_sq_dist") / F.col("members")
+        )
+    )
