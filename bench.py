@@ -46,8 +46,13 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # Headline set = the oracle-checked queries (rows-only entries —
+    # iterative k-means, approx sketches — are correctness-exempt
+    # demonstrations, not benchmark queries).
     timings: dict[str, float] = {}
     for q in registry:
+        if q.oracle is None:
+            continue
         t0 = time.time()
         df = q.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -225,3 +225,75 @@ def bpe_ish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bpe).cast("double") / F.sum(F.length("text"))
         ).alias("tokens_per_char"),
     )
+
+
+@_add(
+    "doc_hash_sample",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS sampled_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+    GROUP BY source
+    """,
+    doc="Deterministic ~10% sample via content-hash bucketing "
+    "(hash(doc_id) % 10) — reproducible across runs, engines and "
+    "cluster sizes, unlike rand()-based sampling; the standard way a "
+    "training pipeline carves stable eval splits. Pushdown-friendly "
+    "map-side filter.",
+    tags=("text", "sampling"),
+)
+def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    return (
+        d.filter(bucket == 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+@_add(
+    "doc_length_top_decile",
+    f"""
+    SELECT source, doc_id, token_cnt FROM (
+      SELECT source, doc_id, len(toks) AS token_cnt,
+             NTILE(10) OVER (
+               PARTITION BY source ORDER BY len(toks) DESC, doc_id ASC
+             ) AS decile
+      FROM (SELECT source, doc_id, {_TOKS} AS toks FROM documents)
+    ) WHERE decile = 1
+    """,
+    doc="Quality gate by distributional position: per-source top decile "
+    "of token counts via NTILE with a full deterministic ordering — "
+    "the percentile-threshold filter shape (keep longest 10%% of docs "
+    "per domain) a curation pipeline applies before training.",
+    tags=("text", "quantile"),
+)
+def doc_length_top_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    token_cnt = F.size(T.tokens("text"))
+    w = Window.partitionBy("source").orderBy(
+        token_cnt.desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            token_cnt.alias("token_cnt"),
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .filter(F.col("decile") == 1)
+        .select("source", "doc_id", "token_cnt")
+    )
