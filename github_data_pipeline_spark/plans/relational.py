@@ -775,3 +775,73 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents",
         )
     )
+
+
+@_add(
+    "big_spenders",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(*) AS BIGINT) AS orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS lifetime_cents
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    HAVING SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) > 150000000
+    """,
+    doc="TPC-H Q18 shape: grouped aggregate + HAVING threshold (large-"
+    "volume customers over \\$1.5M lifetime). The HAVING predicate "
+    "runs post-aggregation on |customers| rows — nothing extra "
+    "shuffles.",
+    tags=("agg", "having"),
+)
+def big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            F.sum(cents("o_totalprice")).alias("lifetime_cents"),
+        )
+        .filter(F.col("lifetime_cents") > 150_000_000)
+    )
+
+
+@_add(
+    "customers_above_nation_avg",
+    """
+    WITH nation_avg AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) AS avg_cents
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey,
+           CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer c JOIN nation_avg n ON c.c_nationkey = n.c_nationkey
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) > n.avg_cents
+    """,
+    doc="Correlated-scalar-subquery shape (each customer vs their "
+    "nation's average balance), decorrelated into a grouped aggregate "
+    "+ equi-join — the rewrite Catalyst applies to correlated "
+    "subqueries, written explicitly so the plan is one small "
+    "broadcast join instead of a per-row subquery.",
+    tags=("join", "subquery"),
+)
+def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    nation_avg = c.groupBy("c_nationkey").agg(
+        (
+            F.sum(cents("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_cents")
+    )
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(cents("c_acctbal") > F.col("avg_cents"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            cents("c_acctbal").alias("acctbal_cents"),
+        )
+    )

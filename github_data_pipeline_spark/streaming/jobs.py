@@ -95,6 +95,17 @@ def session_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """Streaming exact dedup: drop re-delivered events by id within the
+    watermark horizon (dropDuplicatesWithinWatermark) — the streaming
+    twin of exact_dedup_reingest. State holds only ids inside the
+    horizon, so memory is bounded by arrival rate x watermark, not by
+    history."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
 def stream_upsert_to_parquet(
     events: DataFrame,
     path: str,

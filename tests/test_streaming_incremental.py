@@ -171,3 +171,44 @@ def test_stream_upsert_foreachbatch(spark, sf_dir, tmp_path):
         read_events_stream(spark, sf_dir), path, ["event_id"], ckpt
     )
     assert spark.read.parquet(path).count() == n_batch
+
+
+def test_dedup_stream_drops_redelivered(spark, sf_dir, tmp_path):
+    """Duplicate a slice of the events file into the stream glob dir;
+    the watermark dedup must emit each event_id once."""
+    import shutil
+
+    from github_data_pipeline_spark.streaming.jobs import dedup_stream
+
+    src_dir = str(tmp_path / "stream_src")
+    import os
+
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events_dup.parquet")
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(f"{src_dir}/*.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    deduped = dedup_stream(raw)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    from github_data_pipeline_spark.sources.tables import load_table
+
+    n_unique = load_table(spark, sf_dir, "events").count()
+    got = spark.sql(
+        "SELECT count(*) c, count(DISTINCT event_id) d FROM dedup_t"
+    ).collect()[0]
+    assert (got["c"], got["d"]) == (n_unique, n_unique)
