@@ -41,7 +41,7 @@ def main() -> None:
 
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).count()
-    for warm in ("orders_by_status", "top_customers_by_revenue", "doc_token_stats"):
+    for warm in ("orders_profile", "top_customers_by_revenue", "doc_token_profile"):
         registry[warm].builder(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()

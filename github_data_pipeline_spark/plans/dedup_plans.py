@@ -122,14 +122,21 @@ def exact_dedup_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+NEARDUP_DF_CAP = 10  # shingles seen in more docs than this are boilerplate
+
+
 @_add(
     "neardup_jaccard_pairs",
     f"""
-    WITH grams AS (
-      SELECT doc_id, {_GRAMS} AS g
+    WITH ex0 AS (
+      SELECT doc_id, unnest({_GRAMS}) AS s
       FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ), hot AS (
+      SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > {NEARDUP_DF_CAP}
     ), ex AS (
-      SELECT doc_id, unnest(g) AS s FROM grams
+      SELECT doc_id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM ex GROUP BY doc_id
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -137,26 +144,40 @@ def exact_dedup_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_a, doc_b,
            CAST(shared AS BIGINT) AS shared,
-           CAST(len(ga.g) + len(gb.g) - shared AS BIGINT) AS union_size,
-           CAST(shared AS DOUBLE) / (len(ga.g) + len(gb.g) - shared) AS jaccard
+           CAST(ga.n_grams + gb.n_grams - shared AS BIGINT) AS union_size,
+           CAST(shared AS DOUBLE) / (ga.n_grams + gb.n_grams - shared) AS jaccard
     FROM pairs
-    JOIN grams ga ON ga.doc_id = doc_a
-    JOIN grams gb ON gb.doc_id = doc_b
-    WHERE shared * 5 >= (len(ga.g) + len(gb.g) - shared) * 4
+    JOIN sizes ga ON ga.doc_id = doc_a
+    JOIN sizes gb ON gb.doc_id = doc_b
+    WHERE shared * 5 >= (ga.n_grams + gb.n_grams - shared) * 4
     """,
     doc="Exact 3-gram-shingle Jaccard >= 0.8 pairs via an inverted "
-    "shingle index (explode -> self-equi-join -> shared counts). The "
-    "threshold test stays in integers (shared*5 >= union*4) so no "
-    "float enters the predicate. Quadratic in near-dup cluster size — "
-    "the scale path runs minhash_lsh_candidates first and feeds only "
-    "candidates through this verifier.",
+    "shingle index (explode -> self-equi-join -> shared counts), with "
+    "stopword-shingle pruning: shingles whose document frequency "
+    "exceeds NEARDUP_DF_CAP are dropped from the sets BEFORE the "
+    "self-join (both sizes and intersections computed post-pruning, "
+    "identically in the oracle). The absolute cap bounds every posting "
+    "list, so the join does at most C(cap,2) pair-work per shingle — "
+    "one boilerplate shingle shared by 1%% of a 100 TB corpus can no "
+    "longer create a quadratic bucket. The hot set is tiny by "
+    "construction, so it broadcasts as an anti-join. The threshold "
+    "test stays in integers (shared*5 >= union*4) so no float enters "
+    "the predicate.",
     tags=("dedup", "jaccard"),
 )
 def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NEARDUP_DF_CAP)
+        .select("s")
+    )
+    # few shingles exceed an absolute df cap -> broadcast the anti side
+    pruned = sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -207,12 +228,20 @@ _BAND_STRUCTS_SQL = ", ".join(
 )
 
 
+_SIG_MATCHES_SQL = " + ".join(
+    f"(CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END)"
+    for i in range(MINHASH_K)
+)
+
+
 @_add(
     "minhash_lsh_candidates",
     f"""
-    WITH ex AS (
-      SELECT doc_id, unnest({_GRAMS.replace('(t)', '(t)')}) AS s
+    WITH grams AS (
+      SELECT doc_id, {_GRAMS} AS g
       FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ), ex AS (
+      SELECT doc_id, unnest(g) AS s FROM grams
     ), hashed AS (
       SELECT doc_id, {_DUCK_H} AS h FROM ex
     ), sigs AS (
@@ -222,21 +251,46 @@ _BAND_STRUCTS_SQL = ", ".join(
     ), bands AS (
       SELECT doc_id, u.b.band AS band, u.b.key AS key
       FROM sigs, UNNEST([{_BAND_STRUCTS_SQL}]) AS u(b)
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    SELECT c.doc_a, c.doc_b,
+           CAST(({_SIG_MATCHES_SQL}) AS BIGINT) AS matching_components,
+           CAST(({_SIG_MATCHES_SQL}) AS DOUBLE) / {MINHASH_K}
+             AS estimated_jaccard,
+           CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS shared,
+           CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+             / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))
+             AS exact_jaccard
+    FROM cands c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    JOIN grams ga ON ga.doc_id = c.doc_a
+    JOIN grams gb ON gb.doc_id = c.doc_b
     """,
-    doc="MinHash (k=16, md5-derived shingle hashes, 16 affine "
-    "permutations mod 1e9+7) banded 4x4 into LSH buckets; candidate "
-    "pairs share at least one band. Signatures are 16 map-side MINs "
+    doc="The full 100 TB near-dup path in one plan: MinHash (k=16, "
+    "md5-derived shingle hashes, 16 affine permutations mod 1e9+7) "
+    "banded 4x4 into LSH buckets; candidate pairs share at least one "
+    "band; then each CANDIDATE (and only candidates — the exact stage "
+    "never sees a non-candidate pair) is verified with the exact "
+    "shingle-set intersection, reported next to the unbiased signature "
+    "estimator (matching components / k) — the recall/precision dial "
+    "for choosing k and band shape. Signatures are 16 map-side MINs "
     "over one shingle shuffle; the band self-join touches only bucket "
-    "collisions — the step that makes 100 TB near-dup linear-ish "
-    "instead of quadratic.",
+    "collisions, and the verify join moves only candidate docs' "
+    "shingle arrays — the structure that makes 100 TB near-dup "
+    "linear-ish instead of quadratic.",
     tags=("dedup", "minhash", "lsh"),
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    grams = d.select(
+        "doc_id",
+        F.array_distinct(T.word_ngrams(T.tokens("text"), 3)).alias("g"),
+    )
+    sh = grams.select("doc_id", F.explode("g").alias("s"))
     hashed = sh.select("doc_id", _spark_shingle_hash(F.col("s")).alias("h"))
     sig_cols = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig{i}")
@@ -265,7 +319,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    cands = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -276,6 +330,35 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+    # verify stage: candidates are a tiny fraction of the corpus, so
+    # broadcast them — the signature and shingle-array lookups become
+    # map-side joins that move only candidate docs' data
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    matches = None
+    for i in range(MINHASH_K):
+        term = F.when(
+            F.col(f"sa.sig{i}") == F.col(f"sb.sig{i}"), 1
+        ).otherwise(0)
+        matches = term if matches is None else matches + term
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    shared = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union_size = F.size("ga") + F.size("gb") - shared
+    return (
+        sa.join(F.broadcast(cands), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("long").alias("matching_components"),
+            (matches.cast("double") / MINHASH_K).alias("estimated_jaccard"),
+            shared.cast("long").alias("shared"),
+            (shared.cast("double") / union_size).alias("exact_jaccard"),
+        )
     )
 
 
@@ -438,100 +521,4 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("label", "vec_a", "vec_b", "cosine")
-    )
-
-
-_SIG_MATCHES_SQL = " + ".join(
-    f"(CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END)"
-    for i in range(MINHASH_K)
-)
-
-
-@_add(
-    "minhash_estimate_vs_exact",
-    f"""
-    WITH ex AS (
-      SELECT doc_id, unnest({_GRAMS}) AS s
-      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
-    ), hashed AS (
-      SELECT doc_id, {_DUCK_H} AS h FROM ex
-    ), sigs AS (
-      SELECT doc_id,
-      {_SIG_COLS_SQL}
-      FROM hashed GROUP BY doc_id
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_grams FROM ex GROUP BY doc_id
-    ), shared AS (
-      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
-      FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
-      GROUP BY 1, 2
-      HAVING COUNT(*) * 2 >= 50
-    )
-    SELECT s.doc_a, s.doc_b,
-           CAST(({_SIG_MATCHES_SQL}) AS BIGINT) AS matching_components,
-           CAST(s.shared AS DOUBLE) / (za.n_grams + zb.n_grams - s.shared)
-             AS exact_jaccard,
-           CAST(({_SIG_MATCHES_SQL}) AS DOUBLE) / {MINHASH_K}
-             AS estimated_jaccard
-    FROM shared s
-    JOIN sigs a ON a.doc_id = s.doc_a
-    JOIN sigs b ON b.doc_id = s.doc_b
-    JOIN sizes za ON za.doc_id = s.doc_a
-    JOIN sizes zb ON zb.doc_id = s.doc_b
-    """,
-    doc="MinHash estimator quality: for pairs sharing >= 25 shingles, "
-    "the fraction of matching signature components (the unbiased "
-    "Jaccard estimator) side by side with exact Jaccard — the "
-    "recall/precision dial for choosing k and band shape. Exactly "
-    "reproducible in SQL because the signatures are engine-neutral.",
-    tags=("dedup", "minhash", "estimate"),
-)
-def minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
-    hashed = sh.select("doc_id", _spark_shingle_hash(F.col("s")).alias("h"))
-    sig_cols = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS)
-    ]
-    sigs = hashed.groupBy("doc_id").agg(*sig_cols)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    x = sh.alias("x")
-    y = sh.alias("y")
-    shared = (
-        x.join(
-            y,
-            (F.col("x.s") == F.col("y.s"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") * 2 >= 50)
-    )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    matches = None
-    for i in range(MINHASH_K):
-        term = F.when(
-            F.col(f"a.sig{i}") == F.col(f"b.sig{i}"), 1
-        ).otherwise(0)
-        matches = term if matches is None else matches + term
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("grams_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("grams_b"))
-    return (
-        shared.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(b, F.col("doc_b") == F.col("b.doc_id"))
-        .join(F.broadcast(za), "doc_a")
-        .join(F.broadcast(zb), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            matches.cast("long").alias("matching_components"),
-            (
-                F.col("shared").cast("double")
-                / (F.col("grams_a") + F.col("grams_b") - F.col("shared"))
-            ).alias("exact_jaccard"),
-            (matches.cast("double") / MINHASH_K).alias("estimated_jaccard"),
-        )
     )

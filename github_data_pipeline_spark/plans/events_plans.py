@@ -28,26 +28,33 @@ SESSION_GAP_MIN = 30
     SELECT
       CAST(STRFTIME(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%SZ') AS VARCHAR) AS hour_start,
       event_type,
+      CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS k_mod,
       CAST(COUNT(*) AS BIGINT) AS events,
       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 1, 2, 3
     """,
     doc="Tumbling 1-hour rollup — the batch twin of the streaming "
-    "windowed agg (streaming/jobs.py). date_trunc keys the window "
-    "start; with watermarking the same agg runs incrementally under "
-    "Structured Streaming. Partial aggregation makes the shuffle "
-    "carry only group rows.",
-    tags=("events", "window"),
+    "windowed agg (streaming/jobs.py) — keyed additionally by a "
+    "semi-structured prop pulled out of the JSON payload (the "
+    "reference parses JSON payloads everywhere, SURVEY §2.8; regexp "
+    "extraction keeps the oracle engine-neutral and stays in "
+    "codegen — from_json is the richer path). date_trunc keys the "
+    "window start; with watermarking the same agg runs incrementally "
+    "under Structured Streaming. Partial aggregation makes the "
+    "shuffle carry only group rows.",
+    tags=("events", "window", "json"),
 )
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long") % 10
     return (
         e.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), fmt).alias("hour_start"),
             "event_type",
+            k.alias("k_mod"),
         )
         .agg(
             F.count(F.lit(1)).alias("events"),
@@ -120,34 +127,6 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("duration_sec"),
         )
         .withColumn("session_seq", F.col("session_seq").cast("long"))
-    )
-
-
-@_add(
-    "events_props_extract",
-    """
-    SELECT
-      CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS k_mod,
-      CAST(COUNT(*) AS BIGINT) AS events,
-      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-    FROM events
-    GROUP BY 1
-    """,
-    doc="Semi-structured prop extraction (the reference parses JSON "
-    "payloads everywhere, SURVEY §2.8): regex pull of props.k, "
-    "grouped rollup. from_json is the richer path; regexp keeps the "
-    "oracle engine-neutral and stays in codegen.",
-    tags=("events", "json"),
-)
-def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long") % 10
-    return (
-        e.groupBy(k.alias("k_mod"))
-        .agg(
-            F.count(F.lit(1)).alias("events"),
-            F.sum(cents("value")).alias("value_cents"),
-        )
     )
 
 

@@ -79,15 +79,18 @@ def multimodal_meta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT
       doc_id,
-      list_transform(generate_series(1, least(4, (length(text)+63) // 64)),
-                     f -> CAST(ascii(substr(text, (f-1)*64 + 1, 1)) AS BIGINT))
-        AS frame_leads
+      CAST(to_json(
+        list_transform(generate_series(1, least(4, (length(text)+63) // 64)),
+                       f -> CAST(ascii(substr(text, (f-1)*64 + 1, 1)) AS BIGINT))
+      ) AS VARCHAR) AS frame_leads
     FROM documents
     """,
     doc="Frame sampling shape for video-like payloads: take the lead "
     "byte of up to 4 fixed-stride 64-byte 'frames' per payload. In "
     "production the lambda becomes a per-frame decode over "
-    "mapInPandas; the stride/slice plumbing is identical.",
+    "mapInPandas; the stride/slice plumbing is identical. The lead-byte "
+    "array is serialized to a JSON string so the driver's pandas "
+    "canonicalizer (which cannot hash list cells) can compare it.",
     tags=("multimodal", "frames"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,4 +102,4 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("text"), ((f - 1) * 64 + 1).cast("int"), 1)
         ).cast("long"),
     )
-    return docs.select("doc_id", frames.alias("frame_leads"))
+    return docs.select("doc_id", F.to_json(frames).alias("frame_leads"))

@@ -87,108 +87,58 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_add(
-    "orders_by_status",
+    "orders_profile",
     """
     SELECT
-      CAST(COUNT(*) AS BIGINT) AS total_orders,
-      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
-      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_orders,
-      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS partial_orders
-    FROM orders
+      o.total_orders, o.open_orders, o.first_order, o.last_order,
+      c.segments, c.customer_nations, c.customers, c.avg_acctbal
+    FROM (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS total_orders,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+        CAST(STRFTIME(MIN(o_orderdate), '%Y-%m-%dT%H:%M:%SZ') AS VARCHAR) AS first_order,
+        CAST(STRFTIME(MAX(o_orderdate), '%Y-%m-%dT%H:%M:%SZ') AS VARCHAR) AS last_order
+      FROM orders
+    ) o CROSS JOIN (
+      SELECT
+        CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS segments,
+        CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS customer_nations,
+        CAST(COUNT(*) AS BIGINT) AS customers,
+        CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0
+          AS avg_acctbal
+      FROM customer
+    ) c
     """,
-    doc="Scenario-1 analog (SURVEY §2.11#1): conditional counts via "
-    "SUM(CASE). Single partial-aggregated scan, one-row result.",
-    tags=("agg", "conditional"),
+    doc="Dataset profile in one pass per table: conditional counts via "
+    "SUM(CASE) (scenario-1 analog), min/max over a timestamp column in "
+    "GitHub wire format (scenario-7 analog), exact COUNT(DISTINCT) "
+    "(scenario-3 analog; at 100 TB swap to approx_count_distinct), and "
+    "an exact integer-cents average (functions/money.py — bit-identical "
+    "on any engine/partitioning). Two single-row partial-aggregated "
+    "scans joined by a 1x1 cross join.",
+    tags=("agg", "conditional", "distinct", "timestamp"),
 )
-def orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    return o.agg(
+    c = _t(spark, sf_dir, "customer")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    o_agg = o.agg(
         F.count(F.lit(1)).alias("total_orders"),
         F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias(
             "open_orders"
         ),
-        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
-            "finished_orders"
-        ),
-        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias(
-            "partial_orders"
-        ),
-    )
-
-
-@_add(
-    "order_date_range",
-    """
-    SELECT
-      CAST(STRFTIME(MIN(o_orderdate), '%Y-%m-%dT%H:%M:%SZ') AS VARCHAR) AS first_order,
-      CAST(STRFTIME(MAX(o_orderdate), '%Y-%m-%dT%H:%M:%SZ') AS VARCHAR) AS last_order
-    FROM orders
-    """,
-    doc="Scenario-7 analog (SURVEY §2.11#7): min/max over a timestamp "
-    "column, emitted in the GitHub wire format for engine-neutral "
-    "comparison.",
-    tags=("agg", "timestamp"),
-)
-def order_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
-    return o.agg(
         F.date_format(F.min("o_orderdate"), fmt).alias("first_order"),
         F.date_format(F.max("o_orderdate"), fmt).alias("last_order"),
     )
-
-
-@_add(
-    "distinct_counts",
-    """
-    SELECT
-      CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS segments,
-      CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS customer_nations,
-      CAST(COUNT(*) AS BIGINT) AS customers
-    FROM customer
-    """,
-    doc="Scenario-3 analog (SURVEY §2.11#3): exact COUNT(DISTINCT). At "
-    "100 TB swap to approx_count_distinct, which this plan shape "
-    "(expand + partial agg) makes a one-line change.",
-    tags=("agg", "distinct"),
-)
-def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    return c.agg(
+    c_agg = c.agg(
         F.countDistinct("c_mktsegment").alias("segments"),
         F.countDistinct("c_nationkey").alias("customer_nations"),
         F.count(F.lit(1)).alias("customers"),
+        dollars(
+            F.sum(cents("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_acctbal"),
     )
-
-
-@_add(
-    "avg_acctbal_by_segment",
-    """
-    SELECT
-      c_mktsegment,
-      CAST(COUNT(*) AS BIGINT) AS customers,
-      CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents,
-      CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0 AS avg_acctbal
-    FROM customer
-    GROUP BY c_mktsegment
-    """,
-    doc="Exact average: integer-cents sum then one final division — "
-    "bit-identical on any engine/partitioning (functions/money.py).",
-    tags=("agg",),
-)
-def avg_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    return (
-        c.groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("customers"),
-            F.sum(cents("c_acctbal")).alias("sum_acctbal_cents"),
-        )
-        .withColumn(
-            "avg_acctbal",
-            dollars(F.col("sum_acctbal_cents").cast("double") / F.col("customers")),
-        )
-    )
+    return o_agg.crossJoin(c_agg)
 
 
 # --------------------------------------------------------------------------
@@ -206,14 +156,17 @@ def avg_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name
+    HAVING SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) > 150000000
     ORDER BY revenue_cents DESC, c_custkey ASC
     LIMIT 10
     """,
-    doc="Fact-dim equi-join + grouped agg + deterministic top-k. The "
-    "customer side is broadcast (no fact shuffle for the join); the agg "
-    "groups on the join key so AQE can reuse the broadcast output; "
-    "ORDER+LIMIT lowers to TakeOrderedAndProject (no global sort).",
-    tags=("join", "topk"),
+    doc="TPC-H Q18 shape: fact-dim equi-join + grouped agg + HAVING "
+    "threshold (large-volume customers over $1.5M lifetime) + "
+    "deterministic top-k. The customer side is broadcast (no fact "
+    "shuffle for the join); the HAVING predicate runs post-aggregation "
+    "on |customers| rows; ORDER+LIMIT lowers to TakeOrderedAndProject "
+    "(no global sort).",
+    tags=("join", "topk", "having"),
 )
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -225,6 +178,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("orders"),
             F.sum(cents("o_totalprice")).alias("revenue_cents"),
         )
+        .filter(F.col("revenue_cents") > 150_000_000)
         .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
         .limit(10)
     )
@@ -274,16 +228,25 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
     """,
     doc="LEFT ANTI join (SURVEY §2.3/§2.7 set-difference semantics — the "
-    "reference's `needs_refresh` path-diff). Broadcast the distinct key "
-    "set when small; AQE converts to broadcast-anti at runtime.",
+    "reference's `needs_refresh` path-diff): customers that never "
+    "placed an URGENT order. The priority filter keeps the result "
+    "non-empty at every scale factor (every customer has *some* order "
+    "in this dataset), so the check cannot pass vacuously on 0 rows. "
+    "Broadcast the distinct key set when small; AQE converts to "
+    "broadcast-anti at runtime.",
     tags=("join", "anti"),
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(
         o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
@@ -392,31 +355,45 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_add(
-    "customer_spend_running",
+    "customer_order_windows",
     """
     SELECT o_custkey, o_orderkey,
       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-      ) AS BIGINT) AS running_spend_cents
+      ) AS BIGINT) AS running_spend_cents,
+      CAST(date_diff('day',
+        LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        o_orderdate) AS BIGINT) AS days_since_prev,
+      CAST(date_diff('day', o_orderdate,
+        LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ) AS BIGINT) AS days_until_next
     FROM orders
     """,
-    doc="Frame-spec running total (rowsBetween) — beyond the reference's "
-    "window surface (SURVEY §2.5 notes none); exact cents make the "
-    "running sum deterministic given the total order (date, orderkey).",
-    tags=("window", "frame"),
+    doc="Window-function surface in one pass: frame-spec running total "
+    "(rowsBetween — beyond the reference's window surface, SURVEY §2.5 "
+    "notes none) plus lag/lead inter-arrival gaps, all sharing ONE "
+    "shuffle+sort on (o_custkey, o_orderdate, o_orderkey). Exact cents "
+    "make the running sum deterministic given the total order.",
+    tags=("window", "frame", "lag"),
 )
-def customer_spend_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
     )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    odate = F.col("o_orderdate").cast("date")
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(cents("o_totalprice")).over(w).alias("running_spend_cents"),
+        F.sum(cents("o_totalprice")).over(wsum).alias("running_spend_cents"),
+        F.datediff(odate, F.lag(odate).over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+        F.datediff(F.lead(odate).over(w), odate)
+        .cast("long")
+        .alias("days_until_next"),
     )
 
 
@@ -426,85 +403,61 @@ def customer_spend_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_add(
-    "nations_customers_no_suppliers",
+    "nation_set_ops",
     """
-    SELECT n_nationkey FROM customer JOIN nation ON c_nationkey = n_nationkey
-    EXCEPT
-    SELECT n_nationkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WITH cust_nations AS (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+    ), euro_supp_nations AS (
+      SELECT DISTINCT s_nationkey AS n_nationkey
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT 'no_euro_supplier' AS op, n_nationkey FROM (
+      SELECT n_nationkey FROM cust_nations
+      EXCEPT SELECT n_nationkey FROM euro_supp_nations
+    )
+    UNION ALL
+    SELECT 'both' AS op, n_nationkey FROM (
+      SELECT n_nationkey FROM cust_nations
+      INTERSECT SELECT n_nationkey FROM euro_supp_nations
+    )
     """,
-    doc="EXCEPT (distinct set difference) — §2.7. Both branches reduce to "
-    "small distinct key sets before the set-op shuffle.",
+    doc="EXCEPT (distinct set difference — the reference's needs_refresh "
+    "path-diff) and INTERSECT in one tagged output (§2.7). The right "
+    "side is restricted to EUROPE-region suppliers, so BOTH branches "
+    "are structurally non-empty at every scale factor (customers span "
+    "all 25 nations, Europe holds 5): the check cannot pass vacuously "
+    "on 0 rows. Both branches reduce to tiny distinct key sets before "
+    "the set-op shuffle.",
     tags=("setop",),
 )
-def nations_customers_no_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    cust_nations = c.join(
-        F.broadcast(n), c.c_nationkey == n.n_nationkey
-    ).select("n_nationkey")
-    supp_nations = s.join(
-        F.broadcast(n), s.s_nationkey == n.n_nationkey
-    ).select("n_nationkey")
+    r = _t(spark, sf_dir, "region")
+    cust_nations = c.select(
+        F.col("c_nationkey").alias("n_nationkey")
+    ).distinct()
+    euro_supp_nations = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("s_nationkey").alias("n_nationkey"))
+        .distinct()
+    )
     # subtract == SQL EXCEPT (distinct); exceptAll would keep multiplicity
-    return cust_nations.subtract(supp_nations)
-
-
-@_add(
-    "nations_with_both",
-    """
-    SELECT n_nationkey FROM customer JOIN nation ON c_nationkey = n_nationkey
-    INTERSECT
-    SELECT n_nationkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
-    """,
-    doc="INTERSECT — §2.7 (not in the reference; free in Spark).",
-    tags=("setop",),
-)
-def nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    return (
-        c.select(F.col("c_nationkey").alias("n_nationkey"))
-        .intersect(s.select(F.col("s_nationkey").alias("n_nationkey")))
+    no_euro = cust_nations.subtract(euro_supp_nations).select(
+        F.lit("no_euro_supplier").alias("op"), "n_nationkey"
     )
-
-
-# --------------------------------------------------------------------------
-# Conditional pivot (SURVEY §2.11 scenario 8)
-# --------------------------------------------------------------------------
-
-
-@_add(
-    "orders_priority_by_status",
-    """
-    SELECT
-      o_orderpriority,
-      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_cnt,
-      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_cnt,
-      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS partial_cnt,
-      CAST(COUNT(*) AS BIGINT) AS total
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-    doc="Scenario-8 analog: SUM(CASE) pivot by a second key. Explicit "
-    "conditional aggregates (not .pivot()) keep the column set static "
-    "for the oracle and avoid a distinct-values pre-pass at scale.",
-    tags=("agg", "pivot"),
-)
-def orders_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-
-    def cnt(status: str, alias: str):
-        return F.sum(
-            F.when(F.col("o_orderstatus") == status, 1).otherwise(0)
-        ).alias(alias)
-
-    return o.groupBy("o_orderpriority").agg(
-        cnt("O", "open_cnt"),
-        cnt("F", "finished_cnt"),
-        cnt("P", "partial_cnt"),
-        F.count(F.lit(1)).alias("total"),
+    both = cust_nations.intersect(euro_supp_nations).select(
+        F.lit("both").alias("op"), "n_nationkey"
     )
+    return no_euro.unionByName(both)
 
 
 # --------------------------------------------------------------------------
@@ -620,101 +573,6 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_add(
-    "forecast_revenue_change",
-    """
-    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT)
-             AS revenue_delta_e4,
-           CAST(COUNT(*) AS BIGINT) AS qualifying_items
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate < TIMESTAMP '1997-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-    doc="TPC-H Q6 shape: pure scan-side conjunctive filter + one "
-    "aggregate — every predicate reaches the parquet reader "
-    "(PushedFilters), no shuffle beyond the one-row final agg.",
-    tags=("filter", "agg"),
-)
-def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & F.col("l_discount").between(0.05, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.sum(
-                cents_of(F.col("l_extendedprice") * F.col("l_discount"), 4)
-            ).alias("revenue_delta_e4"),
-            F.count(F.lit(1)).alias("qualifying_items"),
-        )
-    )
-
-
-@_add(
-    "customer_order_gaps",
-    """
-    SELECT o_custkey, o_orderkey,
-           CAST(date_diff('day',
-             LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-             o_orderdate) AS BIGINT) AS days_since_prev,
-           CAST(date_diff('day', o_orderdate,
-             LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             ) AS BIGINT) AS days_until_next
-    FROM orders
-    """,
-    doc="lag/lead over a per-customer time order — inter-arrival gap "
-    "analysis; both window functions share one shuffle+sort.",
-    tags=("window", "lag"),
-)
-def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.datediff(
-            F.col("o_orderdate").cast("date"),
-            F.lag(F.col("o_orderdate").cast("date")).over(w),
-        ).cast("long").alias("days_since_prev"),
-        F.datediff(
-            F.lead(F.col("o_orderdate").cast("date")).over(w),
-            F.col("o_orderdate").cast("date"),
-        ).cast("long").alias("days_until_next"),
-    )
-
-
-@_add(
-    "part_type_words",
-    """
-    SELECT word, CAST(COUNT(*) AS BIGINT) AS parts,
-           CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS brands
-    FROM (SELECT p_brand, unnest(string_split(p_type, ' ')) AS word FROM part)
-    WHERE word <> ''
-    GROUP BY word
-    """,
-    doc="split + explode + grouped distinct over an array column "
-    "(SURVEY §2.8 array ops): tokenize p_type, count parts and "
-    "distinct brands per word.",
-    tags=("array", "explode"),
-)
-def part_type_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    return (
-        p.select("p_brand", F.explode(F.split("p_type", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(
-            F.count(F.lit(1)).alias("parts"),
-            F.countDistinct("p_brand").alias("brands"),
-        )
-    )
-
-
-@_add(
     "orders_per_customer_histogram",
     """
     SELECT order_cnt, CAST(COUNT(*) AS BIGINT) AS customers
@@ -774,37 +632,6 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orders",
             "revenue_cents",
         )
-    )
-
-
-@_add(
-    "big_spenders",
-    """
-    SELECT c.c_custkey, c.c_name,
-           CAST(COUNT(*) AS BIGINT) AS orders,
-           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             AS lifetime_cents
-    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_custkey, c.c_name
-    HAVING SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) > 150000000
-    """,
-    doc="TPC-H Q18 shape: grouped aggregate + HAVING threshold (large-"
-    "volume customers over \\$1.5M lifetime). The HAVING predicate "
-    "runs post-aggregation on |customers| rows — nothing extra "
-    "shuffles.",
-    tags=("agg", "having"),
-)
-def big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.count(F.lit(1)).alias("orders"),
-            F.sum(cents("o_totalprice")).alias("lifetime_cents"),
-        )
-        .filter(F.col("lifetime_cents") > 150_000_000)
     )
 
 

@@ -39,10 +39,10 @@ def _duck_cos(a: str, b: str) -> str:
 
 
 @_add(
-    "ann_bruteforce_topk",
+    "ann_topk",
     f"""
-    WITH scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    WITH brute AS (
+      SELECT 'brute' AS method, q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {_duck_cos('q', 'c')} AS cosine,
              ROW_NUMBER() OVER (
                PARTITION BY q.vec_id
@@ -50,41 +50,8 @@ def _duck_cos(a: str, b: str) -> str:
              ) AS rank
       FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < {N_QUERIES}
-    )
-    SELECT query_id, rank, neighbor_id, cosine
-    FROM scored WHERE rank <= {TOP_K}
-    """,
-    doc="Exact brute-force cosine top-k: broadcast the (small) query "
-    "set against the corpus, per-query ROW_NUMBER with vec_id "
-    "tie-break. The corpus is scanned once, never shuffled; only "
-    "(query, score) pairs move. This is the ground-truth baseline "
-    "ANN variants are recall-measured against.",
-    tags=("similarity", "ann"),
-)
-def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    cos = V.cosine(F.col("qvec"), F.col("embedding"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
-
-
-@_add(
-    "ann_ivf_topk",
-    f"""
-    WITH scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    ), ivf AS (
+      SELECT 'ivf' AS method, q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {_duck_cos('q', 'c')} AS cosine,
              ROW_NUMBER() OVER (
                PARTITION BY q.vec_id
@@ -94,38 +61,70 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
       WHERE q.vec_id < {N_QUERIES}
     )
-    SELECT query_id, rank, neighbor_id, cosine
-    FROM scored WHERE rank <= {TOP_K}
+    SELECT method, query_id, rank, neighbor_id, cosine FROM brute WHERE rank <= {TOP_K}
+    UNION ALL
+    SELECT method, query_id, rank, neighbor_id, cosine FROM ivf WHERE rank <= {TOP_K}
     """,
-    doc="IVF-style ANN: probe only the query's coarse cell (label) — "
-    "an equi-join on the cell id instead of a cross join, so cost "
-    "scales with cell size, not corpus size. With learned centroids "
-    "the cell id comes from an argmin-over-centroids map stage; the "
-    "join/topk plan is unchanged.",
+    doc="ANN top-k, both variants tagged in one output so recall is "
+    "directly comparable row-by-row. 'brute' is the exact baseline: "
+    "broadcast the (small) query set against the corpus — the corpus "
+    "is scanned once, never shuffled; only (query, score) pairs move. "
+    "'ivf' probes only the query's coarse cell (label = IVF cell / "
+    "LSH bucket): an equi-join on the cell id instead of a cross "
+    "join, so cost scales with cell size, not corpus size — the "
+    "100 TB path. With learned centroids the cell id comes from an "
+    "argmin-over-centroids map stage (operators/clustering.py); the "
+    "join/topk plan is unchanged. Per-query ROW_NUMBER with vec_id "
+    "tie-break keeps the top-k deterministic.",
     tags=("similarity", "ann", "ivf"),
 )
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+    w = Window.partitionBy("method", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+
+    q_brute = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c_brute = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    brute = (
+        c_brute.join(
+            F.broadcast(q_brute), F.col("neighbor_id") != F.col("query_id")
+        )
+        .select(
+            F.lit("brute").alias("method"),
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("qvec"), F.col("embedding")).alias("cosine"),
+        )
+    )
+
+    q_ivf = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qvec"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), "label", "embedding")
-    cos = V.cosine(F.col("qvec"), F.col("embedding"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        c.join(
-            F.broadcast(q),
+    c_ivf = e.select(F.col("vec_id").alias("neighbor_id"), "label", "embedding")
+    ivf = (
+        c_ivf.join(
+            F.broadcast(q_ivf),
             (F.col("label") == F.col("qlabel"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .select(
+            F.lit("ivf").alias("method"),
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("qvec"), F.col("embedding")).alias("cosine"),
+        )
+    )
+
+    return (
+        brute.unionByName(ivf)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cosine")
+        .select("method", "query_id", "rank", "neighbor_id", "cosine")
     )
 
 

@@ -70,7 +70,7 @@ def stream_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # sketches are engine-specific: rows-only check by design
     doc="Approximate aggregates for the 100 TB path: HLL++ distinct "
     "counts and quantile sketches over lineitem. Exact twins "
-    "(distinct_counts, pricing_summary) are oracle-checked; this "
+    "(orders_profile, pricing_summary) are oracle-checked; this "
     "entry proves the approx surface runs and returns sane shapes.",
     tags=("approx", "agg"),
 )

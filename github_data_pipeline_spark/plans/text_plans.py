@@ -42,21 +42,27 @@ def _duck_marker_hits(markers: tuple[str, ...]) -> str:
 
 
 @_add(
-    "doc_token_stats",
+    "doc_token_profile",
     f"""
     SELECT
       doc_id,
       CAST(len(toks) AS BIGINT) AS token_cnt,
       CAST(len(list_distinct(toks)) AS BIGINT) AS uniq_tokens,
-      CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS token_chars
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS token_chars,
+      CAST(list_reduce({_POLY.format(toks='toks')}, (a, b) -> (a*31 + b) % 1000003) AS BIGINT)
+        AS fingerprint
     FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
     """,
-    doc="Per-document token statistics: whitespace tokenization, distinct "
-    "count, character totals. Narrow map-only plan — reads (doc_id, "
-    "text), no shuffle, scales linearly.",
-    tags=("text",),
+    doc="Per-document token statistics and identity in one narrow "
+    "map-only pass: whitespace tokenization, distinct count, character "
+    "totals, plus the order-sensitive rolling document fingerprint "
+    "(Karp-Rabin fold, functions/text.py). The polynomial token hash "
+    "is plain arithmetic so DuckDB folds to the identical value; "
+    "production would swap in xxhash64 (fingerprint64) with no plan "
+    "change. Reads (doc_id, text), no shuffle, scales linearly.",
+    tags=("text", "fingerprint"),
 )
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = T.tokens("text")
     return d.select(
@@ -64,6 +70,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("token_cnt"),
         F.size(F.array_distinct(toks)).cast("long").alias("uniq_tokens"),
         T.char_count(toks).cast("long").alias("token_chars"),
+        T.fingerprint_rolling(toks).alias("fingerprint"),
     )
 
 
@@ -121,8 +128,10 @@ _EN_STOPS = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
         source,
         len(toks) AS token_cnt,
         len(list_filter(toks, t -> list_contains([{_EN_STOPS}], lower(t)))) AS stop_hits,
-        list_sum(list_transform(toks, t -> length(t))) AS token_chars
-      FROM (SELECT source, {_TOKS} AS toks FROM documents)
+        list_sum(list_transform(toks, t -> length(t))) AS token_chars,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_cnt,
+        length(text) AS chars
+      FROM (SELECT source, text, {_TOKS} AS toks FROM documents)
     )
     SELECT
       source,
@@ -132,23 +141,38 @@ _EN_STOPS = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
       CAST(SUM(CASE WHEN token_cnt BETWEEN 20 AND 400
                      AND stop_hits * 10 >= token_cnt THEN 1 ELSE 0 END) AS BIGINT)
         AS quality_docs,
-      CAST(SUM(token_chars) AS DOUBLE) / SUM(token_cnt) AS avg_token_len
+      CAST(SUM(token_chars) AS DOUBLE) / SUM(token_cnt) AS avg_token_len,
+      CAST(SUM(bpe_cnt) AS BIGINT) AS subword_tokens,
+      CAST(SUM(chars) AS BIGINT) AS chars,
+      CAST(SUM(bpe_cnt) AS DOUBLE) / SUM(chars) AS tokens_per_char
     FROM q GROUP BY source
     """,
-    doc="Quality scoring rolled up by source: length-window and "
-    "stopword-ratio gates (ratio test kept in exact integer form: "
-    "hits*10 >= tokens instead of hits/tokens >= 0.1). Map-side "
-    "expressions + one small aggregation.",
-    tags=("text", "quality"),
+    doc="Quality scoring and token budgeting rolled up by source: "
+    "length-window and stopword-ratio gates (ratio test kept in exact "
+    "integer form: hits*10 >= tokens instead of hits/tokens >= 0.1), "
+    "plus token counting with a BPE-ish pretokenizer regex (letter "
+    "runs | digit runs | single punctuation — the GPT-2-style split "
+    "shape) next to plain whitespace counts: the budget estimator a "
+    "training pipeline runs before the real tokenizer. Map-side "
+    "expressions (pure regexp_extract_all, stays in codegen) + one "
+    "small aggregation.",
+    tags=("text", "quality", "tokens"),
 )
 def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = T.tokens("text")
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    )
     scored = d.select(
         "source",
         F.size(toks).alias("token_cnt"),
         T.stopword_hits(toks).alias("stop_hits"),
         T.char_count(toks).alias("token_chars"),
+        bpe.alias("bpe_cnt"),
+        F.length("text").alias("chars"),
     )
     is_quality = (
         F.col("token_cnt").between(20, 400)
@@ -164,95 +188,65 @@ def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.sum("token_chars").cast("double") / F.sum("token_cnt")
             ).alias("avg_token_len"),
+            F.sum("bpe_cnt").alias("subword_tokens"),
+            F.sum("chars").alias("chars"),
+            (F.sum("bpe_cnt").cast("double") / F.sum("chars")).alias(
+                "tokens_per_char"
+            ),
         )
     )
 
 
 @_add(
-    "doc_fingerprints",
+    "doc_sampling_gates",
     f"""
-    SELECT doc_id,
-      CAST(list_reduce({_POLY.format(toks=_TOKS)}, (a, b) -> (a*31 + b) % 1000003) AS BIGINT)
-        AS fingerprint
-    FROM documents
+    WITH sample AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS sampled_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+      FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+      GROUP BY source
+    ), decile AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS decile_docs,
+             CAST(MIN(token_cnt) AS BIGINT) AS decile_token_floor
+      FROM (
+        SELECT source, len(toks) AS token_cnt,
+               NTILE(10) OVER (
+                 PARTITION BY source ORDER BY len(toks) DESC, doc_id ASC
+               ) AS decile
+        FROM (SELECT source, doc_id, {_TOKS} AS toks FROM documents)
+      ) WHERE decile = 1
+      GROUP BY source
+    )
+    SELECT s.source, s.sampled_docs, s.sampled_chars,
+           d.decile_docs, d.decile_token_floor
+    FROM sample s JOIN decile d ON s.source = d.source
     """,
-    doc="Order-sensitive rolling document fingerprint (Karp-Rabin fold, "
-    "functions/text.py). The polynomial token hash is plain arithmetic "
-    "so DuckDB folds to the identical value; production would swap in "
-    "xxhash64 (fingerprint64) with no plan change.",
-    tags=("text", "fingerprint"),
+    doc="The two deterministic curation gates a training pipeline "
+    "applies, rolled up per source. (1) ~10%% eval-split sample via "
+    "content-hash bucketing (hash(doc_id) %% 10) — reproducible "
+    "across runs, engines and cluster sizes, unlike rand()-based "
+    "sampling; pushdown-friendly map-side filter. (2) Quality gate by "
+    "distributional position: the per-source top decile of token "
+    "counts via NTILE with a full deterministic ordering — the "
+    "percentile-threshold filter shape (keep longest 10%% of docs per "
+    "domain), reported as the surviving doc count and the token floor "
+    "the gate implies.",
+    tags=("text", "sampling", "quantile"),
 )
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_sampling_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     d = spread(load_table(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id", T.fingerprint_rolling(T.tokens("text")).alias("fingerprint")
-    )
-
-
-@_add(
-    "bpe_ish_token_counts",
-    r"""
-    SELECT
-      CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
-        AS subword_tokens,
-      CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
-        AS whitespace_tokens,
-      CAST(SUM(length(text)) AS BIGINT) AS chars,
-      CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
-        / SUM(length(text)) AS tokens_per_char
-    FROM documents
-    """,
-    doc="Token counting with a BPE-ish pretokenizer regex (letter runs "
-    "| digit runs | single punctuation — the GPT-2-style split shape) "
-    "next to plain whitespace counts: the budget estimator a training "
-    "pipeline runs before the real tokenizer. Pure regexp_extract_all, "
-    "stays in codegen.",
-    tags=("text", "tokens"),
-)
-def bpe_ish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load_table(spark, sf_dir, "documents"))
-    bpe = F.size(
-        F.regexp_extract_all(
-            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
-        )
-    )
-    ws = F.size(T.tokens("text"))
-    return d.agg(
-        F.sum(bpe).alias("subword_tokens"),
-        F.sum(ws).alias("whitespace_tokens"),
-        F.sum(F.length("text")).alias("chars"),
-        (
-            F.sum(bpe).cast("double") / F.sum(F.length("text"))
-        ).alias("tokens_per_char"),
-    )
-
-
-@_add(
-    "doc_hash_sample",
-    """
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS sampled_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
-    FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
-    GROUP BY source
-    """,
-    doc="Deterministic ~10% sample via content-hash bucketing "
-    "(hash(doc_id) % 10) — reproducible across runs, engines and "
-    "cluster sizes, unlike rand()-based sampling; the standard way a "
-    "training pipeline carves stable eval splits. Pushdown-friendly "
-    "map-side filter.",
-    tags=("text", "sampling"),
-)
-def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
     bucket = (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
         ).cast("long")
         % 10
     )
-    return (
+    sample = (
         d.filter(bucket == 0)
         .groupBy("source")
         .agg(
@@ -260,40 +254,21 @@ def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
     )
-
-
-@_add(
-    "doc_length_top_decile",
-    f"""
-    SELECT source, doc_id, token_cnt FROM (
-      SELECT source, doc_id, len(toks) AS token_cnt,
-             NTILE(10) OVER (
-               PARTITION BY source ORDER BY len(toks) DESC, doc_id ASC
-             ) AS decile
-      FROM (SELECT source, doc_id, {_TOKS} AS toks FROM documents)
-    ) WHERE decile = 1
-    """,
-    doc="Quality gate by distributional position: per-source top decile "
-    "of token counts via NTILE with a full deterministic ordering — "
-    "the percentile-threshold filter shape (keep longest 10%% of docs "
-    "per domain) a curation pipeline applies before training.",
-    tags=("text", "quantile"),
-)
-def doc_length_top_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = spread(load_table(spark, sf_dir, "documents"))
     token_cnt = F.size(T.tokens("text"))
     w = Window.partitionBy("source").orderBy(
         token_cnt.desc(), F.col("doc_id").asc()
     )
-    return (
+    decile = (
         d.select(
             "source",
-            "doc_id",
             token_cnt.alias("token_cnt"),
             F.ntile(10).over(w).alias("decile"),
         )
         .filter(F.col("decile") == 1)
-        .select("source", "doc_id", "token_cnt")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("decile_docs"),
+            F.min("token_cnt").cast("long").alias("decile_token_floor"),
+        )
     )
+    return sample.join(decile, "source")

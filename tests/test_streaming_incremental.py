@@ -33,7 +33,17 @@ def test_streaming_hourly_matches_batch(spark, sf_dir):
     }
     from github_data_pipeline_spark.plans import all_plans
 
-    batch = all_plans()["events_hourly_rollup"].builder(spark, sf_dir)
+    # the batch twin also keys by the extracted prop (k_mod); re-aggregate
+    # to the stream's (hour, type) grain before comparing
+    batch = (
+        all_plans()["events_hourly_rollup"]
+        .builder(spark, sf_dir)
+        .groupBy("hour_start", "event_type")
+        .agg(
+            F.sum("events").alias("events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
     want = {
         (r["hour_start"], r["event_type"]): (r["events"], r["value_cents"])
         for r in batch.collect()
