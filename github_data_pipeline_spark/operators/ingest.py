@@ -52,6 +52,20 @@ def ensure_repo_name(df: DataFrame, owner: str, repo: str) -> DataFrame:
     return df.withColumn("repo_name", F.coalesce(*candidates))
 
 
+def normalize_repo_meta(raw_meta: DataFrame) -> DataFrame:
+    """The reference's repo-meta normalization quirk (collectors.py:
+    557-569): the stored ``repo_name`` comes from the API's ``full_name``
+    when present, else falls back to the owner/name pair from the
+    request context."""
+    return raw_meta.withColumn(
+        "repo_name",
+        F.coalesce(
+            F.col("full_name"),
+            F.concat_ws("/", F.col("owner.login"), F.col("name")),
+        ),
+    )
+
+
 def contributions_from_commits(commits: DataFrame) -> DataFrame:
     """Recompute per-login contribution counts from the commits table —
     lets the engine cross-check GitHub's pre-aggregated contributors."""

@@ -154,6 +154,21 @@ COMMITS = _s(
     _f("html_url", StringType()),
 )
 
+ISSUE_COMMENTS = _s(
+    # the comments endpoint is a per-issue point lookup
+    # (reference collectors.py:660-663); repo_name and issue_number are
+    # stamped from the request context like every other table's repo_name
+    _f("repo_name", StringType(), False),
+    _f("issue_number", IntegerType(), False),
+    _f("id", LongType()),
+    _f("user", USER),
+    _f("body", StringType()),
+    _f("author_association", StringType()),
+    _f("created_at", StringType()),
+    _f("updated_at", StringType()),
+    _f("html_url", StringType()),
+)
+
 CONTRIBUTORS = _s(
     _f("repo_name", StringType(), False),
     _f("login", StringType(), False),
@@ -260,6 +275,7 @@ SCHEMAS: dict[str, StructType] = {
     "pull_requests": PULL_REQUESTS,
     "commits": COMMITS,
     "contributors": CONTRIBUTORS,
+    "issue_comments": ISSUE_COMMENTS,
     "prs_with_linked_issues": PRS_WITH_LINKED_ISSUES,
     "issues_closed_by_commits": ISSUES_CLOSED_BY_COMMITS,
     "cross_repo_links": CROSS_REPO_LINKS,

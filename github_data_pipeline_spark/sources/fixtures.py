@@ -195,6 +195,123 @@ _EXTERNAL_AUTHORS = [
 ]
 
 
+def _repo_meta_raw_rows() -> list[dict]:
+    """Raw /repos/{owner}/{repo} responses BEFORE the reference's
+    normalization (collectors.py:557-569): repo_name is derived from
+    full_name (row 1) or the owner/name fallback (row 2, full_name
+    absent) by operators/ingest.normalize_repo_meta."""
+    return [
+        {
+            "id": 501,
+            "name": "repo",
+            "full_name": REPO,
+            "private": False,
+            "fork": False,
+            "description": "Primary fixture repository",
+            "homepage": None,
+            "language": "Python",
+            "topics": ["pipeline", "analytics"],
+            "default_branch": "main",
+            "created_at": "2021-01-01T00:00:00Z",
+            "updated_at": "2024-02-01T00:00:00Z",
+            "pushed_at": "2024-02-10T00:00:00Z",
+            "stargazers_count": 42,
+            "watchers_count": 42,
+            "forks_count": 7,
+            "open_issues_count": 6,
+            "size": 2048,
+            "owner": {"login": "owner", "id": 1, "type": "User"},
+            "license": {"key": "mit", "name": "MIT License", "spdx_id": "MIT"},
+        },
+        {
+            # full_name missing -> repo_name falls back to owner/name
+            "id": 502,
+            "name": "lib",
+            "full_name": None,
+            "private": False,
+            "fork": True,
+            "description": None,
+            "homepage": None,
+            "language": None,
+            "topics": [],
+            "default_branch": "master",
+            "created_at": "2020-06-01T00:00:00Z",
+            "updated_at": "2023-12-01T00:00:00Z",
+            "pushed_at": None,
+            "stargazers_count": 5,
+            "watchers_count": 5,
+            "forks_count": 0,
+            "open_issues_count": 1,
+            "size": 64,
+            "owner": {"login": "ext", "id": 9, "type": "Organization"},
+            "license": None,
+        },
+    ]
+
+
+def _contributor_rows() -> list[dict]:
+    """GitHub's pre-aggregated contributors endpoint
+    (collectors.py:666-669). 'grace' is deliberately stale (+4 vs the
+    commits table) and 'ghost' has no commits at all, while dev3's
+    commit is missing here — so the drift query has rows on every
+    full-outer-join branch."""
+
+    def contrib(login, contributions, uid):
+        return {
+            "repo_name": REPO,
+            "login": login,
+            "id": uid,
+            "type": "User",
+            "site_admin": False,
+            "contributions": contributions,
+            "html_url": f"https://github.com/{login}",
+        }
+
+    return [
+        contrib("dave", 2, 11),
+        contrib("erin", 1, 12),
+        contrib("grace", 5, 13),   # stale: commits say 1
+        contrib("dev1", 1, 14),
+        contrib("dev4", 1, 15),
+        contrib("dev6", 1, 16),
+        contrib("ghost", 4, 17),   # no commits at all
+        # dev3 is missing although the commits table has one of theirs
+    ]
+
+
+def _issue_comment_rows() -> list[dict]:
+    """Per-issue comments point lookup (collectors.py:660-663), stamped
+    with (repo_name, issue_number) from the request context. Counts
+    agree with the issues rows' ``comments`` field."""
+
+    def comment(issue_number, cid, login, body, created):
+        return {
+            "repo_name": REPO,
+            "issue_number": issue_number,
+            "id": cid,
+            "user": {"login": login, "id": hash(login) % 1000},
+            "body": body,
+            "author_association": "NONE",
+            "created_at": created,
+            "updated_at": created,
+            "html_url": (
+                f"https://github.com/{REPO}/issues/"
+                f"{issue_number}#issuecomment-{cid}"
+            ),
+        }
+
+    return [
+        comment(1, 9001, "bob", "Can reproduce on main.",
+                "2023-01-02T10:00:00Z"),
+        comment(1, 9002, "alice", "Tracking in other/repo#1.",
+                "2023-01-03T11:00:00Z"),
+        comment(5, 9003, "dave", "Any updates here?",
+                "2023-02-01T09:00:00Z"),
+        comment(25, 9004, "alice", "Closing as fixed.",
+                "2023-05-01T08:00:00Z"),
+    ]
+
+
 def _blame_rows() -> list[dict]:
     def rg(path, start, end, sha, login=None, name=None, date=None, age=1):
         return {
@@ -226,7 +343,23 @@ def _blame_rows() -> list[dict]:
 
 def load_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
     """Build the full fixture set as DataFrames with the typed schemas."""
+    from pyspark.sql.types import StructType
+
+    # raw API shape: repo_name not yet stamped (normalize_repo_meta
+    # derives it), so the column is absent entirely
+    repo_meta_raw_schema = StructType(
+        [f for f in schemas.REPO_META.fields if f.name != "repo_name"]
+    )
     return {
+        "repo_meta_raw": spark.createDataFrame(
+            _repo_meta_raw_rows(), schema=repo_meta_raw_schema
+        ),
+        "contributors": spark.createDataFrame(
+            _contributor_rows(), schema=schemas.CONTRIBUTORS
+        ),
+        "issue_comments": spark.createDataFrame(
+            _issue_comment_rows(), schema=schemas.ISSUE_COMMENTS
+        ),
         "issues_raw": spark.createDataFrame(
             _issues_rows(), schema=schemas.ISSUES
         ),
