@@ -44,21 +44,28 @@ def stream_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import user_ledger_stream
 
     name = "stream_user_ledger_sink"
-    spark.catalog.dropTempView(name) if name in [
-        t.name for t in spark.catalog.listTables()
-    ] else None
+    # dropTempView is idempotent — no listTables() catalog scan needed
+    spark.catalog.dropTempView(name)
     stream = user_ledger_stream(read_events_stream(spark, sf_dir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # state shards sized to the single-batch drain (stateful plans don't
+    # get AQE coalescing); production raises this with arrival rate —
+    # the plan is unchanged, each shard still runs the real state store
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.awaitTermination(300)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # single availableNow batch -> one update row per user == final state
     return spark.sql(
         f"SELECT user_id, total_events, total_value_cents FROM {name}"

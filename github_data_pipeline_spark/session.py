@@ -41,6 +41,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        # InferFiltersFromGenerate clones the generator's child into an
+        # inferred size()>0 filter and pushes it below exchanges — for
+        # expensive array builders (ngram shingles) that evaluates the
+        # whole expression a second time on the narrow pre-shuffle scan
+        # (observed 8x slowdown, single-core). Exclude the rule: our
+        # generators never feed empty-heavy arrays where it would help.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
@@ -60,6 +70,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # see get_spark: avoid duplicated generator-child evaluation
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     except Exception:  # pragma: no cover - static conf on some builds
         pass
     return spark
