@@ -64,8 +64,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable defaults to an externally provided session.
 
     The driver hands ``entry``/``queries`` a session we didn't build;
-    only session-scoped (non-static) confs can be set here.
+    only session-scoped (non-static) confs can be set here. Idempotent
+    (marker conf) so per-builder calls cost nothing.
     """
+    if spark.conf.get("spark.graft.tuned", None) == "1":
+        return spark
+    spark.conf.set("spark.graft.tuned", "1")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")

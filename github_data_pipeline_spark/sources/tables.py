@@ -42,6 +42,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}")
+    # the driver hands builders ITS session, not one we built — apply
+    # the session-scoped tuning (UTC, AQE, optimizer-rule exclusion)
+    # here so every entry point benefits; idempotent via a marker conf
+    from ..session import tune_session
+
+    tune_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized

@@ -69,3 +69,31 @@ def test_single_shuffle_windows(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     # the window functions share one hash partitioning on the key
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_generator_child_not_duplicated_into_scan(spark, sf_dir):
+    # InferFiltersFromGenerate would clone the full ngram-shingle
+    # expression into a size()>0 filter pushed below the exchange,
+    # re-evaluating it single-partition before the spread — excluded in
+    # tune_session; this guards the exclusion.
+    plan = _plan(spark, sf_dir, "neardup_jaccard_pairs", "formatted")
+    scan_lines = [l for l in plan.splitlines() if "Scan parquet" in l or "DataFilters" in l]
+    for line in scan_lines:
+        assert "slice(" not in line and "transform(" not in line, (
+            "shingle expression leaked into the parquet scan filters"
+        )
+
+
+def test_jaccard_hot_shingle_guard_present(spark, sf_dir):
+    # the df-cap prune must survive as a broadcast anti join ahead of
+    # the inverted-index self-join (the 100 TB quadratic-bucket guard)
+    plan = _plan(spark, sf_dir, "neardup_jaccard_pairs")
+    assert "LeftAnti" in plan, "hot-shingle anti-join guard missing"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_verify_stage_broadcasts_candidates(spark, sf_dir):
+    # the exact-verify stage must join via the (tiny) candidate set,
+    # broadcast — never a shuffled join of the full shingle table
+    plan = _plan(spark, sf_dir, "minhash_lsh_candidates")
+    assert "BroadcastHashJoin" in plan
