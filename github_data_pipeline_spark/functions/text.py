@@ -118,3 +118,48 @@ def fingerprint_rolling(tok: Column) -> Column:
 def fingerprint64(c: Column | str) -> Column:
     """Production 64-bit content fingerprint (xxhash64, JVM-side)."""
     return F.xxhash64(_col(c))
+
+
+# --- curation cleaning (pre-tokenization normalization) -----------------
+#
+# The standard text-cleaning passes a training pipeline applies before
+# quality scoring / dedup / tokenization. All pure regexp_replace
+# chains — JVM-side, whole-stage-codegen, no Python in the path.
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_LONG_ID_RE = r"\b\d{9,}\b"
+_HTML_TAG_RE = r"<[^<>]{1,256}>"
+_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def strip_html(c: Column | str) -> Column:
+    """Drop HTML/XML tags (bounded tag length guards against quadratic
+    regex behavior on adversarial '<' runs)."""
+    return F.regexp_replace(_col(c), _HTML_TAG_RE, " ")
+
+
+def remove_control_chars(c: Column | str) -> Column:
+    """Strip C0 control characters (keep \\t \\n \\r)."""
+    return F.regexp_replace(_col(c), _CONTROL_RE, "")
+
+
+def normalize_whitespace(c: Column | str) -> Column:
+    """Collapse whitespace runs to single spaces and trim."""
+    return F.trim(F.regexp_replace(_col(c), r"\s+", " "))
+
+
+def mask_pii(c: Column | str) -> Column:
+    """Replace emails, IPv4 addresses and long digit runs with typed
+    placeholder tokens — the redaction pass before text leaves the
+    curation boundary."""
+    out = F.regexp_replace(_col(c), _EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, _IPV4_RE, "<IP>")
+    return F.regexp_replace(out, _LONG_ID_RE, "<ID>")
+
+
+def clean_text(c: Column | str) -> Column:
+    """The composed curation cleaner: tags -> control chars -> PII ->
+    whitespace. Order matters (tag innards may contain PII-ish runs;
+    whitespace collapse last)."""
+    return normalize_whitespace(mask_pii(remove_control_chars(strip_html(c))))

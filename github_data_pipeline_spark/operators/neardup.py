@@ -1,0 +1,138 @@
+"""Near-duplicate building blocks: shingling, MinHash signatures, LSH
+banding — shared by the oracle-checked plans (plans/dedup_plans.py) and
+the incremental maintenance path below.
+
+Incremental maintenance is the piece that makes near-dup viable on a
+*daily* 100 TB pipeline: when a new batch of documents lands, only the
+new docs are shingled/hashed/banded, and candidates come from joining
+the new band keys against the persisted band index — cost is
+O(new batch) + the bucket collisions it touches, never a full-corpus
+recompute. (The reference has no near-dup at all; this extends its
+incremental-merge semantics, SURVEY §2.10, to the dedup domain.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# shared literals (the SQL oracles in plans/dedup_plans.py embed the
+# same constants; keep in sync there)
+MINHASH_P = 1_000_000_007
+MINHASH_K = 16
+MINHASH_BAND_ROWS = 4
+MINHASH_PERMS: list[tuple[int, int]] = [
+    ((i * 2_654_435_761 + 104_729) % MINHASH_P, (i * 40_503 + 7) % MINHASH_P)
+    for i in range(1, MINHASH_K + 1)
+]
+
+SIG_COLS = [f"sig{i}" for i in range(MINHASH_K)]
+
+
+def shingle_hash(s: F.Column) -> F.Column:
+    """60-bit md5 prefix -> integer mod p (engine-neutral; identical in
+    DuckDB via the hex-parse twin)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, s): distinct word n-gram shingles per document."""
+    grams = F.array_distinct(T.word_ngrams(T.tokens("text"), n))
+    return docs.select("doc_id", F.explode(grams).alias("s"))
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, sig0..sigK-1): K map-side MINs over one shuffle."""
+    hashed = shingles.select(
+        "doc_id", shingle_hash(F.col("s")).alias("h")
+    )
+    sig_cols = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*sig_cols)
+
+
+def band_index(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key): the LSH bucket index — K/R bands, each keyed
+    by the md5 of its R signature components. This is the table a
+    production pipeline PERSISTS (partitioned/bucketed by (band, key))
+    so future batches join against it instead of recomputing."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col(f"sig{band * MINHASH_BAND_ROWS + r}")
+                            for r in range(MINHASH_BAND_ROWS)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for band in range(MINHASH_K // MINHASH_BAND_ROWS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+
+
+def lsh_candidates(bands: DataFrame) -> DataFrame:
+    """All-pairs candidates within one band index (full build)."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame, existing_bands: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup maintenance for a new ingest batch.
+
+    Returns ``(candidates, updated_bands)``:
+
+    * ``candidates`` — every (old_or_new, new) pair sharing an LSH
+      bucket: new-vs-corpus pairs from the equi-join against the
+      persisted index, plus new-vs-new pairs within the batch. Column
+      ``doc_a < doc_b`` ordering matches the full-build convention, so
+      ``incremental ∪ previous == full recompute`` (pinned in
+      tests/test_neardup_incremental.py).
+    * ``updated_bands`` — the index rows for the new docs, to be
+      appended to the persisted index (dynamic-partition append on
+      (band, key) buckets; sources/sinks.write_upsert shape).
+
+    Cost: shingle/sign/band ONLY the new batch; the join touches only
+    buckets the new docs collide with. The full corpus is never
+    re-shingled — this is what keeps a daily 100 TB dedup feasible.
+    """
+    new_bands = band_index(minhash_signatures(doc_shingles(new_docs)))
+    n = new_bands.alias("n")
+    e = existing_bands.alias("e")
+    vs_corpus = n.join(
+        e,
+        (F.col("n.band") == F.col("e.band"))
+        & (F.col("n.key") == F.col("e.key"))
+        & (F.col("n.doc_id") != F.col("e.doc_id")),
+    ).select(
+        F.least(F.col("n.doc_id"), F.col("e.doc_id")).alias("doc_a"),
+        F.greatest(F.col("n.doc_id"), F.col("e.doc_id")).alias("doc_b"),
+    )
+    vs_batch = lsh_candidates(new_bands)
+    candidates = vs_corpus.unionByName(vs_batch).distinct()
+    return candidates, new_bands

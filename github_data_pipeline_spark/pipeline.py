@@ -81,8 +81,16 @@ def process_repo(
     }
     if "repo_meta" in raw:
         out["repo_meta"] = raw["repo_meta"]
+    elif "repo_meta_raw" in raw:
+        # raw API shape: apply the full_name -> repo_name normalization
+        # quirk at ingest (reference collectors.py:557-569)
+        from .operators.ingest import normalize_repo_meta
+
+        out["repo_meta"] = normalize_repo_meta(raw["repo_meta_raw"])
     if "contributors" in raw:
         out["contributors"] = raw["contributors"]
+    if "issue_comments" in raw:
+        out["issue_comments"] = raw["issue_comments"]
     if "blame_ranges" in raw:
         out["repo_blame"] = blame_file_rollup(raw["blame_ranges"], commits)
     return out

@@ -42,30 +42,30 @@ _GRAMS = (
     " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
 )
 
-# MinHash parameters — shared literals between the Spark builder and the
-# SQL oracle. p fits products in int64: a < 2^31, (h % p) < 2^30.
-MINHASH_P = 1_000_000_007
-MINHASH_K = 16
-MINHASH_BAND_ROWS = 4
-MINHASH_PERMS: list[tuple[int, int]] = [
-    ((i * 2_654_435_761 + 104_729) % MINHASH_P, (i * 40_503 + 7) % MINHASH_P)
-    for i in range(1, MINHASH_K + 1)
-]
+# MinHash parameters live in operators/neardup.py (shared with the
+# incremental maintenance path); the SQL oracles embed the same
+# literals. p fits products in int64: a < 2^31, (h % p) < 2^30.
+from ..operators.neardup import (  # noqa: E402
+    MINHASH_BAND_ROWS,
+    MINHASH_K,
+    MINHASH_P,
+    MINHASH_PERMS,
+    band_index,
+    doc_shingles,
+    lsh_candidates,
+    minhash_signatures,
+)
 
 # 60-bit md5 prefix -> integer, then reduced mod p. Identical on both
-# engines because md5 hex is identical.
+# engines because md5 hex is identical (operators/neardup.shingle_hash
+# is the Spark twin).
 _DUCK_H = f"(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_P})"
-
-
-def _spark_shingle_hash(s: F.Column) -> F.Column:
-    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, s): distinct 3-gram shingles per document."""
     d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    grams = F.array_distinct(T.word_ngrams(T.tokens("text"), 3))
-    return d.select("doc_id", F.explode(grams).alias("s"))
+    return doc_shingles(d)
 
 
 # --------------------------------------------------------------------------
@@ -291,46 +291,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(T.word_ngrams(T.tokens("text"), 3)).alias("g"),
     )
     sh = grams.select("doc_id", F.explode("g").alias("s"))
-    hashed = sh.select("doc_id", _spark_shingle_hash(F.col("s")).alias("h"))
-    sig_cols = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS)
-    ]
-    sigs = hashed.groupBy("doc_id").agg(*sig_cols)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        *[
-                            F.col(f"sig{band * MINHASH_BAND_ROWS + r}")
-                            for r in range(MINHASH_BAND_ROWS)
-                        ],
-                    )
-                ).alias("key"),
-            )
-            for band in range(MINHASH_K // MINHASH_BAND_ROWS)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id", F.explode(band_structs).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    sigs = minhash_signatures(sh)
+    bands = band_index(sigs)
+    cands = lsh_candidates(bands)
     # verify stage: candidates are a tiny fraction of the corpus, so
     # broadcast them — the signature and shingle-array lookups become
     # map-side joins that move only candidate docs' data
