@@ -27,6 +27,13 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="warehouse dir")
     ap.add_argument("--max-prs", type=int, default=0)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    ap.add_argument(
+        "--curate",
+        metavar="SF_DIR",
+        default=None,
+        help="also run the training-data curation funnel over "
+        "SF_DIR/documents.parquet and print the per-stage survivors",
+    )
     args = ap.parse_args()
 
     from github_data_pipeline_spark.pipeline import (
@@ -57,6 +64,19 @@ def main() -> None:
         ("auto-close links", "SELECT COUNT(*) AS n FROM pr_links WHERE would_auto_close"),
     ]:
         print(f"  {label}: {[tuple(r) for r in spark.sql(sql).collect()]}")
+
+    if args.curate:
+        from github_data_pipeline_spark.curation import curate, funnel_report
+        from github_data_pipeline_spark.sources.tables import (
+            load_table,
+            spread,
+        )
+
+        docs = spread(load_table(spark, args.curate, "documents"))
+        _, stages = curate(docs)
+        print(f"\ncuration funnel over {args.curate}/documents.parquet:")
+        for name, n in funnel_report(stages):
+            print(f"  {name:18s} {n:7d} docs")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,62 @@
+"""End-to-end curation funnel (curation.py): stage composition,
+monotonicity, and the dedup keeper rule."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from github_data_pipeline_spark.curation import (
+    curate,
+    funnel_report,
+    neardup_drop_stage,
+)
+from github_data_pipeline_spark.sources.tables import load_table, spread
+
+
+def _docs(spark, sf_dir):
+    return spread(load_table(spark, sf_dir, "documents"))
+
+
+def test_funnel_monotone_and_nonempty(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    final, stages = curate(docs, sample_rates=None)
+    report = funnel_report(stages)
+    names = [n for n, _ in report]
+    assert names == [
+        "raw", "cleaned_nonempty", "language", "quality", "neardup_dropped",
+    ]
+    counts = [c for _, c in report]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[0] > 0 and counts[-1] > 0
+    # every gate must actually gate something on this corpus OR pass all
+    # through — but the near-dup stage must drop the planted dups
+    assert counts[3] > counts[4], "near-dup stage dropped nothing"
+
+
+def test_neardup_drop_keeps_lowest_id(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    kept = neardup_drop_stage(docs)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # recompute the verified pairs directly: for every dropped pair the
+    # lower id must survive unless itself dropped by an earlier pair
+    from github_data_pipeline_spark.plans import all_plans
+
+    pairs = (
+        all_plans()["neardup_jaccard_pairs"]
+        .builder(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    assert len(pairs) > 0
+    for r in pairs:
+        assert not (r["doc_a"] in kept_ids and r["doc_b"] in kept_ids), (
+            "both sides of a >=0.8 pair survived"
+        )
+
+
+def test_funnel_with_budget_sample(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    final, stages = curate(docs, sample_rates={s: 0.5 for s in sources})
+    assert stages[-1][0] == "budget_sample"
+    assert 0 < final.count() <= stages[-2][1].count()
