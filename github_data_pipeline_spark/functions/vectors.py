@@ -35,3 +35,37 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
         _col(a), _col(b), lambda x, y: x.cast("double") - y.cast("double")
     )
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+# --- quantization (the ANN memory-scale path) ---------------------------
+
+
+def quantize_int8(v: Column | str) -> Column:
+    """Per-vector max-abs int8 quantization: returns a struct
+    ``(scale DOUBLE, q ARRAY<TINYINT>)`` with ``x ≈ q * scale``.
+
+    4x memory reduction for embedding columns — the difference between
+    an in-memory IVF probe and spilling at 100 TB. Pure codegen
+    (transform + aggregate), no UDF; symmetric scaling keeps zero
+    exact and dequantization a single multiply.
+    """
+    col = _col(v)
+    maxabs = F.aggregate(
+        col,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(maxabs > 0.0, maxabs / 127.0).otherwise(F.lit(1.0))
+    q = F.transform(
+        col, lambda x: F.round(x.cast("double") / scale).cast("tinyint")
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(qv: Column | str) -> Column:
+    """Inverse of quantize_int8: ARRAY<DOUBLE> ≈ the original vector."""
+    col = _col(qv)
+    return F.transform(
+        col.getField("q"),
+        lambda x: x.cast("double") * col.getField("scale"),
+    )

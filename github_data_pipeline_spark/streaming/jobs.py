@@ -137,15 +137,18 @@ def stream_upsert_to_parquet(
         q.stop()
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> list:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> list:
     """Drain the stream with the availableNow trigger into a memory sink
     and return the rows — incremental-batch execution of the streaming
     plan (the Structured Streaming analog of the reference's catch-up
-    run)."""
+    run). Use output_mode="append" for stateless (filter/map) streams;
+    "complete" requires an aggregation."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
