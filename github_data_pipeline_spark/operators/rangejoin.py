@@ -1,0 +1,75 @@
+"""Bucketed range join: match point events to time intervals without a
+cross join.
+
+Spark's optimizer lowers ``l.ts BETWEEN r.start AND r.end`` to a
+BroadcastNestedLoopJoin (a cross join with a filter) — O(|events| x
+|intervals|), which is the first thing to die at scale. The standard
+fix is bucketing: quantize time into fixed-width buckets, explode each
+interval into the buckets it overlaps, and equi-join on the bucket key
+before applying the precise range predicate. Cost becomes
+O(|events| + |intervals| x avg_buckets_per_interval + collisions) with
+an ordinary shuffled (or broadcast) hash join Catalyst already knows
+how to optimize — the same trick DuckDB/Databricks apply internally
+for range joins.
+
+Bucket width is the tuning knob: ~the median interval length keeps the
+per-interval explosion factor near 2 while keeping buckets selective.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    event_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+    extra_key: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to interval rows on containment
+    (``start <= ts <= end``), optionally also on an equality key
+    (e.g. user_id) — via bucket quantization + equi-join.
+
+    ``how`` supports "inner" and "left_semi" (events that fall in any
+    interval). Interval columns survive on the output for "inner".
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"unsupported join type {how!r}")
+
+    ev_bucket = F.floor(F.col(event_ts).cast("long") / bucket_seconds)
+    iv_buckets = F.sequence(
+        F.floor(F.col(start_col).cast("long") / bucket_seconds),
+        F.floor(F.col(end_col).cast("long") / bucket_seconds),
+    )
+    exploded = intervals.withColumn("__bucket", F.explode(iv_buckets))
+    tagged = events.withColumn("__bucket", ev_bucket)
+
+    on = [tagged["__bucket"] == exploded["__bucket"]]
+    if extra_key is not None:
+        on.append(tagged[extra_key] == exploded[extra_key])
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    precise = (
+        (tagged[event_ts] >= exploded[start_col])
+        & (tagged[event_ts] <= exploded[end_col])
+    )
+
+    if how == "left_semi":
+        return (
+            tagged.join(exploded, cond & precise, "left_semi")
+            .drop("__bucket")
+        )
+    dup = [c for c in ([extra_key] if extra_key else [])]
+    out = tagged.join(exploded, cond & precise, "inner").drop(
+        exploded["__bucket"]
+    ).drop(tagged["__bucket"])
+    for c in dup:
+        out = out.drop(exploded[c])
+    return out
