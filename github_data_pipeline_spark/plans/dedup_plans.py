@@ -12,9 +12,13 @@ Scale design (100 TB):
 
 * exact dedup — one hash-partitioned groupBy on the content hash; the
   hash is computed map-side so the shuffle carries (hash, id) only.
-* n-gram Jaccard — the exact pairwise form shuffles once on the shingle
-  (inverted index) and once on the pair; it is quadratic in cluster
-  size, so at scale it runs *after* LSH banding has cut candidates.
+* n-gram Jaccard — one shuffle groups shingles into posting lists
+  (capped at NEARDUP_DF_CAP docs, so hot boilerplate shingles are
+  pruned, not joined); pairs are generated map-side from each list and
+  one more shuffle sums shared counts per pair. No self-join exists in
+  the plan, so no shingle — however common — can create a quadratic
+  bucket; at scale the exact form still runs best *after* LSH banding
+  has cut candidates.
 * MinHash LSH — signatures are 16 map-side aggregates over one shingle
   shuffle; banding multiplies rows by bands (4x), and the band join is
   an equi-join whose skew AQE handles; candidate pairs << full cross.
@@ -152,37 +156,51 @@ NEARDUP_DF_CAP = 10  # shingles seen in more docs than this are boilerplate
     WHERE shared * 5 >= (ga.n_grams + gb.n_grams - shared) * 4
     """,
     doc="Exact 3-gram-shingle Jaccard >= 0.8 pairs via an inverted "
-    "shingle index (explode -> self-equi-join -> shared counts), with "
-    "stopword-shingle pruning: shingles whose document frequency "
-    "exceeds NEARDUP_DF_CAP are dropped from the sets BEFORE the "
-    "self-join (both sizes and intersections computed post-pruning, "
-    "identically in the oracle). The absolute cap bounds every posting "
-    "list, so the join does at most C(cap,2) pair-work per shingle — "
-    "one boilerplate shingle shared by 1%% of a 100 TB corpus can no "
-    "longer create a quadratic bucket. The hot set is tiny by "
-    "construction, so it broadcasts as an anti-join. The threshold "
-    "test stays in integers (shared*5 >= union*4) so no float enters "
-    "the predicate.",
+    "shingle index, with stopword-shingle pruning: shingles whose "
+    "document frequency exceeds NEARDUP_DF_CAP are dropped from the "
+    "sets (both sizes and intersections computed post-pruning, "
+    "identically in the oracle). Rather than self-joining the exploded "
+    "index (which shuffles it twice and re-shingles the corpus per "
+    "side), the plan groups shingles into POSTING LISTS — one shuffle "
+    "on the shingle — then generates each list's C(m,2) pairs "
+    "map-side; the df cap bounds m <= 10, so no list ever fans out "
+    "more than 45 pairs and a boilerplate shingle shared by 1%% of a "
+    "100 TB corpus cannot create a quadratic bucket (it is pruned, "
+    "not joined). The sizes branch reuses the same shingle exchange "
+    "(ReusedExchange — the corpus is scanned and shingled ONCE). The "
+    "threshold test stays in integers (shared*5 >= union*4) so no "
+    "float enters the predicate.",
     tags=("dedup", "jaccard"),
 )
 def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
-    hot = (
+    # posting list per shingle; lists longer than the df cap are
+    # boilerplate and dropped before any pair work
+    posting = (
         sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > NEARDUP_DF_CAP)
-        .select("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= NEARDUP_DF_CAP)
     )
-    # few shingles exceed an absolute df cap -> broadcast the anti side
-    pruned = sh.join(F.broadcast(hot), "s", "left_anti")
-    sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = pruned.alias("a")
-    b = pruned.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    # map-side pair generation: docs is sorted, so pairing each element
+    # with its suffix yields doc_a < doc_b exactly once per shingle
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + F.lit(2), F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    pairs = (
+        posting.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sa = sizes.select(

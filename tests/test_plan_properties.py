@@ -84,12 +84,18 @@ def test_generator_child_not_duplicated_into_scan(spark, sf_dir):
         )
 
 
-def test_jaccard_hot_shingle_guard_present(spark, sf_dir):
-    # the df-cap prune must survive as a broadcast anti join ahead of
-    # the inverted-index self-join (the 100 TB quadratic-bucket guard)
+def test_jaccard_posting_list_plan(spark, sf_dir):
+    # the quadratic-bucket guard: shingles are grouped into posting
+    # lists capped at NEARDUP_DF_CAP docs and pairs are generated
+    # map-side from the sorted list — the plan must contain NO
+    # self-join of the inverted index (the only joins left are the
+    # broadcast size lookups) and must keep the df-cap filter
     plan = _plan(spark, sf_dir, "neardup_jaccard_pairs")
-    assert "LeftAnti" in plan, "hot-shingle anti-join guard missing"
-    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "inverted-index self-join is back"
+    assert "collect_list" in plan, "posting-list aggregate missing"
+    assert "size(docs" in plan, "df-cap posting-list filter missing"
+    # exactly the two broadcast joins that attach grams_a / grams_b
+    assert plan.count("BroadcastHashJoin") == 2
 
 
 def test_lsh_verify_stage_broadcasts_candidates(spark, sf_dir):
