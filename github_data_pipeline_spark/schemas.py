@@ -19,6 +19,7 @@ from pyspark.sql.types import (
     BooleanType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -79,6 +80,10 @@ ISSUES = _s(
     _f("milestone", _s(_f("title", StringType()))),
     _f("comments", IntegerType()),
     _f("author_association", StringType()),
+    # dynamic-key reaction counts ("+1", "heart", ...) — the one truly
+    # dynamic object in the reference mappings (schema.py:89), per
+    # SURVEY §1.2 mapped to MAP<STRING,BIGINT> rather than a struct
+    _f("reactions", MapType(StringType(), LongType())),
     _f("state_reason", StringType()),
     _f("created_at", StringType()),
     _f("updated_at", StringType()),

@@ -12,6 +12,8 @@ null-author commits falling back to the git author name.
 
 from __future__ import annotations
 
+import zlib
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import schemas
@@ -21,7 +23,8 @@ REPO = "owner/repo"
 
 def _issues_rows() -> list[dict]:
     def issue(number, state, login, comments=0, body=None, created=None,
-              updated=None, closed=None, pull_request=None, title=None):
+              updated=None, closed=None, pull_request=None, title=None,
+              reactions=None):
         return {
             "repo_name": REPO,
             "id": 1000 + number,
@@ -29,12 +32,16 @@ def _issues_rows() -> list[dict]:
             "state": state,
             "title": title or f"Issue {number}",
             "body": body,
-            "user": {"login": login, "id": hash(login) % 1000},
+            "user": {"login": login, "id": zlib.crc32(login.encode()) % 1000},
             "labels": [],
             "assignees": [],
             "milestone": None,
             "comments": comments,
             "author_association": "NONE",
+            # dynamic-key map (reference schema.py:89): None on rows the
+            # API omitted it, {} when present-but-empty — both must
+            # survive ingest and aggregate as zero
+            "reactions": reactions,
             "state_reason": None,
             "created_at": created or "2023-01-01T00:00:00Z",
             "updated_at": updated or "2023-06-01T00:00:00Z",
@@ -45,18 +52,26 @@ def _issues_rows() -> list[dict]:
 
     return [
         issue(1, "open", "alice", comments=2,
-              body="See other/repo#1 for context."),
-        issue(2, "closed", "bob", closed="2023-03-01T00:00:00Z"),
-        issue(5, "open", "alice", comments=1, body="Plain text."),
+              body="See other/repo#1 for context.",
+              reactions={"+1": 3, "heart": 1}),
+        issue(2, "closed", "bob", closed="2023-03-01T00:00:00Z",
+              reactions={"laugh": 2}),
+        issue(5, "open", "alice", comments=1, body="Plain text.",
+              reactions={}),
         issue(12, "closed", "carol", body="Duplicate of #2.",
-              closed="2023-04-01T00:00:00Z"),
+              closed="2023-04-01T00:00:00Z",
+              reactions={"+1": 1, "-1": 4, "confused": 2}),
         issue(25, "closed", "dave", comments=1,
               closed="2023-05-01T00:00:00Z"),
         issue(33, "open", "erin",
-              body="Blocked by https://github.com/ext/lib/issues/7"),
-        # a PR masquerading in the issues feed — ingest must drop it
-        issue(99, "open", "zed", pull_request={"url": "pr-url"}),
-        issue(133, "closed", "grace", closed="2023-07-01T00:00:00Z"),
+              body="Blocked by https://github.com/ext/lib/issues/7",
+              reactions={"rocket": 1}),
+        # a PR masquerading in the issues feed — ingest must drop it;
+        # its reactions must not leak into issue totals
+        issue(99, "open", "zed", pull_request={"url": "pr-url"},
+              reactions={"+1": 100}),
+        issue(133, "closed", "grace", closed="2023-07-01T00:00:00Z",
+              reactions={"eyes": 2, "+1": 1}),
         issue(155, "open", "frank"),
     ]
 
