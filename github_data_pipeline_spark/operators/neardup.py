@@ -100,6 +100,50 @@ def lsh_candidates(bands: DataFrame) -> DataFrame:
     )
 
 
+def persist_band_index(bands: DataFrame, table: str, buckets: int = 64) -> None:
+    """Persist the LSH band index as a table bucketed on (band, key).
+
+    This is the storage layout that makes DAILY incremental dedup cheap
+    at 100 TB: the candidate join is an equi-join on exactly (band,
+    key), so a bucketed corpus index is already hash-distributed on the
+    join key — every future batch's join reads the index WITHOUT
+    shuffling it (only the small new-batch side exchanges into the
+    bucket layout). Re-bucketing petabytes per day is the cost this
+    avoids; tests/test_neardup_incremental.py pins the zero-exchange
+    plan property.
+    """
+    (
+        bands.write.mode("overwrite")
+        .bucketBy(buckets, "band", "key")
+        .sortBy("band", "key")
+        .saveAsTable(table)
+    )
+
+
+def append_band_index(new_bands: DataFrame, table: str, buckets: int = 64) -> None:
+    """Append a batch's index rows into the persisted bucketed index.
+
+    The bucket spec must restate the table's — Spark validates the
+    append and each new file lands in its (band, key) bucket, so the
+    index stays co-located join-ready without ever rewriting old data.
+    """
+    (
+        new_bands.write.mode("append")
+        .bucketBy(buckets, "band", "key")
+        .sortBy("band", "key")
+        .saveAsTable(table)
+    )
+
+
+def incremental_candidates_vs_index(
+    spark, new_docs: DataFrame, table: str
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup against the PERSISTED bucketed band index
+    (the production entry point: shingle/sign/band only the batch, join
+    against the stored index shuffle-free on the index side)."""
+    return incremental_lsh_candidates(new_docs, spark.table(table))
+
+
 def incremental_lsh_candidates(
     new_docs: DataFrame, existing_bands: DataFrame
 ) -> tuple[DataFrame, DataFrame]:

@@ -8,11 +8,14 @@ from pyspark.sql import functions as F
 
 from github_data_pipeline_spark.operators.neardup import (
     MINHASH_K,
+    append_band_index,
     band_index,
     doc_shingles,
+    incremental_candidates_vs_index,
     incremental_lsh_candidates,
     lsh_candidates,
     minhash_signatures,
+    persist_band_index,
 )
 from github_data_pipeline_spark.sources.tables import load_table, spread
 
@@ -71,3 +74,57 @@ def test_incremental_touches_only_new_batch_lineage(spark, sf_dir):
     # never re-shingled (scan count: new batch lineage + index lineage)
     plan = inc._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 4  # new-batch reads + index build
+
+
+def test_persisted_bucketed_index_roundtrip(spark, sf_dir):
+    """Daily-pipeline shape: persist the index bucketed on (band, key),
+    run a batch against the table, append the batch's rows — the result
+    matches a full recompute and the index side never shuffles."""
+    import uuid
+
+    table = f"band_index_{uuid.uuid4().hex[:8]}"
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    persist_band_index(band_index(minhash_signatures(doc_shingles(old))), table)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        inc, new_bands = incremental_candidates_vs_index(spark, new, table)
+        # candidate set: persisted-index path == in-memory path == the
+        # delta a full recompute would add
+        full = _pairs(
+            lsh_candidates(band_index(minhash_signatures(doc_shingles(docs))))
+        )
+        prior = _pairs(
+            lsh_candidates(band_index(minhash_signatures(doc_shingles(old))))
+        )
+        inc_pairs = _pairs(inc)
+        assert prior | inc_pairs == full and len(inc_pairs) > 0
+
+        # the corpus-index side of the vs-corpus join must come straight
+        # off the bucketed scan. The join runs at the bucket count (64),
+        # so exactly ONE side — the new batch — may exchange into that
+        # layout; a second 64-partition (band, key) exchange (or none at
+        # all, meaning the join fell back to 32 with both sides
+        # shuffled) would mean bucketing was lost. The remaining
+        # (band, key) exchanges belong to the new-vs-new self-join.
+        # post-execution AQE toString repeats the tree ("Final Plan" +
+        # "Initial Plan") — count within the final section only
+        plan = inc._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in plan
+        n_bucket_layout_exchanges = sum(
+            "Exchange hashpartitioning(band" in line and ", 64)" in line
+            for line in plan.splitlines()
+        )
+        assert n_bucket_layout_exchanges == 1, "persisted index was re-shuffled"
+
+        # append the batch and verify the table now answers a fresh
+        # batch with the full corpus as its index
+        append_band_index(new_bands, table)
+        assert spark.table(table).count() == (
+            docs.count() * (MINHASH_K // 4)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
