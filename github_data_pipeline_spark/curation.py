@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from .functions import text as T
 from .operators.budget import budget_sample
+from .operators.components import connected_components
 from .operators.neardup import (
     band_index,
     doc_shingles,
@@ -58,12 +59,15 @@ def quality_stage(
 
 
 def neardup_drop_stage(docs: DataFrame) -> DataFrame:
-    """Drop the higher-id doc of every verified near-dup pair.
+    """Keep one canonical doc per near-dup CLUSTER.
 
     LSH candidates first (band equi-join), exact shingle-set Jaccard
-    only on candidates; keep-lowest-id mirrors exact_dedup_reingest's
-    keeper rule. The anti-join side is |dropped docs| — tiny relative
-    to the corpus, so it broadcasts.
+    only on candidates; verified pairs are then resolved into
+    connected components so the keeper is the smallest id of each
+    transitive cluster — pairwise drop rules over-drop on chains
+    (A~B, B~C but not A~C would lose C's only survivor B). The
+    anti-join side is |dropped docs| — tiny relative to the corpus,
+    so it broadcasts.
     """
     grams = docs.select(
         "doc_id",
@@ -75,12 +79,16 @@ def neardup_drop_stage(docs: DataFrame) -> DataFrame:
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     shared = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     union = F.size("ga") + F.size("gb") - shared
-    dups = (
+    verified = (
         ga.join(F.broadcast(cands), "doc_a")
         .join(gb, "doc_b")
         .filter(shared * JACCARD_KEEP_DEN >= union * JACCARD_KEEP_NUM)
-        .select(F.col("doc_b").alias("doc_id"))  # drop the higher id
-        .distinct()
+        .select("doc_a", "doc_b")
+    )
+    dups = (
+        connected_components(verified)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
     )
     return docs.join(F.broadcast(dups), "doc_id", "left_anti")
 

@@ -1,0 +1,120 @@
+"""Connected components over near-dup candidate pairs — the cluster
+resolution step that turns pairwise similarity into an actual dedup
+decision: every document in a component keeps exactly one canonical
+representative.
+
+Near-dup edges are not transitive (A~B and B~C does not imply A~C
+scored above threshold), but production dedup treats the transitive
+closure as one cluster — otherwise the keeper choice depends on edge
+enumeration order. This is the standard third stage after LSH banding
+and exact verification (the reference has no dedup at all; this
+extends the pipeline the way SURVEY §2 extends to the LLM-data ops).
+
+Algorithm: iterative min-label propagation, the alternating-star
+family of MapReduce connected-components algorithms (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public).
+Each round every node adopts the smallest label among itself and its
+neighbors; rounds ∝ graph diameter, and near-dup cluster diameters
+are tiny (pairs come pre-densified by LSH — a cluster of m docs
+carries up to C(m,2) edges, so the diameter is usually 1-2).
+
+Scale shape per round: one shuffle to aggregate neighbor minima
+(groupBy node) and one join to merge into the label table. The label
+table is (node, label) longs only — never document text. Lineage is
+truncated every round with localCheckpoint (same discipline as the
+k-means loop), or the 20th iteration would carry a 20-join plan. The
+convergence check collects a single scalar per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve undirected edges into components.
+
+    Returns (node, component) where ``component`` is the smallest node
+    id reachable from ``node`` — deterministic, join-ready as the
+    canonical-document key. Isolated nodes never appear in ``edges``
+    and are their own component by definition (callers union them in;
+    dedup_keepers below does).
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    # undirected: keep both directions so every node sees every neighbor
+    adj = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    adj = adj.localCheckpoint(eager=True)
+
+    labels = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # smallest label among each node's neighbors this round
+        neighbor_min = (
+            adj.join(
+                labels.withColumnRenamed("node", "v"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("u", "node")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new_labels, "node")
+            .filter(F.col("old") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_keepers(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Canonical-document election: map every doc to its component's
+    keeper (the smallest doc_id in the component; docs in no pair keep
+    themselves). Returns (doc_id, keeper_doc_id, is_keeper) — the table
+    a 100 TB pipeline joins against the corpus to drop duplicates
+    without ever moving document payloads through the component loop.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    ids = docs.select(id_col)
+    return (
+        ids.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("keeper_doc_id"),
+        )
+        .withColumn("is_keeper", F.col(id_col) == F.col("keeper_doc_id"))
+    )
