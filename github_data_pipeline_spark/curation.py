@@ -1,6 +1,7 @@
 """The end-to-end training-data curation funnel over ``documents``:
 
-    raw -> clean -> language gate -> quality gate -> near-dup drop
+    raw -> clean (line-dedup + normalize) -> language gate
+        -> quality gate -> repetition gate -> near-dup drop
         -> budget sample
 
 Each stage is one of the engine's first-class operators (functions/
@@ -35,9 +36,21 @@ JACCARD_KEEP_NUM, JACCARD_KEEP_DEN = 4, 5  # drop pairs with jaccard >= 0.8
 
 
 def clean_stage(docs: DataFrame) -> DataFrame:
-    """Normalize text (tags/control/PII/whitespace); keep non-empty."""
-    out = docs.withColumn("text", T.clean_text("text"))
+    """Normalize text; keep non-empty. Duplicate-line removal runs
+    FIRST (clean_text's whitespace collapse erases newlines, so line
+    structure only exists here)."""
+    out = docs.withColumn("text", T.clean_text(T.dedupe_lines("text")))
     return out.filter(F.length("text") > 0)
+
+
+def repetition_stage(docs: DataFrame, n: int = 2, max_frac: float = 0.2) -> DataFrame:
+    """Drop looping documents: a single n-gram accounting for more than
+    ``max_frac`` of the doc's n-gram occurrences marks generated/
+    boilerplate text (C4-style intra-doc repetition gate). Map-side
+    array fold — no shuffle."""
+    return docs.filter(
+        T.max_ngram_repetition(T.tokens("text"), n) <= max_frac
+    )
 
 
 def language_stage(docs: DataFrame, lang: str = "en") -> DataFrame:
@@ -106,6 +119,8 @@ def curate(
     stages.append(("language", cur))
     cur = quality_stage(cur)
     stages.append(("quality", cur))
+    cur = repetition_stage(cur)
+    stages.append(("repetition", cur))
     cur = neardup_drop_stage(cur)
     stages.append(("neardup_dropped", cur))
     if sample_rates is not None:

@@ -163,3 +163,45 @@ def clean_text(c: Column | str) -> Column:
     whitespace. Order matters (tag innards may contain PII-ish runs;
     whitespace collapse last)."""
     return normalize_whitespace(mask_pii(remove_control_chars(strip_html(c))))
+
+
+# --- intra-document repetition (C4/RefinedWeb-style) --------------------
+
+
+def dedupe_lines(c: Column | str) -> Column:
+    """Keep the FIRST occurrence of each line, drop later repeats and
+    blank lines — the boilerplate-line pass (nav bars, cookie banners,
+    repeated headers) that runs before whitespace normalization
+    collapses newlines. array_distinct preserves first-occurrence
+    order, so this is pure codegen with no Python in the path."""
+    lines = F.transform(F.split(_col(c), r"\n"), lambda l: F.trim(l))
+    kept = F.filter(F.array_distinct(lines), lambda l: F.length(l) > 0)
+    return F.array_join(kept, "\n")
+
+
+def max_ngram_repetition(tok: Column, n: int = 2) -> Column:
+    """Fraction of a doc's n-gram occurrences taken by its single most
+    frequent n-gram — the standard intra-doc repetition score (a doc
+    that is one phrase looped scores near 1.0; natural text stays
+    low). Computed as the longest run in the SORTED shingle array via
+    one array fold: no explode, no shuffle, no UDF."""
+    grams = F.array_sort(word_ngrams(tok, n))
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        new_run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            g.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    best = F.aggregate(grams, acc0, step, lambda a: a["best"])
+    return F.when(
+        F.size(grams) > 0, best.cast("double") / F.size(grams)
+    ).otherwise(F.lit(0.0))

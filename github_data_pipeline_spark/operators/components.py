@@ -72,12 +72,27 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("u", "node")
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping (path halving): also adopt our label's own
+        # label. Labels only ever hold node ids, so the lookup is a
+        # self-join; this is what turns O(diameter) rounds into
+        # O(log diameter) — a 1M-doc chain converges in ~20 rounds,
+        # not 1M.
+        parents = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("parent_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(parents, "label", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"),
+                    F.coalesce("parent_label", F.col("label")),
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -91,6 +106,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
 
     return labels.select("node", F.col("label").alias("component"))
 

@@ -49,6 +49,29 @@ def test_chain_and_triangle(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_components_random_graphs_single_job(spark):
+    # 30 seeded random graphs, disjoint id ranges, resolved in ONE
+    # distributed run and compared per-graph against union-find —
+    # includes a 45-node path (diameter 44) that only converges inside
+    # 20 rounds because of pointer jumping
+    import random
+
+    rng = random.Random(42)
+    edges: list[tuple[int, int]] = []
+    for case in range(30):
+        base = case * 10_000
+        n = rng.randint(2, 40)
+        for _ in range(rng.randint(1, 60)):
+            edges.append((base + rng.randrange(n), base + rng.randrange(n)))
+    edges += [(990_000 + i, 990_000 + i + 1) for i in range(44)]  # path
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    want = _union_find([(a, b) for a, b in edges if a != b])
+    assert got == want
+
+
 def test_components_match_union_find_on_lsh_graph(spark, sf_dir):
     docs = spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")

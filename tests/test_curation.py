@@ -40,6 +40,34 @@ def test_strip_html_bounded(spark):
     assert got == "a < b and bold"
 
 
+def test_dedupe_lines_keeps_first_occurrence(spark):
+    raw = "Accept cookies\nreal content one\nAccept cookies\n\n  real content one  \nreal content two"
+    got = _one(spark, T.dedupe_lines(F.lit(raw)))
+    assert got == "Accept cookies\nreal content one\nreal content two"
+
+
+def test_max_ngram_repetition_scores(spark):
+    looping = " ".join(["buy now"] * 20)  # one bigram dominates
+    natural = "the quick brown fox jumps over the lazy dog again"
+    tiny = "one two"  # fewer tokens than n -> zero grams
+    rep = lambda s: _one(spark, T.max_ngram_repetition(T.tokens(F.lit(s)), 2))
+    assert rep(looping) > 0.4
+    assert rep(natural) <= 0.2
+    assert rep(tiny) == pytest.approx(1.0)  # single bigram == the mode
+    assert _one(
+        spark, T.max_ngram_repetition(T.tokens(F.lit("one")), 2)
+    ) == 0.0
+
+
+def test_repetition_functions_are_jvm_only(spark):
+    df = spark.range(5).select(
+        T.max_ngram_repetition(
+            T.tokens(T.dedupe_lines(F.concat(F.lit("a b a b \nx"), F.col("id"))))
+        ).alias("r")
+    )
+    assert "EvalPython" not in df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_clean_text_is_jvm_only(spark):
     df = spark.range(5).select(
         T.clean_text(F.concat(F.lit("<i>x</i> a@b.co "), F.col("id"))).alias("t")

@@ -23,14 +23,15 @@ def test_funnel_monotone_and_nonempty(spark, sf_dir):
     report = funnel_report(stages)
     names = [n for n, _ in report]
     assert names == [
-        "raw", "cleaned_nonempty", "language", "quality", "neardup_dropped",
+        "raw", "cleaned_nonempty", "language", "quality", "repetition",
+        "neardup_dropped",
     ]
     counts = [c for _, c in report]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert counts[0] > 0 and counts[-1] > 0
     # every gate must actually gate something on this corpus OR pass all
     # through — but the near-dup stage must drop the planted dups
-    assert counts[3] > counts[4], "near-dup stage dropped nothing"
+    assert counts[4] > counts[5], "near-dup stage dropped nothing"
 
 
 def test_neardup_drop_keeps_lowest_id(spark, sf_dir):

@@ -9,6 +9,7 @@ from github_data_pipeline_spark.curation import (
     clean_stage,
     language_stage,
     quality_stage,
+    repetition_stage,
 )
 from github_data_pipeline_spark.sources.tables import load_table
 from github_data_pipeline_spark.streaming.jobs import run_available_now
@@ -22,7 +23,9 @@ def test_streamed_gates_equal_batch(spark, sf_dir):
     )
 
     def gates(df):
-        return quality_stage(language_stage(clean_stage(df))).select(
+        return repetition_stage(
+            quality_stage(language_stage(clean_stage(df)))
+        ).select(
             "doc_id"
         )
 
