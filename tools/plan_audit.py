@@ -1,0 +1,225 @@
+"""Registry-wide physical-plan audit — the mechanical version of
+"`.explain` every operator and iterate until it's the plan you'd want".
+
+For every query in the registry this renders the formatted physical
+plan and extracts the properties that decide whether the plan survives
+a 100 TB / 1000-executor run:
+
+* **hazards** (fail the audit):
+  - ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — an all-pairs
+    physical join anywhere means some logical join lost its equi-keys;
+  - row-at-a-time Python (``BatchEvalPython``) anywhere, or Arrow
+    Python stages (``ArrowEvalPython``/``MapInPandas``/
+    ``FlatMapGroupsInPandas``) outside the explicit allowlist of
+    Python-by-design operators;
+  - a parquet scan with an empty pushed-filter list while the plan
+    contains a post-scan ``Filter`` over that relation's columns is
+    *reported* (not failed — filters on derived exprs can't push).
+* **shape metrics** (reported, tracked in PLANS.md): shuffle-exchange
+  count, join strategy mix, scan count + read-schema width, and
+  whole-stage-codegen span count.
+
+Usage:  python tools/plan_audit.py [sf_dir] [query ...]
+Writes PLANS.md at the repo root and exits 1 on any hazard.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from dataclasses import dataclass, field
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Python stages that are Python on purpose (Arrow-batched, documented).
+PYTHON_BY_DESIGN = {
+    "multimodal_decode_features": {"MapInPandas"},
+    "multimodal_frame_sample": {"MapInPandas"},
+}
+
+# BroadcastNestedLoopJoin is a hazard by default (a big-big non-equi
+# join is a cluster-killer), but two shapes are the *intended* plan:
+BNLJ_BY_DESIGN = {
+    # 1-row x 1-row scalar-aggregate attach: both sides are single-row
+    # aggregates, the "join" moves one row.
+    "orders_profile": "scalar-aggregate 1x1 cross join",
+    # brute-force ANN IS corpus x broadcast(query set): the corpus is
+    # scanned exactly once and every comparison is against a broadcast
+    # side bounded by N_QUERIES; the IVF variant in the same plan
+    # carries the label equi-key and hash-joins.
+    "ann_topk": "broadcast-query brute-force ANN baseline",
+}
+
+# Queries whose builders execute work (streaming drains) rather than
+# returning a lazy plan — auditing them would re-run the stream and the
+# resulting plan is just a memory-sink scan, so they are skipped.
+SKIP_TAGS = {"streaming", "stateful"}
+
+
+@dataclass
+class PlanAudit:
+    name: str
+    exchanges: int = 0
+    reused_exchanges: int = 0
+    joins: dict[str, int] = field(default_factory=dict)
+    scans: int = 0
+    scan_widths: list[int] = field(default_factory=list)
+    codegen_spans: int = 0
+    python_stages: list[str] = field(default_factory=list)
+    hazards: list[str] = field(default_factory=list)
+    notes: list[str] = field(default_factory=list)
+
+
+_JOIN_KINDS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+_PY_KINDS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapGroupsInPandasWithState",
+)
+
+
+def audit_plan(name: str, simple: str, formatted: str | None = None) -> PlanAudit:
+    """Extract scale-relevant properties from explain output.
+
+    ``simple`` (EXPLAIN's default mode) carries inline node arguments —
+    ``Exchange hashpartitioning(...)``, codegen span ids ``*(n)`` — so
+    shuffle/join/codegen shape is parsed from it. ``formatted`` carries
+    the per-scan detail blocks (``ReadSchema``/``PushedFilters``) used
+    for pruning checks; defaults to ``simple`` when not provided.
+    """
+    formatted = formatted if formatted is not None else simple
+    a = PlanAudit(name=name)
+    a.exchanges = len(re.findall(r"\bExchange (hash|range)partitioning", simple))
+    a.reused_exchanges = simple.count("ReusedExchange")
+    for kind in _JOIN_KINDS:
+        n = simple.count(kind)
+        if n:
+            a.joins[kind] = n
+    a.scans = len(re.findall(r"FileScan parquet|Scan parquet", simple))
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted):
+        body = m.group(1).strip()
+        a.scan_widths.append(0 if not body else body.count(",") + 1)
+    a.codegen_spans = len(set(re.findall(r"\*\((\d+)\)", simple)))
+
+    plan = simple
+    for kind in _PY_KINDS:
+        if kind in plan:
+            a.python_stages.append(kind)
+
+    # Hazards -----------------------------------------------------------
+    if "CartesianProduct" in plan:
+        a.hazards.append("CartesianProduct: all-pairs join in the physical plan")
+    if "BroadcastNestedLoopJoin" in plan:
+        if name in BNLJ_BY_DESIGN:
+            a.notes.append(f"BNLJ by design: {BNLJ_BY_DESIGN[name]}")
+        else:
+            a.hazards.append(
+                "BroadcastNestedLoopJoin: non-equi join fell off the hash path"
+            )
+    allowed_py = PYTHON_BY_DESIGN.get(name, set())
+    for kind in a.python_stages:
+        if kind == "BatchEvalPython":
+            a.hazards.append("BatchEvalPython: row-at-a-time Python UDF")
+        elif kind not in allowed_py:
+            a.hazards.append(f"{kind}: Python stage outside the allowlist")
+
+    # Reported-only: scans with no pushed filters while a Filter node
+    # exists (derived-expression filters legitimately can't push).
+    if "PushedFilters: []" in formatted and "Filter" in formatted:
+        a.notes.append("scan with empty PushedFilters under a Filter node")
+    return a
+
+
+def _render_markdown(audits: list[PlanAudit], sf_dir: str) -> str:
+    lines = [
+        "# PLANS — physical-plan audit of every registry query",
+        "",
+        f"Generated by `tools/plan_audit.py` against `{sf_dir}`.",
+        "Hazard classes (fail the audit): cartesian/nested-loop joins,",
+        "row-at-a-time Python, unlisted Python stages. Shape columns are",
+        "the scale levers: shuffles (exchanges), join strategy, scan",
+        "count and pruned read-schema width. (Codegen spans are not",
+        "visible in a pre-execution AQE explain, so they are pinned by",
+        "tests, not listed here.)",
+        "",
+        "| query | shuffles | joins | scans (cols) | python | hazards |",
+        "|---|---|---|---|---|---|",
+    ]
+    for a in audits:
+        joins = (
+            ", ".join(f"{k.replace('Join','')}×{v}" for k, v in a.joins.items())
+            or "—"
+        )
+        widths = ",".join(str(w) for w in a.scan_widths) or "—"
+        py = ", ".join(a.python_stages) or "—"
+        hz = "; ".join(a.hazards) if a.hazards else "none"
+        if a.notes:
+            hz += " (" + "; ".join(a.notes) + ")"
+        reuse = f" (+{a.reused_exchanges} reused)" if a.reused_exchanges else ""
+        lines.append(
+            f"| {a.name} | {a.exchanges}{reuse} | {joins} | "
+            f"{a.scans} ({widths}) | {py} | {hz} |"
+        )
+    total_hazards = sum(len(a.hazards) for a in audits)
+    lines += [
+        "",
+        f"**{len(audits)} plans audited, {total_hazards} hazards.**",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def run_audit(spark, sf_dir: str, only: set[str] | None = None) -> list[PlanAudit]:
+    from github_data_pipeline_spark.plans import all_plans
+
+    registry = all_plans()
+    audits: list[PlanAudit] = []
+    modes = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    for q in registry:
+        if only and q.name not in only:
+            continue
+        if SKIP_TAGS & set(q.tags):
+            continue
+        df = q.builder(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        simple = qe.explainString(modes.fromString("simple"))
+        formatted = qe.explainString(modes.fromString("formatted"))
+        audits.append(audit_plan(q.name, simple, formatted))
+    return audits
+
+
+def main() -> int:
+    from github_data_pipeline_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:]) or None
+
+    spark = get_spark("plan-audit", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    audits = run_audit(spark, sf_dir, only)
+
+    md = _render_markdown(audits, sf_dir)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    if only is None:
+        with open(out, "w", encoding="utf-8") as fh:
+            fh.write(md)
+        print(f"wrote {out}")
+    bad = [a for a in audits if a.hazards]
+    for a in bad:
+        for h in a.hazards:
+            print(f"HAZARD {a.name}: {h}")
+    print(f"{len(audits)} plans audited, {sum(len(a.hazards) for a in bad)} hazards")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
