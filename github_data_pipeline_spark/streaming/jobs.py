@@ -137,6 +137,48 @@ def stream_upsert_to_parquet(
         q.stop()
 
 
+def attribution_stream(
+    events: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each ``purchase`` attributed to the
+    same user's ``click`` events within the preceding ``horizon``.
+
+    Both sides are watermarked, and the join condition carries the
+    event-time range — the two facts Structured Streaming needs to
+    bound state: a buffered click can be dropped once the watermark
+    passes ``click_ts + horizon``, so state is arrival-rate x horizon,
+    never history. The equi-key (user_id) hash-partitions both sides'
+    state identically — one co-partitioned shuffle each, no broadcast
+    needed however large the streams.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            cents("value").alias("value_cents"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "value_cents", "click_id", "click_ts")
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> list:

@@ -222,3 +222,38 @@ def test_dedup_stream_drops_redelivered(spark, sf_dir, tmp_path):
         "SELECT count(*) c, count(DISTINCT event_id) d FROM dedup_t"
     ).collect()[0]
     assert (got["c"], got["d"]) == (n_unique, n_unique)
+
+
+def test_attribution_stream_matches_batch_join(spark, sf_dir):
+    from github_data_pipeline_spark.functions.money import cents
+    from github_data_pipeline_spark.sources.tables import load_table
+    from github_data_pipeline_spark.streaming.jobs import attribution_stream
+
+    rows = run_available_now(
+        attribution_stream(read_events_stream(spark, sf_dir)),
+        "attribution_t",
+        output_mode="append",
+    )
+    got = sorted((r["purchase_id"], r["click_id"]) for r in rows)
+    assert got  # purchases and clicks overlap within an hour in testdata
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        cents("value").alias("value_cents"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+    )
+    want = sorted((r["purchase_id"], r["click_id"]) for r in batch.collect())
+    assert got == want
