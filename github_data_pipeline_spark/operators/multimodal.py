@@ -92,3 +92,91 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         decode_batches, schema=FEATURE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int"
+
+
+def resize_images(docs_with_payload: DataFrame, max_dim: int = 16) -> DataFrame:
+    """Binary->binary transform stage (the resize step of an image
+    pipeline): payload re-encoded at reduced size, new dims attached.
+
+    The fake "resize" is a deterministic byte downsample (every k-th
+    byte so output <= max_dim^2 bytes) — a real implementation swaps
+    the inner lambda for PIL thumbnail, schema and plan unchanged.
+    Payloads stream through Arrow batches; nothing touches the driver.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        budget = max_dim * max_dim
+        for pdf in batches:
+            out_payload, widths, heights = [], [], []
+            for p in pdf["payload"]:
+                p = bytes(p)
+                step = max(1, -(-len(p) // budget))  # ceil division
+                small = p[::step]
+                d = decode_image(p)
+                scale = max(d["width"], d["height"]) / max_dim
+                widths.append(max(1, int(d["width"] / max(scale, 1))))
+                heights.append(max(1, int(d["height"] / max(scale, 1))))
+                out_payload.append(small)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": out_payload,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        resize_batches, schema=RESIZE_SCHEMA
+    )
+
+
+WINDOW_SCHEMA = (
+    "doc_id long, window_index int, offset_bytes long, n_bytes long, rms double"
+)
+
+
+def audio_windows(
+    docs_with_payload: DataFrame, window_bytes: int = 256, hop_bytes: int = 128
+) -> DataFrame:
+    """1->N flat-map stage (the frame-sampling step of an audio
+    pipeline): each payload expands to overlapping windows with a
+    per-window energy statistic.
+
+    Output row count per doc is ``floor((n - window)/hop) + 1`` (one
+    short-tail window for docs under window_bytes), so a batch of B
+    payloads fans out to O(B * n/hop) rows — mapInPandas yields them
+    incrementally per input batch, keeping executor memory bounded by
+    one Arrow batch, never the full expansion.
+    """
+
+    def window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "window_index": [], "offset_bytes": [],
+                "n_bytes": [], "rms": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                offsets = (
+                    range(0, max(len(p) - window_bytes, 0) + 1, hop_bytes)
+                    if p
+                    else []
+                )
+                for i, off in enumerate(offsets):
+                    w = p[off : off + window_bytes]
+                    rows["doc_id"].append(int(doc_id))
+                    rows["window_index"].append(i)
+                    rows["offset_bytes"].append(off)
+                    rows["n_bytes"].append(len(w))
+                    rows["rms"].append(
+                        (sum(b * b for b in w) / len(w)) ** 0.5 if w else 0.0
+                    )
+            yield pd.DataFrame(rows)
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        window_batches, schema=WINDOW_SCHEMA
+    )
