@@ -117,6 +117,75 @@ def duplicate_spans(docs: DataFrame, n: int = DEFAULT_WINDOW) -> DataFrame:
     ).drop("island")
 
 
+def gram_index(docs: DataFrame, n: int = DEFAULT_WINDOW) -> DataFrame:
+    """The persisted ownership index: (gram_hash, owner_doc) with one
+    row per distinct gram — what a daily pipeline stores between
+    batches (bucket it on gram_hash like the LSH band index so the
+    daily join never shuffles the stored side)."""
+    return (
+        positional_ngrams(docs, n)
+        .groupBy("gram_hash")
+        .agg(F.min("doc_id").alias("owner_doc"))
+    )
+
+
+def incremental_flagged_windows(
+    new_docs: DataFrame, index: DataFrame, n: int = DEFAULT_WINDOW
+) -> DataFrame:
+    """Daily-batch twin of ``flagged_windows``: flag duplicate windows
+    in ``new_docs`` against the persisted ``gram_index`` plus the batch
+    itself, touching only the new batch's grams.
+
+    Matches the full recompute exactly when doc_ids are monotone
+    (new ids > all indexed ids — the ingest contract; deterministic
+    keys in functions/hashing.py stamp arrival order): a gram's global
+    owner is then the indexed owner if the gram was ever seen, else
+    the batch's min doc_id. Cost is O(batch grams) + the index join —
+    never a corpus re-scan, the same shape as
+    ``operators/neardup.incremental_lsh_candidates``.
+    """
+    grams = positional_ngrams(new_docs, n)
+    batch_owners = grams.groupBy("gram_hash").agg(
+        F.min("doc_id").alias("batch_owner")
+    )
+    owners = (
+        batch_owners.join(
+            index.withColumnRenamed("owner_doc", "indexed_owner"),
+            "gram_hash",
+            "left",
+        )
+        .select(
+            "gram_hash",
+            F.least(
+                F.col("batch_owner"),
+                F.coalesce(F.col("indexed_owner"), F.col("batch_owner")),
+            ).alias("owner_doc"),
+        )
+    )
+    return (
+        grams.join(owners, "gram_hash")
+        .filter(F.col("doc_id") != F.col("owner_doc"))
+        .select(
+            "doc_id",
+            "start",
+            (F.col("start") + n - 1).alias("end"),
+            "owner_doc",
+        )
+    )
+
+
+def merge_gram_index(
+    index: DataFrame, new_docs: DataFrame, n: int = DEFAULT_WINDOW
+) -> DataFrame:
+    """Fold a new batch into the ownership index (min wins, so replays
+    are idempotent and order-independent)."""
+    return (
+        index.unionByName(gram_index(new_docs, n))
+        .groupBy("gram_hash")
+        .agg(F.min("owner_doc").alias("owner_doc"))
+    )
+
+
 def excise_duplicate_spans(docs: DataFrame, n: int = DEFAULT_WINDOW) -> DataFrame:
     """Rebuild each doc's text with duplicate spans removed (canonical
     occurrences kept). Adds ``tokens_removed``; docs without flagged

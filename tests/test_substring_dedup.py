@@ -83,3 +83,39 @@ def test_plan_stays_jvm_side(spark):
     )
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_matches_full_recompute(spark, sf_dir):
+    from github_data_pipeline_spark.operators.substring_dedup import (
+        gram_index,
+        incremental_flagged_windows,
+        merge_gram_index,
+    )
+
+    docs = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    batch1 = docs.filter(F.col("doc_id") < 100)
+    batch2 = docs.filter(F.col("doc_id") >= 100)  # monotone: ids above batch1
+
+    idx = gram_index(batch1)
+    inc = incremental_flagged_windows(batch2, idx)
+    full = flagged_windows(docs).filter(F.col("doc_id") >= 100)
+    key = lambda r: (r["doc_id"], r["start"], r["end"], r["owner_doc"])  # noqa: E731
+    inc_rows = sorted(key(r) for r in inc.collect())
+    full_rows = sorted(key(r) for r in full.collect())
+    assert inc_rows == full_rows
+    assert inc_rows  # planted near-dups must span the batch boundary
+
+    # merged index == index built from the union (replay-idempotent)
+    merged = merge_gram_index(idx, batch2)
+    direct = gram_index(docs)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    twice = merge_gram_index(merged, batch2)
+    assert sorted(map(tuple, twice.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
