@@ -22,22 +22,35 @@ _SCALE = 1_000_000_000  # nano fixed-point for exact centroid sums
 
 
 def _argmin_cluster(centroids: list[list[float]]):
-    """Column expr: index of the nearest centroid by squared L2."""
-    def sq_dist(c: list[float]):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        diffs = F.zip_with(
-            F.col("embedding"), arr, lambda a, b: a.cast("double") - b
-        )
-        return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v * v)
+    """Column exprs (index, sq_dist) of the nearest centroid by squared
+    L2, ties to the lower index.
 
-    best_idx = F.lit(0)
-    best_d = sq_dist(centroids[0])
-    for i, c in enumerate(centroids[1:], start=1):
-        d = sq_dist(c)
-        better = d < best_d  # strict: ties keep the lower index
-        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
-        best_d = F.when(better, d).otherwise(best_d)
-    return best_idx, best_d
+    Built as ONE k x dim literal array scored by a higher-order
+    ``transform`` + ``array_min`` over (dist, idx) structs (struct
+    ordering is field-lexicographic, so equal distances keep the lower
+    index). Expression size is O(k * dim) — the obvious alternative, a
+    chained ``when(d_i < best, ...)`` fold, embeds the running best
+    expression TWICE per step and grows 2^k: k=16 on 64-dim vectors
+    OOMs the driver during analysis.
+    """
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), c, lambda a, b: a.cast("double") - b
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v * v,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+    best = F.array_min(scored)
+    return best["i"], best["d"]
 
 
 def kmeans_fit(
@@ -91,6 +104,24 @@ def kmeans_fit(
         id_col, idx.alias("cluster"), d.alias("sq_dist")
     )
     return centroids, assignments
+
+
+def assign_cells(
+    vectors: DataFrame, k: int = 8, n_iter: int = 3, id_col: str = "vec_id"
+) -> DataFrame:
+    """IVF coarse re-cell: learn k centroids in-engine and attach an
+    argmin ``cell`` column (no join — the centroid argmin is a closed
+    expression over the broadcast centroid literals).
+
+    This is the scale knob for the per-cell-quadratic stages
+    (embedding near-dup, IVF ANN): grow k with the corpus
+    (k ~ n / target_cell_size) and per-cell pairwise cost stays
+    constant while total cost stays linear — SCALING.md measures the
+    fixed-cell worst case this avoids.
+    """
+    centroids, _ = kmeans_fit(vectors, k, n_iter, id_col)
+    idx, _d = _argmin_cluster(centroids)
+    return vectors.withColumn("cell", idx)
 
 
 def inertia(assignments: DataFrame) -> float:

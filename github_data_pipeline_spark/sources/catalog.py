@@ -90,3 +90,33 @@ def scan_catalog(
     return df.withColumn("repo_name", mapping[repo_key]).filter(
         F.col("repo_name").isNotNull()
     )
+
+
+def read_json_robust(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Corrupt-tolerant JSON ingest: (good_rows, bad_rows).
+
+    At 100 TB some upstream page is always truncated mid-write; a
+    FAILFAST read turns one bad line into a dead job, and silently
+    DROPMALFORMED turns it into silent data loss. PERMISSIVE mode with
+    a ``_corrupt_record`` column gives the third option: good rows flow
+    on with the declared schema, bad raw lines are quarantined for
+    replay/alerting — both from the SAME single scan (split is a
+    column-null filter, no second read).
+    """
+    full = schema.rstrip() + ", _corrupt_record string"
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # Spark requires materializing before filtering on the corrupt
+        # column alone; cache keeps the split single-scan
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    return good, bad

@@ -45,3 +45,34 @@ def test_kmeans_assignment_is_nearest(spark, sf_dir):
         best = min(range(len(cents)), key=lambda i: (dists[i], i))
         assert amap[vid] == best
         assert math.isfinite(dists[best])
+
+
+def test_assign_cells_bounds_pairwise_cost(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from github_data_pipeline_spark.operators.clustering import assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def pair_cost(k: int) -> tuple[int, int]:
+        cells = assign_cells(emb, k=k, n_iter=2)
+        sizes = [r["n"] for r in cells.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")).collect()]
+        return max(sizes), sum(n * (n - 1) // 2 for n in sizes)
+
+    max4, cost4 = pair_cost(4)
+    max16, cost16 = pair_cost(16)
+    # more cells -> smaller biggest cell and fewer within-cell pairs
+    assert max16 < max4
+    assert cost16 < cost4
+    # every vector lands in exactly one cell
+    cells = assign_cells(emb, k=8, n_iter=2)
+    assert cells.count() == emb.count()
+    assert cells.filter(F.col("cell").isNull()).count() == 0
+    # deterministic
+    a = sorted((r["vec_id"], r["cell"]) for r in cells.collect())
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in assign_cells(emb, k=8, n_iter=2).collect()
+    )
+    assert a == b

@@ -139,3 +139,23 @@ def test_blame_nested_split_roundtrip(spark):
     got = {(r["author"], r["total_lines"]) for r in recombined.collect()}
     want = {(r["author"], r["total_lines"]) for r in flat.collect()}
     assert got == want
+
+
+def test_read_json_robust_quarantines_bad_lines(spark, tmp_path):
+    from github_data_pipeline_spark.sources.catalog import read_json_robust
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": 3, "name": "truncated mid-wri\n'
+        'not json at all\n'
+        '{"id": "not-a-number", "name": "type clash"}\n'
+    )
+    good, bad = read_json_robust(spark, str(p), "id bigint, name string")
+    rows = sorted((r["id"], r["name"]) for r in good.collect())
+    assert rows == [(1, "ok"), (2, "also ok")]
+    raws = [r["raw"] for r in bad.collect()]
+    assert len(raws) == 3
+    assert any("truncated" in r for r in raws)
+    assert any("not-a-number" in r for r in raws)  # schema clash quarantined too
