@@ -107,3 +107,53 @@ def apply_file_changes(
 def head_unchanged(cached_head_sha: str | None, current_head_sha: str) -> bool:
     """Whole-run short-circuit (collectors.py:310-317)."""
     return bool(cached_head_sha) and cached_head_sha == current_head_sha
+
+def scd2_merge(
+    history: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: where ``upsert_by_key``
+    overwrites (type 1, the reference's semantics), this keeps every
+    version as a validity interval — the shape a training-data catalog
+    needs to answer "what did this row say when the snapshot was cut".
+
+    ``history`` carries (``valid_from``, ``valid_to``, ``is_current``);
+    pass an empty history (same schema) to bootstrap. ``updates`` are
+    new versions with event time ``ts_col``, assumed newer than each
+    key's current ``valid_from`` (the watermark contract of the ingest
+    loop). Several updates to one key in a batch chain correctly: each
+    version's ``valid_to`` is the next version's ``valid_from``.
+
+    Plan shape: one window over updates keyed by ``key_cols`` (the
+    chain), one aggregate for first-update-per-key, one broadcast-able
+    join to close current rows. Touched history partitions only —
+    composes with write_upsert's dynamic partition overwrite.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    new_versions = (
+        updates.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(ts_col)
+    )
+    first_update = updates.groupBy(*key_cols).agg(
+        F.min(ts_col).alias("_supersede_ts")
+    )
+    closed = (
+        history.join(first_update, key_cols, "inner")
+        .withColumn(
+            "valid_to",
+            F.when(F.col("is_current"), F.col("_supersede_ts")).otherwise(
+                F.col("valid_to")
+            ),
+        )
+        .withColumn("is_current", F.lit(False))
+        .drop("_supersede_ts")
+    )
+    untouched = history.join(first_update, key_cols, "left_anti")
+    return untouched.unionByName(closed).unionByName(new_versions)

@@ -180,3 +180,49 @@ def incremental_lsh_candidates(
     vs_batch = lsh_candidates(new_bands)
     candidates = vs_corpus.unionByName(vs_batch).distinct()
     return candidates, new_bands
+
+
+def verify_candidates_edit_distance(
+    candidates: DataFrame,
+    docs: DataFrame,
+    max_dist: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact edit-distance verification over LSH CANDIDATE pairs only:
+    (doc_a, doc_b, edit_distance <= max_dist).
+
+    Two guards keep the exact stage cheap at scale: a length prefilter
+    (|len_a - len_b| > max_dist can never pass, and lengths ride the
+    id join for free) and the thresholded ``levenshtein(a, b, k)``
+    built-in, which abandons a pair at O(len * k) instead of computing
+    the full O(len^2) matrix. Never call this on all pairs — its input
+    contract is the banded candidate set (``lsh_candidates`` /
+    ``incremental_lsh_candidates``), the same routing as the exact-
+    Jaccard verifier in plans/dedup_plans.py.
+    """
+    d = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_len"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_t").alias("_ta"),
+        F.col("_len").alias("_la"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_t").alias("_tb"),
+        F.col("_len").alias("_lb"),
+    )
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_ta", "_tb", max_dist).alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") >= 0)  # thresholded form: -1 = over
+    )
