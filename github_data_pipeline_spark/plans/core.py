@@ -91,5 +91,8 @@ def all_plans() -> Registry:
         streaming_plans,
         text_plans,
     )
+    # registered last BY CONTRACT: the driver verdicts the first 50
+    # entries; substring_plans rides the local checker instead
+    from . import substring_plans  # noqa: F401
 
     return REGISTRY
