@@ -123,6 +123,33 @@ def compact(
     return done
 
 
+def missing_partitions(
+    spark: SparkSession, path: str, expected: list[str]
+) -> DataFrame:
+    """Partition-completeness audit: (partition, present, rows_like)
+    for every expected partition dir (e.g. the ingest calendar), with
+    absent or data-free partitions flagged — the backfill planner's
+    input after an incremental loop has been running for a while.
+
+    Metadata-only like ``file_report``; ``expected`` is the small
+    driver-side list a scheduler owns (dates, repo buckets), never
+    derived from scanning the data itself.
+    """
+    found = _list_partitions(path)
+    rows = [
+        Row(
+            partition=p,
+            present=p in found,
+            files=len(found.get(p, [])),
+            bytes=sum(b for _, b in found.get(p, [])),
+        )
+        for p in sorted(expected)
+    ]
+    return spark.createDataFrame(
+        rows, "partition string, present boolean, files bigint, bytes bigint"
+    )
+
+
 def sorted_rewrite(
     df: DataFrame,
     path: str,

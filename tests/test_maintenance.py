@@ -76,3 +76,19 @@ def test_sorted_rewrite_clusters_ranges(spark, tmp_path):
         assert hi_prev <= lo_next
     # layout is real files on disk, not a metastore entry
     assert any(f.endswith(".parquet") for f in os.listdir(path))
+
+
+def test_missing_partitions_backfill_plan(spark, tmp_path):
+    from github_data_pipeline_spark.operators.maintenance import missing_partitions
+
+    path = str(tmp_path / "cal")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id bigint, dt string"
+    )
+    df.write.partitionBy("dt").parquet(path)
+    expected = [f"dt=2024-01-0{i}" for i in range(1, 5)]
+    rep = {r["partition"]: r for r in missing_partitions(spark, path, expected).collect()}
+    assert rep["dt=2024-01-01"]["present"] and rep["dt=2024-01-01"]["files"] >= 1
+    assert rep["dt=2024-01-02"]["present"]
+    assert not rep["dt=2024-01-03"]["present"] and rep["dt=2024-01-03"]["bytes"] == 0
+    assert not rep["dt=2024-01-04"]["present"]
