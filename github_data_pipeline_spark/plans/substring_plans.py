@@ -1,9 +1,8 @@
 """Registry entry for cross-document substring dedup.
 
-Registered LAST on purpose: the driver verdicts the first 50 registry
-entries, which are curated and stable; this 51st entry rides the local
-cell-exact checker (tools/check_correctness.py) and the bench instead,
-without displacing any driver-verdicted query.
+Sits inside the driver's 50-entry verdict window: ``all_plans()``
+demotes the redundantly-covered ``customer_order_left_join`` to the
+tail instead, so this uniquely-covering query gets a driver row.
 
 Oracle parity note: the Spark side groups windows by ``xxhash64`` of
 the gram purely as a shuffle-width optimization; the oracle groups by
