@@ -49,6 +49,9 @@ BNLJ_BY_DESIGN = {
     # side bounded by N_QUERIES; the IVF variant in the same plan
     # carries the label equi-key and hash-joins.
     "ann_topk": "broadcast-query brute-force ANN baseline",
+    # BM25 corpus stats (N, Σdl, per-term df) are ONE aggregated row
+    # broadcast back onto the per-doc scores — the join moves one row.
+    "doc_fulltext_search": "scalar-stats 1-row broadcast attach",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
