@@ -47,6 +47,7 @@ TARGETS = (
     "doc_quality_by_source",
     "lang_id_confusion",
     "ann_topk",
+    "doc_fulltext_search",
 )
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
