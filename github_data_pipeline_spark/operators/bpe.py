@@ -1,0 +1,189 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merges).
+
+Training a subword tokenizer is a standard step of a training-data
+pipeline; the reference has only tokenization-adjacent text analysis
+(its ES ``english`` analyzer), so this is part of the added
+training-data surface, alongside dedup/packing/decontamination.
+
+Scale design — the classic two-level trick:
+
+* the corpus is touched ONCE: pre-tokenize (same regex as the
+  ``doc_quality_by_source`` BPE-ish counter) and aggregate to a
+  ``(word, count)`` vocabulary table, which is orders of magnitude
+  smaller than the corpus (distinct words, not tokens) and is cached;
+* each merge iteration is ONE aggregation over that table: adjacent
+  symbol pairs weighted by word count → argmax (count desc, pair asc
+  tie-break so training is deterministic) → collect exactly one row;
+* the winning pair is folded into the symbol arrays with a pure
+  Catalyst ``F.aggregate`` left-to-right fold (leftmost-first merge,
+  standard BPE semantics) — no Python row path during training.
+
+Applying a learned merge table to a corpus is the opposite trade:
+per-token work with data-dependent iteration counts, which is exactly
+what Arrow-batched Python is for — :func:`encode_words` runs the
+classic rank-greedy merge loop under ``mapInPandas``.
+``tests/test_bpe.py`` pins the Spark trainer against an independent
+pure-Python reference trainer property-style, and the Catalyst fold
+against the Python encoder.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) vocabulary — the only pass over the corpus."""
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(PRETOKEN_PATTERN), F.lit(0)
+                )
+            ).alias("word")
+        )
+        .select(F.lower("word").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _chars(word: Column) -> Column:
+    return F.filter(F.split(word, ""), lambda c: c != F.lit(""))
+
+
+def _pair_counts(syms_tbl: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies weighted by word count."""
+    pairs = F.zip_with(
+        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
+    return (
+        syms_tbl.filter(F.size("syms") >= 2)
+        .select(F.explode(pairs).alias("p"), "count")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("count").alias("freq"))
+    )
+
+
+def merge_pair_col(syms: Column, left: str, right: str) -> Column:
+    """Leftmost-first fold merging adjacent (left, right) -> left+right.
+
+    Pure Catalyst: overlapping runs resolve left-to-right ("aaa" with
+    merge (a,a) -> [aa, a]), matching the reference BPE behavior.
+    """
+    merged = left + right
+
+    def step(acc: Column, x: Column) -> Column:
+        can = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right))
+        )
+        return F.when(
+            can,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def learn_bpe(
+    docs: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(left, right, freq), ...].
+
+    Stops early when no pair reaches ``min_freq``. Each iteration is
+    one shuffle over the cached vocabulary table plus a 1-row collect.
+    """
+    vocab = word_counts(docs, text_col).withColumn(
+        "syms", _chars(F.col("word"))
+    )
+    vocab = vocab.select("syms", "count").cache()
+    try:
+        merges: list[tuple[str, str, int]] = []
+        for _ in range(n_merges):
+            top = (
+                _pair_counts(vocab)
+                .orderBy(
+                    F.desc("freq"), F.asc("left"), F.asc("right")
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0].freq < min_freq:
+                break
+            left, right, freq = top[0].left, top[0].right, top[0].freq
+            merges.append((left, right, int(freq)))
+            new_vocab = vocab.select(
+                merge_pair_col(F.col("syms"), left, right).alias("syms"),
+                "count",
+            ).cache()
+            vocab.unpersist()
+            vocab = new_vocab
+        return merges
+    finally:
+        vocab.unpersist()
+
+
+# -- applying learned merges (the corpus-side path) ------------------------
+
+
+def encode_word_py(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classic rank-greedy BPE encoding of one pre-token."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        syms[best : best + 2] = [syms[best] + syms[best + 1]]
+    return syms
+
+
+def encode_words(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, subword, n) per document via Arrow-batched encoding.
+
+    The merge table is tiny (vocab-size entries) and ships to workers
+    inside the closure; per-token work is data-dependent-iterative,
+    the one place Python-with-Arrow beats expression trees.
+    """
+    import pandas as pd
+    import re
+
+    ranks = {(l, r): i for i, (l, r, _f) in enumerate(merges)}
+    pat = re.compile(PRETOKEN_PATTERN)
+    out_schema = "doc_id long, subword string, n long"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: Counter = Counter()
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                for w in pat.findall(text or ""):
+                    for s in encode_word_py(w.lower(), ranks):
+                        rows[(doc_id, s)] += 1
+            yield pd.DataFrame(
+                [(d, s, n) for (d, s), n in rows.items()],
+                columns=["doc_id", "subword", "n"],
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(run, out_schema)

@@ -104,6 +104,7 @@ def all_plans() -> Registry:
     )
     from . import fulltext_plans, substring_plans  # noqa: F401
     from . import sharding_plans  # registered at 51: first past the window
+    from . import bpe_plans  # rows-only iterative trainer, tail entry
 
     # The driver verdicts only the first 50 entries. Keep every
     # uniquely-covering oracle query (substring_dup_spans and

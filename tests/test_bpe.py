@@ -1,0 +1,148 @@
+"""BPE trainer vs an independent pure-Python reference, and the
+Catalyst merge fold vs the Python encoder."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from github_data_pipeline_spark.operators import bpe
+
+
+# -- independent reference trainer (no Spark) ------------------------------
+
+
+def ref_learn_bpe(texts, n_merges, min_freq=2):
+    import re
+
+    pat = re.compile(bpe.PRETOKEN_PATTERN)
+    vocab = Counter()
+    for t in texts:
+        for w in pat.findall(t):
+            vocab[w.lower()] += 1
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        # deterministic argmax: freq desc, then (left, right) asc
+        (left, right), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if freq < min_freq:
+            break
+        merges.append((left, right, freq))
+        for w in syms:
+            s, out = syms[w], []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+WORDS = st.sampled_from(
+    "low lower lowest new newest wide widest ab abc aab aaa b2b x".split()
+)
+CORPORA = st.lists(
+    st.lists(WORDS, min_size=1, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(CORPORA)
+def _check_trainer_matches_reference(corpora):
+    spark = _check_trainer_matches_reference.spark
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpora)], ["doc_id", "text"]
+    )
+    assert bpe.learn_bpe(docs, n_merges=6) == ref_learn_bpe(corpora, 6)
+
+
+def test_trainer_matches_reference(spark):
+    # hypothesis drives the inner check; the session rides in on an
+    # attribute because @given doesn't mix with pytest fixtures
+    _check_trainer_matches_reference.spark = spark
+    _check_trainer_matches_reference()
+
+
+def test_classic_example(spark):
+    # the canonical BPE toy corpus: "low lowest newer wider" variants
+    texts = ["low low low lower lower", "newest newest widest lowest"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = bpe.learn_bpe(docs, n_merges=4)
+    assert merges == ref_learn_bpe(texts, 4)
+    # "lo" must be an early merge: 'l','o' appears in low/lower/lowest
+    assert (merges[0][0], merges[0][1]) == ("l", "o")
+
+
+def test_merge_fold_leftmost_first(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "a", "b"],), ([],)], ["syms"]
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            bpe.merge_pair_col(F.col("syms"), "a", "a")
+        ).collect()
+    ]
+    assert got[0] == ["aa", "a"] and got[2] == []
+    got2 = [
+        r[0]
+        for r in df.select(
+            bpe.merge_pair_col(F.col("syms"), "a", "b")
+        ).collect()
+    ]
+    assert got2[1] == ["ab", "ab"]
+
+
+def test_encoder_matches_python_and_counts(spark):
+    texts = ["low lower lowest", "newest widest low low"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = bpe.learn_bpe(docs, n_merges=6)
+    ranks = {(l, r): i for i, (l, r, _f) in enumerate(merges)}
+    got = {
+        (r.doc_id, r.subword): r.n
+        for r in bpe.encode_words(docs, merges).collect()
+    }
+    import re
+
+    pat = re.compile(bpe.PRETOKEN_PATTERN)
+    expect: Counter = Counter()
+    for i, t in enumerate(texts):
+        for w in pat.findall(t):
+            for s in bpe.encode_word_py(w.lower(), ranks):
+                expect[(i, s)] += 1
+    assert got == dict(expect)
+    # round-trip: concatenated subwords rebuild each word
+    for w in ("lowest", "widest", "b2b"):
+        assert "".join(bpe.encode_word_py(w, ranks)) == w
+
+
+def test_registry_entry_shape(spark, sf_dir):
+    from github_data_pipeline_spark.plans import all_plans
+
+    q = all_plans()["bpe_learned_merges"]
+    rows = q.builder(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert [r.rank for r in rows] == list(range(len(rows)))
+    assert all(r.freq >= 2 for r in rows)
