@@ -103,18 +103,21 @@ def all_plans() -> Registry:
         text_plans,
     )
     from . import fulltext_plans, substring_plans  # noqa: F401
-    from . import sharding_plans  # registered at 51: first past the window
-    from . import bpe_plans  # rows-only iterative trainer, tail entry
+    from . import sharding_plans  # noqa: F401
+    from . import bpe_plans  # noqa: F401
 
-    # The driver verdicts only the first 50 entries. Keep every
-    # uniquely-covering oracle query (substring_dup_spans and
-    # doc_fulltext_search included) inside that window and park the
-    # ones whose operator coverage is redundant at the tail, where the
-    # local cell-exact checker still covers them: left outer join is
-    # also pinned green by the blame→commit enrichment query, and
-    # row_number top-N-per-group by gh_prs_with_linked_issues plus the
-    # TakeOrderedAndProject plan-property test.
-    REGISTRY.demote("top_orders_per_customer")
+    # The driver verdicts only the first 50 entries. Fill all 50 slots
+    # with SQL-oracle queries (the strongest evidence) and park at the
+    # tail, where the local cell-exact checker / unit tests still cover
+    # them: customer_order_left_join (left outer join is also pinned
+    # green by the blame→commit enrichment query), and the three
+    # rows-only entries (kmeans / BPE are iterative-by-contract with
+    # invariant tests; approx sketches are engine-specific with exact
+    # oracle twins). A rows-only driver row only proves "it ran", which
+    # the bench run already proves for every registry entry.
     REGISTRY.demote("customer_order_left_join")
+    REGISTRY.demote("kmeans_cluster_sizes")
+    REGISTRY.demote("approx_lineitem_stats")
+    REGISTRY.demote("bpe_learned_merges")
 
     return REGISTRY

@@ -143,14 +143,18 @@ _DIM = 64
     )
     SELECT label,
            CAST(MAX(n) AS BIGINT) AS members,
-           LIST(CAST(s AS DOUBLE) / n / 1000000000.0 ORDER BY dim) AS centroid
+           CAST(to_json(LIST(CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT)
+                             ORDER BY dim)) AS VARCHAR) AS centroid_nano
     FROM comp GROUP BY label
     """,
     doc="Per-cell centroid (the k-means E-step / IVF training "
     "primitive). Float components are fixed-pointed to nano units "
     "before summing so the reduction is exact and order-independent — "
-    "the same trick functions/money.py uses for money — then divided "
-    "once. One shuffle on (label, dim).",
+    "the same trick functions/money.py uses for money — then floor-"
+    "divided once per dim. The centroid stays in exact nano-int units "
+    "and is serialized to a JSON string because the driver's pandas "
+    "canonicalizer cannot hash list cells (same workaround as "
+    "multimodal_frame_sample). One shuffle on (label, dim).",
     tags=("similarity", "centroid"),
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,13 +170,13 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "pos",
         "n",
-        (F.col("s").cast("double") / F.col("n") / F.lit(1e9)).alias("c"),
+        F.floor(F.col("s").cast("double") / F.col("n")).cast("long").alias("c"),
     )
     return per_dim.groupBy("label").agg(
         F.max("n").cast("long").alias("members"),
-        F.array_sort(
-            F.collect_list(F.struct("pos", "c"))
-        ).getField("c").alias("centroid"),
+        F.to_json(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))).getField("c")
+        ).alias("centroid_nano"),
     )
 
 

@@ -83,11 +83,13 @@ def stream_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # scalar quantile columns, not an array: the driver's pandas
+    # canonicalizer cannot hash list cells even on a rows-only check
     return li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("price_p95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("price_p99"),
         F.count(F.lit(1)).alias("rows"),
     )

@@ -51,6 +51,11 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # testdata parquet timestamps are written without isAdjustedToUTC;
+        # read them as session-tz (UTC) instants, not TIMESTAMP_NTZ, so
+        # numeric casts / interval arithmetic work and values match the
+        # DuckDB oracle's naive-timestamp reading of the same files.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
@@ -71,6 +76,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         return spark
     spark.conf.set("spark.graft.tuned", "1")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

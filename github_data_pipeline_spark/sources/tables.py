@@ -50,18 +50,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read nanos as long and floor-convert to
-        # microsecond TimestampType — the same truncation DuckDB applies
-        # when it narrows ns -> us, so both engines see identical values.
+        # some testdata generations write events.ts as parquet
+        # TIMESTAMP(NANOS), which Spark's vectorized reader rejects.
+        # Read nanos as long and floor-convert to microsecond
+        # TimestampType — the same truncation DuckDB applies when it
+        # narrows ns -> us, so both engines see identical values.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # integer DIV, not /: nanos exceed 2^53 so a double division
             # would lose the low microsecond bits.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _ltz(df)
+    return _ltz(spark.read.parquet(path))
+
+
+def _ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to session-tz TimestampType.
+
+    Parquet timestamps written without isAdjustedToUTC arrive as
+    TIMESTAMP_NTZ, which Spark refuses to cast to numeric and treats
+    asymmetrically in interval/window arithmetic. The session runs in
+    UTC (session.tune_session), so reinterpreting the naive wall-clock
+    as UTC instant is value-preserving and matches how the DuckDB
+    oracle reads the very same column (naive TIMESTAMP).
+    """
+    casts = [
+        F.col(c).cast("timestamp").alias(c) if t == "timestamp_ntz" else F.col(c)
+        for c, t in df.dtypes
+    ]
+    if any(t == "timestamp_ntz" for _, t in df.dtypes):
+        return df.select(*casts)
+    return df
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:

@@ -31,17 +31,24 @@ SESSION_GAP = "30 minutes"
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream of the events table (schema from the batch
-    reader; ts arrives as nano-long and converts exactly like the batch
-    path in sources/tables.py)."""
+    """File-source stream of the events table. The on-disk ts physical
+    type varies across testdata generations (TIMESTAMP(NANOS) vs
+    TIMESTAMP(MICROS)); probe it via the batch reader and mirror the
+    same conversion (sources/tables.py) so stream and batch see
+    identical instants."""
     from ..sources.tables import load_table
 
     batch = load_table(spark, sf_dir, "events")
+    nanos = dict(batch.dtypes).get("ts") != "timestamp"
     reader = (
         spark.readStream.schema(
-            # pre-conversion schema: ts is the raw nano long
             "event_id long, ts long, user_id long, event_type string, "
             "value double, props string"
+            if nanos
+            # micros: read as timestamp directly (session tz is UTC, so
+            # the naive parquet value is the same instant the oracle sees)
+            else "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
         )
     )
     if max_files_per_trigger:
@@ -49,8 +56,9 @@ def read_events_stream(
     # glob form: the file-stream source requires a directory/glob, and a
     # glob also makes it pick up new event files as they land
     raw = reader.parquet(f"{sf_dir}/events.parque*")
-    _ = batch  # schema parity asserted in tests
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def hourly_rollup_stream(events: DataFrame) -> DataFrame:
