@@ -380,37 +380,43 @@ _ASSEMBLE_SQL = " + ".join(
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     """,
     doc="32-bit SimHash near-dup: per-token md5-derived hash, "
-    "frequency-weighted bit votes, sign-assembled signature; pairs "
+    "occurrence-weighted bit votes, sign-assembled signature; pairs "
     "must agree on the high-16-bit prefix band (bucketing that avoids "
-    "the full cross join) and lie within hamming distance 6. Bit "
-    "votes are 32 conditional sums in one grouped aggregate.",
+    "the full cross join) and lie within hamming distance 6. The "
+    "signature is one map-side array fold per document (aggregate + "
+    "zip_with over the token array) — zero shuffles until the band "
+    "join, vs. the naive explode + two grouped aggregates which "
+    "shuffles every (doc, token) pair. Voting ±1 per token occurrence "
+    "equals the oracle's ±count per distinct token.",
     tags=("dedup", "simhash"),
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    tokc = (
-        d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("w"))
+
+    def bit_votes(h):  # ±1 vote per bit of one token hash
+        return F.array(*[
+            F.when(F.shiftright(h, j).bitwiseAND(1) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            for j in range(_SIMHASH_BITS)
+        ])
+
+    hashes = F.transform(
+        T.tokens("text"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
-    hashed = tokc.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
-        "w",
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), _SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, b: a + b),
     )
-    bit_cols = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, F.col("w"))
-            .otherwise(-F.col("w"))
-        ).alias(f"b{j}")
-        for j in range(_SIMHASH_BITS)
-    ]
-    bitsums = hashed.groupBy("doc_id").agg(*bit_cols)
+    voted = d.select("doc_id", votes.alias("votes"))
     simhash = None
     for j in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(
+            F.element_at(F.col("votes"), j + 1) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    sims = bitsums.select("doc_id", simhash.cast("long").alias("simhash"))
+    sims = voted.select("doc_id", simhash.cast("long").alias("simhash"))
     a = sims.alias("a")
     b = sims.alias("b")
     hamming = F.bit_count(

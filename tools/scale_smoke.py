@@ -48,6 +48,8 @@ TARGETS = (
     "lang_id_confusion",
     "ann_topk",
     "doc_fulltext_search",
+    "substring_dup_spans",
+    "doc_chunk_windows",
 )
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
