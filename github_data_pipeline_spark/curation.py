@@ -27,9 +27,8 @@ from .operators.budget import budget_sample
 from .operators.components import connected_components
 from .operators.neardup import (
     band_index,
-    doc_shingles,
     lsh_candidates,
-    minhash_signatures,
+    minhash_signatures_from_arrays,
 )
 
 JACCARD_KEEP_NUM, JACCARD_KEEP_DEN = 4, 5  # drop pairs with jaccard >= 0.8
@@ -86,8 +85,7 @@ def neardup_drop_stage(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.array_distinct(T.word_ngrams(T.tokens("text"), 3)).alias("g"),
     )
-    sh = grams.select("doc_id", F.explode("g").alias("s"))
-    cands = lsh_candidates(band_index(minhash_signatures(sh)))
+    cands = lsh_candidates(band_index(minhash_signatures_from_arrays(grams)))
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     shared = F.size(F.array_intersect(F.col("ga"), F.col("gb")))

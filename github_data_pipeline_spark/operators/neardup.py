@@ -43,8 +43,21 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select("doc_id", F.explode(grams).alias("s"))
 
 
+def doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, g): distinct word n-gram shingles, kept as one array per
+    document — the input shape for the shuffle-free signature path."""
+    grams = F.array_distinct(T.word_ngrams(T.tokens("text"), n))
+    return docs.select("doc_id", grams.alias("g"))
+
+
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """(doc_id, sig0..sigK-1): K map-side MINs over one shuffle."""
+    """(doc_id, sig0..sigK-1): K map-side MINs over one shuffle.
+
+    Row-shaped input (one row per shingle). Prefer
+    ``minhash_signatures_from_arrays`` when the per-doc shingle array
+    is already at hand — it computes the same signatures with zero
+    shuffles.
+    """
     hashed = shingles.select(
         "doc_id", shingle_hash(F.col("s")).alias("h")
     )
@@ -53,6 +66,33 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
     return hashed.groupBy("doc_id").agg(*sig_cols)
+
+
+def minhash_signatures_from_arrays(grams: DataFrame) -> DataFrame:
+    """(doc_id, sig0..sigK-1) from (doc_id, g ARRAY<STRING>) — each
+    signature component is an ``array_min`` fold computed where the
+    document already lives, so signature computation needs NO shuffle
+    (the groupBy in the row-shaped twin). Identical values to
+    ``minhash_signatures(doc_shingles(...))``: min over the same
+    distinct-shingle set under the same permutations.
+
+    Docs with no shingles (fewer than n tokens) are filtered, matching
+    the row path where they simply produce no rows to group.
+    """
+    hashes = F.transform(F.col("g"), lambda s: shingle_hash(s))
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("_h"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+            )
+        ).alias(f"sig{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return (
+        grams.filter(F.size("g") > 0)
+        .select("doc_id", hashes.alias("_h"))
+        .select("doc_id", *sig_cols)
+    )
 
 
 def band_index(sigs: DataFrame) -> DataFrame:
@@ -165,7 +205,7 @@ def incremental_lsh_candidates(
     buckets the new docs collide with. The full corpus is never
     re-shingled — this is what keeps a daily 100 TB dedup feasible.
     """
-    new_bands = band_index(minhash_signatures(doc_shingles(new_docs)))
+    new_bands = band_index(minhash_signatures_from_arrays(doc_shingle_arrays(new_docs)))
     n = new_bands.alias("n")
     e = existing_bands.alias("e")
     vs_corpus = n.join(

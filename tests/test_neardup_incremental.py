@@ -128,3 +128,20 @@ def test_persisted_bucketed_index_roundtrip(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_array_signatures_equal_row_signatures(spark, sf_dir):
+    """The shuffle-free array-fold signature path must produce exactly
+    the row-path signatures (same docs, same sig components)."""
+    from github_data_pipeline_spark.operators.neardup import (
+        doc_shingle_arrays,
+        minhash_signatures_from_arrays,
+    )
+
+    docs = _docs(spark, sf_dir)
+    row_sigs = minhash_signatures(doc_shingles(docs))
+    arr_sigs = minhash_signatures_from_arrays(doc_shingle_arrays(docs))
+    cols = ["doc_id"] + [f"sig{i}" for i in range(MINHASH_K)]
+    a = {tuple(r) for r in row_sigs.select(*cols).collect()}
+    b = {tuple(r) for r in arr_sigs.select(*cols).collect()}
+    assert a == b and len(a) > 0
