@@ -1,0 +1,148 @@
+"""Random-hyperplane LSH ANN — the bucketed similarity-search scale
+path that needs no learned structure (complement of ann_topk's IVF
+variant, which probes a coarse cell).
+
+Signed-random-projection LSH: bit_j = sign(<v, plane_j>) over
+``_N_PLANES`` fixed hyperplanes; vectors agreeing on every bit share a
+bucket, and the probe is an equi-join on the bucket id — cost scales
+with bucket occupancy, never corpus size. Collision probability is
+1 - angle/pi per bit (Charikar 2002, SimHash for cosine), so bucket
+mates are angularly close and exact cosine re-ranks the candidates.
+
+Engine-neutral determinism: the planes' ±1 entries derive from md5
+parity at module load (hashlib) and are embedded as literals in BOTH
+the Spark expression and the DuckDB oracle — no RNG, no engine hash.
+The signed dot folds in array order on both engines (the
+functions/vectors.py convention), so even the bucket-boundary sign
+tests are bit-identical.
+
+Registered past the driver's 50-entry verdict window (plans/core.py
+policy); the local cell-exact checker and bench cover it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..sources.tables import load_table
+from .core import REGISTRY
+from .similarity_plans import N_QUERIES, TOP_K, _duck_cos
+
+_add = REGISTRY.add
+
+_N_PLANES = 6  # 64 buckets: keeps buckets populated at every test SF
+_DIM = 64
+
+
+def _plane(j: int) -> list[int]:
+    """±1 hyperplane entries from md5 parity — same ints both engines."""
+    return [
+        1
+        if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16) % 2
+        else -1
+        for i in range(_DIM)
+    ]
+
+
+_PLANES = [_plane(j) for j in range(_N_PLANES)]
+
+
+def _bucket_col(vec) -> F.Column:
+    """LSH bucket id: sum of sign bits of the plane dots."""
+    acc = None
+    for j, plane in enumerate(_PLANES):
+        signed = F.zip_with(
+            vec,
+            F.array(*[F.lit(s) for s in plane]),
+            lambda x, s: x.cast("double") * s.cast("double"),
+        )
+        d = F.aggregate(signed, F.lit(0.0), lambda a, v: a + v)
+        bit = F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        acc = bit if acc is None else acc + bit
+    return acc.cast("long")
+
+
+def _duck_bucket(tbl: str) -> str:
+    terms = []
+    for j, plane in enumerate(_PLANES):
+        lst = "list_value(" + ", ".join(str(s) for s in plane) + ")"
+        dot = (
+            f"list_reduce(list_transform(generate_series(1, {_DIM}), "
+            f"i -> {tbl}.embedding[i]::DOUBLE * ({lst})[i]::DOUBLE), "
+            "(x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@_add(
+    "ann_lsh_topk",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_duck_bucket('embeddings')} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_duck_cos('q', 'c')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_duck_cos('q', 'c')} DESC, c.vec_id ASC
+             ) AS rank
+      FROM bucketed q
+      JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           cosine
+    FROM scored WHERE rank <= {TOP_K}
+    """,
+    doc="ANN top-k via random-hyperplane LSH buckets: "
+    f"{_N_PLANES} md5-derived ±1 hyperplanes give a "
+    f"{1 << _N_PLANES}-bucket space; the probe is an equi-join on the "
+    "bucket id (like SimHash's prefix band), so candidate cost tracks "
+    "bucket occupancy, not corpus size — and unlike the IVF variant "
+    "it needs no training pass. Bucketing is one map-side fold per "
+    "vector; exact cosine re-ranks bucket mates with deterministic "
+    "tie-breaks.",
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select("vec_id", "embedding", _bucket_col(F.col("embedding")).alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("qbucket"),
+        F.col("embedding").alias("qvec"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), "bucket", "embedding"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("qvec"), F.col("embedding")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            "cosine",
+        )
+    )

@@ -106,6 +106,7 @@ def all_plans() -> Registry:
     from . import sharding_plans  # noqa: F401
     from . import bpe_plans  # noqa: F401
     from . import chunking_plans  # noqa: F401
+    from . import ann_lsh_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Fill all 50 slots
     # with SQL-oracle queries (the strongest evidence) and park at the
