@@ -49,6 +49,10 @@ BNLJ_BY_DESIGN = {
     # side bounded by N_QUERIES; the IVF variant in the same plan
     # carries the label equi-key and hash-joins.
     "ann_topk": "broadcast-query brute-force ANN baseline",
+    # recall measurement contains the same brute-force baseline by
+    # definition (it IS the ground truth being compared against); the
+    # ivf/lsh sides carry equi-keys and hash-join.
+    "ann_recall": "broadcast-query brute-force ANN ground truth",
     # BM25 corpus stats (N, Σdl, per-term df) are ONE aggregated row
     # broadcast back onto the per-doc scores — the join moves one row.
     "doc_fulltext_search": "scalar-stats 1-row broadcast attach",
