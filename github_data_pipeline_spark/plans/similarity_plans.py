@@ -180,30 +180,124 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_K = 8
+_KM_ITER = 3
+_KM_SCALE = 1_000_000_000
+
+
+def _km_dist(vec_tbl: str, cent_list: str) -> str:
+    """Squared L2 as a left-fold in array order — mirrors the Spark
+    aggregate(zip_with(...)) fold bit-for-bit (0.0 + d1² + d2² ...)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {_DIM}), "
+        f"i -> ({vec_tbl}.embedding[i]::DOUBLE - {cent_list}[i]) * "
+        f"({vec_tbl}.embedding[i]::DOUBLE - {cent_list}[i])), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _km_oracle() -> str:
+    """Unrolled Lloyd iterations as CTE chain — the algorithm is fully
+    deterministic (seed = k lowest vec_ids, exact nano fixed-point
+    centroid sums, argmin ties to the lower cluster), so the 'iterative'
+    query IS SQL-expressible once the loop count is a constant."""
+    ctes = [
+        # seed centroids: the k lowest vec_ids' vectors, widened to DOUBLE
+        f"""cent0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             list_transform(generate_series(1, {_DIM}),
+                            i -> embedding[i]::DOUBLE) AS c
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+    )"""
+    ]
+    for it in range(1, _KM_ITER + 1):
+        prev = f"cent{it - 1}"
+        ctes.append(f"""assign{it} AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_km_dist('e', 'c.c')} ASC, c.cluster ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""comp{it} AS (
+      SELECT cluster, u.i AS pos,
+             SUM(CAST(ROUND(embedding[u.i]::DOUBLE * {_KM_SCALE}) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM assign{it}, UNNEST(generate_series(1, {_DIM})) AS u(i)
+      GROUP BY cluster, u.i
+    )""")
+        # empty clusters keep their previous centroid (COALESCE)
+        ctes.append(f"""cent{it} AS (
+      SELECT p.cluster,
+             list(COALESCE(CAST(x.s AS DOUBLE) / x.n / {_KM_SCALE},
+                           p.c[u.i]) ORDER BY u.i) AS c
+      FROM {prev} p
+      CROSS JOIN UNNEST(generate_series(1, {_DIM})) AS u(i)
+      LEFT JOIN comp{it} x ON x.cluster = p.cluster AND x.pos = u.i
+      GROUP BY p.cluster
+    )""")
+    ctes.append(f"""final AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT e.vec_id, c.cluster, {_km_dist('e', 'c.c')} AS dist,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_km_dist('e', 'c.c')} ASC, c.cluster ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent{_KM_ITER} c
+      ) WHERE rn = 1
+    )""")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS members,
+           CAST(SUM(CAST(ROUND(dist * {_KM_SCALE}) AS BIGINT)) AS BIGINT)
+             AS total_sq_dist_nano,
+           CAST(SUM(CAST(ROUND(dist * {_KM_SCALE}) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / {_KM_SCALE} AS mean_sq_dist
+    FROM final GROUP BY cluster
+    """
+
+
 @_add(
     "kmeans_cluster_sizes",
-    None,  # iterative algorithm: rows-only by contract
+    _km_oracle(),
     doc="In-engine k-means (operators/clustering.py): deterministic "
-    "seeding, 3 Lloyd iterations as broadcast-argmin scans + exact "
-    "fixed-point centroid updates; output is the cluster size "
-    "distribution + per-cluster mean squared distance. Iterative -> "
-    "no SQL oracle (driver records rows-only); invariants (nearest-"
-    "centroid assignment, monotone inertia) are pinned in "
-    "tests/test_clustering.py.",
+    "seeding (k lowest vec_ids), 3 Lloyd iterations as broadcast-"
+    "argmin scans + exact nano fixed-point centroid updates; output is "
+    "the cluster size distribution + per-cluster mean squared "
+    "distance (nano fixed-point sums, so the shuffled reduction is "
+    "exact and order-independent). The algorithm is fully "
+    "deterministic, so the DuckDB oracle UNROLLS the three iterations "
+    "as a CTE chain mirroring every float operation in array order — "
+    "an iterative operator does not have to settle for a rows-only "
+    "check. Invariants (nearest-centroid assignment, monotone "
+    "inertia) additionally pinned in tests/test_clustering.py.",
     tags=("similarity", "kmeans", "iterative"),
 )
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans_fit
 
     e = load_table(spark, sf_dir, "embeddings")
-    _, assignments = kmeans_fit(e, k=8, n_iter=3)
+    _, assignments = kmeans_fit(e, k=_KM_K, n_iter=_KM_ITER)
+    nano = F.round(F.col("sq_dist") * _KM_SCALE).cast("long")
     return (
         assignments.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("members"),
-            F.sum("sq_dist").alias("total_sq_dist"),
+            F.sum(nano).alias("total_sq_dist_nano"),
         )
-        .withColumn(
-            "mean_sq_dist", F.col("total_sq_dist") / F.col("members")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("members").cast("long").alias("members"),
+            "total_sq_dist_nano",
+            (
+                F.col("total_sq_dist_nano").cast("double")
+                / F.col("members")
+                / _KM_SCALE
+            ).alias("mean_sq_dist"),
         )
     )
