@@ -107,6 +107,7 @@ def all_plans() -> Registry:
     from . import bpe_plans  # noqa: F401
     from . import chunking_plans  # noqa: F401
     from . import ann_lsh_plans  # noqa: F401
+    from . import pii_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Fill all 50 slots
     # with SQL-oracle queries covering the REFERENCE surface (the core
