@@ -90,11 +90,17 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     A table that fits one parquet split arrives as one partition, which
     serializes downstream explode/regex/ngram compute on a single core
     (and AQE keeps it coalesced). One cheap round-robin shuffle of the
-    narrow input buys full parallelism for the heavy map stage. At real
-    scale the scan has many splits and this becomes a no-op decision —
-    call it only in front of compute-heavy expressions.
+    narrow input buys full parallelism for the heavy map stage.
+
+    The repartition is CONDITIONAL: when the scan already has at least
+    half the target parallelism (the 100 TB case — thousands of
+    splits), spreading would be a pure-waste full shuffle of the data,
+    so the input is returned untouched. The partition count comes from
+    the physical plan (no job runs).
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= n:
+        return df
     return df.repartition(n)
 
 
