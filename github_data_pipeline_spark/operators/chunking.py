@@ -39,13 +39,18 @@ DEFAULT_OVERLAP = 64
 def n_chunks(text_len: Column, chunk_chars: int, overlap: int) -> Column:
     """Number of windows covering ``text_len`` characters.
 
-    Integer ceil-division formula — identical semantics in Spark and
-    DuckDB (both operands non-negative), so the oracle can reproduce it
-    without float rounding hazards.
+    Ceil-division via ``floor((extra + step - 1) / step)``. The Spark
+    division is double-typed, but both operands are non-negative ints
+    bounded by the JVM string-length limit (2^31) — far inside
+    double's 2^53 exact-integer range — so the floor is exact and
+    agrees with the DuckDB oracle's integer ``//`` for every
+    representable input.
     """
     step = chunk_chars - overlap
     extra = F.greatest(text_len - F.lit(chunk_chars), F.lit(0))
-    return F.lit(1) + ((extra + F.lit(step - 1)) / F.lit(step)).cast("long")
+    return F.lit(1) + F.floor((extra + F.lit(step - 1)) / F.lit(step)).cast(
+        "long"
+    )
 
 
 def chunk_documents(
@@ -58,26 +63,29 @@ def chunk_documents(
     """Explode each document into overlapping character windows.
 
     Returns ``(id_col, chunk_idx, chunk_text)`` with 0-based
-    ``chunk_idx``. Empty/whitespace-only docs still yield one (possibly
-    empty) chunk so no document silently disappears — dropping empties
-    is the caller's curation decision, not the chunker's.
+    ``chunk_idx``. Empty/whitespace-only/NULL docs still yield one
+    (possibly empty) chunk so no document silently disappears (NULL
+    text coalesces to '' — otherwise sequence(1, NULL) explodes to
+    zero rows) — dropping empties is the caller's curation decision,
+    not the chunker's.
     """
     if overlap >= chunk_chars:
         raise ValueError(
             f"overlap ({overlap}) must be smaller than chunk_chars ({chunk_chars})"
         )
     step = chunk_chars - overlap
-    n = n_chunks(F.length(F.col(text_col)), chunk_chars, overlap)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n = n_chunks(F.length(text), chunk_chars, overlap)
     exploded = docs.select(
         F.col(id_col),
-        F.col(text_col),
+        text.alias("_t"),
         F.posexplode(F.sequence(F.lit(1), n)).alias("chunk_idx", "_i"),
     )
     return exploded.select(
         id_col,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.substring(
-            F.col(text_col),
+            F.col("_t"),
             (F.col("chunk_idx") * step + 1).cast("int"),
             chunk_chars,
         ).alias("chunk_text"),

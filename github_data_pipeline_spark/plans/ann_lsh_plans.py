@@ -114,42 +114,25 @@ def _duck_bucket(tbl: str) -> str:
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    bucketed = e.select("vec_id", "embedding", _bucket_col(F.col("embedding")).alias("bucket"))
-    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("bucket").alias("qbucket"),
-        F.col("embedding").alias("qvec"),
+    bucketed = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _bucket_col(F.col("embedding")).alias("bucket"),
     )
-    c = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), "bucket", "embedding"
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        c.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("neighbor_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            V.cosine(F.col("qvec"), F.col("embedding")).alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.col("rank").cast("long").alias("rank"),
-            F.col("neighbor_id").cast("long").alias("neighbor_id"),
-            "cosine",
-        )
-    )
+    return _topk(
+        bucketed,
+        "lsh",
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "rank", "neighbor_id", "cosine")
 
 
 def _topk(e: DataFrame, method: str, join_cond) -> DataFrame:
-    """Shared top-k shape: broadcast query set, exact cosine, ranked."""
+    """Shared top-k shape: broadcast query set against a (vec_id,
+    label, embedding, bucket) relation, exact cosine, deterministic
+    rank. Returns (method, query_id, rank, neighbor_id, cosine);
+    callers project the columns they report."""
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("bucket").alias("qbucket"),
@@ -171,7 +154,13 @@ def _topk(e: DataFrame, method: str, join_cond) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select(F.lit(method).alias("method"), "query_id", "neighbor_id")
+        .select(
+            F.lit(method).alias("method"),
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            "cosine",
+        )
     )
 
 
@@ -256,7 +245,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") == F.col("qbucket"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-    )
+    ).select("method", "query_id", "neighbor_id")
     hits = (
         approx.join(
             F.broadcast(brute),

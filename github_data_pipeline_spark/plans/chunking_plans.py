@@ -24,11 +24,13 @@ _STEP = _CHUNK - _OVERLAP
 @_add(
     "doc_chunk_windows",
     f"""
-    WITH c AS (
+    WITH d AS (
+      SELECT doc_id, COALESCE(text, '') AS text FROM documents
+    ), c AS (
       SELECT doc_id,
              u.i - 1 AS chunk_idx,
              substr(text, (u.i - 1) * {_STEP} + 1, {_CHUNK}) AS chunk_text
-      FROM documents,
+      FROM d,
            UNNEST(generate_series(
              1, 1 + (GREATEST(length(text) - {_CHUNK}, 0) + {_STEP - 1}) // {_STEP}
            )) AS u(i)

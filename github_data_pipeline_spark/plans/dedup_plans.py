@@ -400,7 +400,14 @@ _ASSEMBLE_SQL = " + ".join(
     tags=("dedup", "simhash"),
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # NULL-text guard: the oracle's unnest produces no row for NULL
+    # text (doc absent), while a map-side fold over a NULL array would
+    # emit simhash=0 — filter to keep both engines' doc sets identical.
+    d = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
 
     def bit_votes(h):  # ±1 vote per bit of one token hash
         return F.array(*[

@@ -93,13 +93,19 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     narrow input buys full parallelism for the heavy map stage.
 
     The repartition is CONDITIONAL: when the scan already has at least
-    half the target parallelism (the 100 TB case — thousands of
-    splits), spreading would be a pure-waste full shuffle of the data,
-    so the input is returned untouched. The partition count comes from
-    the physical plan (no job runs).
+    half the target parallelism (and at least 2 partitions — a lone
+    partition always spreads, whatever the core count), spreading would
+    be a pure-waste full shuffle of the data, so the input is returned
+    untouched. An explicitly requested ``partitions`` value is always
+    honored. The partition count comes from planning the scan stage
+    (cheap for file scans, which is what every caller passes — no data
+    job runs).
     """
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 >= n:
+    if partitions is not None:
+        return df.repartition(partitions)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    existing = df.rdd.getNumPartitions()
+    if existing >= max(2, n // 2):
         return df
     return df.repartition(n)
 

@@ -33,13 +33,19 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream of the events table. The on-disk ts physical
     type varies across testdata generations (TIMESTAMP(NANOS) vs
-    TIMESTAMP(MICROS)); probe it via the batch reader and mirror the
-    same conversion (sources/tables.py) so stream and batch see
-    identical instants."""
+    TIMESTAMP(MICROS)); probe the RAW parquet schema (load_table's
+    output is post-conversion, always TimestampType, so it cannot
+    distinguish the two) and mirror the batch conversion
+    (sources/tables.py) so stream and batch see identical instants."""
+    import os
+
     from ..sources.tables import load_table
 
-    batch = load_table(spark, sf_dir, "events")
-    nanos = dict(batch.dtypes).get("ts") != "timestamp"
+    load_table(spark, sf_dir, "events")  # applies session tuning + confs
+    # with nanosAsLong on and NTZ inference off (both set above):
+    # TIMESTAMP(NANOS) surfaces as bigint, TIMESTAMP(MICROS) as timestamp
+    raw_probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    nanos = dict(raw_probe.dtypes).get("ts") == "bigint"
     reader = (
         spark.readStream.schema(
             "event_id long, ts long, user_id long, event_type string, "
