@@ -22,12 +22,11 @@ policy); the local cell-exact checker and bench cover it.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ..functions.lsh import bucket_col, duck_bucket
 from ..sources.tables import load_table
 from .core import REGISTRY
 from .similarity_plans import N_QUERIES, TOP_K, _duck_cos
@@ -35,48 +34,14 @@ from .similarity_plans import N_QUERIES, TOP_K, _duck_cos
 _add = REGISTRY.add
 
 _N_PLANES = 6  # 64 buckets: keeps buckets populated at every test SF
-_DIM = 64
-
-
-def _plane(j: int) -> list[int]:
-    """±1 hyperplane entries from md5 parity — same ints both engines."""
-    return [
-        1
-        if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16) % 2
-        else -1
-        for i in range(_DIM)
-    ]
-
-
-_PLANES = [_plane(j) for j in range(_N_PLANES)]
 
 
 def _bucket_col(vec) -> F.Column:
-    """LSH bucket id: sum of sign bits of the plane dots."""
-    acc = None
-    for j, plane in enumerate(_PLANES):
-        signed = F.zip_with(
-            vec,
-            F.array(*[F.lit(s) for s in plane]),
-            lambda x, s: x.cast("double") * s.cast("double"),
-        )
-        d = F.aggregate(signed, F.lit(0.0), lambda a, v: a + v)
-        bit = F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        acc = bit if acc is None else acc + bit
-    return acc.cast("long")
+    return bucket_col(vec, _N_PLANES)
 
 
 def _duck_bucket(tbl: str) -> str:
-    terms = []
-    for j, plane in enumerate(_PLANES):
-        lst = "list_value(" + ", ".join(str(s) for s in plane) + ")"
-        dot = (
-            f"list_reduce(list_transform(generate_series(1, {_DIM}), "
-            f"i -> {tbl}.embedding[i]::DOUBLE * ({lst})[i]::DOUBLE), "
-            "(x, y) -> x + y)"
-        )
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
+    return duck_bucket(tbl, _N_PLANES)
 
 
 @_add(

@@ -466,16 +466,39 @@ _DUCK_NORM = (
     "i -> {v}.embedding[i]::DOUBLE * {v}.embedding[i]::DOUBLE), (x, y) -> x + y))"
 )
 
+# adaptive sub-celling: per-(label, bucket) occupancy stays ~bounded as
+# the corpus grows (planes double the bucket count per step). The count
+# comparisons are pure integers — no log/ceil float boundary hazard.
+NEARDUP_CELL_TARGET = 2000
+
+from ..functions.lsh import (  # noqa: E402
+    MAX_PLANES,
+    adaptive_n_planes,
+    bucket_col,
+    duck_bucket_masked,
+)
+
+_DUCK_NP = " + ".join(
+    f"(CASE WHEN COUNT(*) > {NEARDUP_CELL_TARGET * (1 << p)} THEN 1 ELSE 0 END)"
+    for p in range(MAX_PLANES)
+)
+
 
 @_add(
     "embedding_neardup_pairs",
     f"""
-    WITH scored AS (
+    WITH np AS (
+      SELECT ({_DUCK_NP}) AS np FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, label, embedding,
+             {duck_bucket_masked('embeddings', 'np.np')} AS bucket
+      FROM embeddings, np
+    ), scored AS (
       SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
              {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')})
                AS cosine
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM bucketed a JOIN bucketed b
+        ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
     SELECT label, vec_a, vec_b, cosine FROM (
       SELECT *, ROW_NUMBER() OVER (
@@ -489,18 +512,34 @@ _DUCK_NORM = (
     "cosine threshold; the query ranks top-3 per cell so the check "
     "stays informative at every scale factor. The dot product is a "
     "left-fold of doubles in array order on both engines — "
-    "bit-identical, no UDF (functions/vectors.py).",
+    "bit-identical, no UDF (functions/vectors.py). Cells are "
+    "ADAPTIVE: when per-label occupancy outgrows NEARDUP_CELL_TARGET, "
+    "deterministic hyperplane-LSH sub-buckets (functions/lsh.py) split "
+    "each label cell — plane count derives from COUNT(*) via integer "
+    "comparisons, identically in both engines, so the measured "
+    "30x-corpus blowup of the fixed-cell plan (410 s, exponent 1.6 — "
+    "SCALING.md before this change) collapses back to bounded "
+    "per-cell work while small corpora keep the exact single-cell "
+    "results. The learned-centroid version of the same knob is "
+    "operators/clustering.assign_cells.",
     tags=("dedup", "embedding"),
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vectors as V
 
     e = load_table(spark, sf_dir, "embeddings")
+    # adaptive plane count from the corpus size (metadata-only count);
+    # both engines compute the same integer from the same relation
+    n_planes = adaptive_n_planes(e.count(), NEARDUP_CELL_TARGET)
     # precompute each vector's norm once (|rows| folds) instead of
     # twice per pair (|pairs| folds) — identical IEEE result, ~2/3
     # fewer array folds in the quadratic stage
     withnorm = e.select(
-        "vec_id", "label", "embedding", V.norm("embedding").alias("nrm")
+        "vec_id",
+        "label",
+        "embedding",
+        V.norm("embedding").alias("nrm"),
+        bucket_col(F.col("embedding"), n_planes).alias("bucket"),
     )
     a = withnorm.alias("a")
     b = withnorm.alias("b")
@@ -510,6 +549,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.label").alias("label"),
