@@ -17,3 +17,33 @@ def test_ann_lsh_topk_nonvacuous(spark, sf_dir):
     assert len(by_query) == 8
     again = q(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_adaptive_n_planes_boundaries():
+    """Plane count doubles the bucket space exactly when the corpus
+    crosses target * 2^p — strict inequality, integer-only."""
+    from github_data_pipeline_spark.functions.lsh import (
+        MAX_PLANES,
+        adaptive_n_planes,
+    )
+
+    t = 2000
+    assert adaptive_n_planes(0, t) == 0
+    assert adaptive_n_planes(t, t) == 0        # boundary: not strictly greater
+    assert adaptive_n_planes(t + 1, t) == 1
+    assert adaptive_n_planes(2 * t, t) == 1
+    assert adaptive_n_planes(2 * t + 1, t) == 2
+    assert adaptive_n_planes(60000, t) == 5
+    assert adaptive_n_planes(10**12, t) == MAX_PLANES  # capped
+
+
+def test_bucket_col_zero_planes_is_constant(spark):
+    from pyspark.sql import functions as F
+
+    from github_data_pipeline_spark.functions.lsh import bucket_col
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    ).select(bucket_col(F.col("embedding"), 0).alias("b"))
+    assert {r.b for r in df.collect()} == {0}

@@ -50,6 +50,8 @@ TARGETS = (
     "doc_fulltext_search",
     "substring_dup_spans",
     "doc_chunk_windows",
+    "ann_lsh_topk",
+    "doc_pii_scrub",
 )
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
