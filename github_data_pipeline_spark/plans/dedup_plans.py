@@ -332,8 +332,27 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"sa.sig{i}") == F.col(f"sb.sig{i}"), 1
         ).otherwise(0)
         matches = term if matches is None else matches + term
-    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
-    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    # shingle arrays are needed ONLY for candidate docs — semi-join the
+    # (broadcast-tiny) candidate id sets BEFORE the expensive n-gram
+    # compute, so each verify side tokenizes |candidates| docs instead
+    # of re-shingling the whole corpus (the sigs pass above remains the
+    # single corpus-wide shingle computation).
+    ids_a = cands.select(F.col("doc_a").alias("doc_id")).distinct()
+    ids_b = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+    ga = (
+        d.join(F.broadcast(ids_a), "doc_id")
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.array_distinct(T.word_ngrams(T.tokens("text"), 3)).alias("ga"),
+        )
+    )
+    gb = (
+        d.join(F.broadcast(ids_b), "doc_id")
+        .select(
+            F.col("doc_id").alias("doc_b"),
+            F.array_distinct(T.word_ngrams(T.tokens("text"), 3)).alias("gb"),
+        )
+    )
     shared = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     union_size = F.size("ga") + F.size("gb") - shared
     return (
