@@ -61,19 +61,25 @@ def bucket_col(vec: Column, n_planes: int) -> Column:
     return acc.cast("long")
 
 
+def _duck_dot(tbl: str, j: int) -> str:
+    """DuckDB signed dot of ``tbl.embedding`` with plane ``j`` — the
+    single source for the fold shape both bucket renderers share."""
+    lst = "list_value(" + ", ".join(str(s) for s in PLANES[j]) + ")"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        f"i -> {tbl}.embedding[i]::DOUBLE * ({lst})[i]::DOUBLE), "
+        "(x, y) -> x + y)"
+    )
+
+
 def duck_bucket(tbl: str, n_planes: int) -> str:
     """DuckDB twin of ``bucket_col`` with a literal plane count."""
     if n_planes == 0:
         return "0"
-    terms = []
-    for j in range(n_planes):
-        lst = "list_value(" + ", ".join(str(s) for s in PLANES[j]) + ")"
-        dot = (
-            f"list_reduce(list_transform(generate_series(1, {DIM}), "
-            f"i -> {tbl}.embedding[i]::DOUBLE * ({lst})[i]::DOUBLE), "
-            "(x, y) -> x + y)"
-        )
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    terms = [
+        f"(CASE WHEN {_duck_dot(tbl, j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    ]
     return "(" + " + ".join(terms) + ")"
 
 
@@ -82,15 +88,9 @@ def duck_bucket_masked(tbl: str, np_expr: str) -> str:
     ``np_expr`` is a SQL expression (e.g. a scalar-subquery column) —
     all MAX_PLANES terms are emitted and masked by the plane count, so
     the plane set never depends on data while the bucket width does."""
-    terms = []
-    for j in range(MAX_PLANES):
-        lst = "list_value(" + ", ".join(str(s) for s in PLANES[j]) + ")"
-        dot = (
-            f"list_reduce(list_transform(generate_series(1, {DIM}), "
-            f"i -> {tbl}.embedding[i]::DOUBLE * ({lst})[i]::DOUBLE), "
-            "(x, y) -> x + y)"
-        )
-        terms.append(
-            f"(CASE WHEN {j} < {np_expr} AND {dot} > 0 THEN {1 << j} ELSE 0 END)"
-        )
+    terms = [
+        f"(CASE WHEN {j} < {np_expr} AND {_duck_dot(tbl, j)} > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(MAX_PLANES)
+    ]
     return "(" + " + ".join(terms) + ")"

@@ -35,6 +35,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.lsh import (
+    MAX_PLANES,
+    adaptive_n_planes,
+    bucket_col,
+    duck_bucket_masked,
+)
 from ..sources.tables import load_table, spread
 from .core import REGISTRY
 
@@ -320,9 +326,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = grams.select("doc_id", F.explode("g").alias("s"))
     sigs = minhash_signatures(sh)
     bands = band_index(sigs)
-    cands = lsh_candidates(bands)
-    # verify stage: candidates are a tiny fraction of the corpus, so
-    # broadcast them — the signature and shingle-array lookups become
+    # candidates are a tiny fraction of the corpus; localCheckpoint
+    # materializes them ONCE so the three downstream broadcast uses
+    # (cands itself + the two id sets pruning the verify sides) do not
+    # each re-evaluate the whole shingle->sig->band->join lineage
+    cands = lsh_candidates(bands).localCheckpoint()
+    # verify stage: the signature and shingle-array lookups become
     # map-side joins that move only candidate docs' data
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
@@ -358,8 +367,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sa.join(F.broadcast(cands), F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .join(ga, "doc_a")
-        .join(gb, "doc_b")
+        .join(F.broadcast(ga), "doc_a")
+        .join(F.broadcast(gb), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -488,14 +497,12 @@ _DUCK_NORM = (
 # adaptive sub-celling: per-(label, bucket) occupancy stays ~bounded as
 # the corpus grows (planes double the bucket count per step). The count
 # comparisons are pure integers — no log/ceil float boundary hazard.
+# NOTE: the inequality is strict, and sf0.1 ships EXACTLY 2000
+# embeddings — on the boundary by coincidence, so n_planes is 0 at
+# every test SF and oracle results are unchanged; a regenerated corpus
+# crossing the target flips planes on in BOTH engines in lockstep (the
+# correctness gate still passes; only bench baselines would shift).
 NEARDUP_CELL_TARGET = 2000
-
-from ..functions.lsh import (  # noqa: E402
-    MAX_PLANES,
-    adaptive_n_planes,
-    bucket_col,
-    duck_bucket_masked,
-)
 
 _DUCK_NP = " + ".join(
     f"(CASE WHEN COUNT(*) > {NEARDUP_CELL_TARGET * (1 << p)} THEN 1 ELSE 0 END)"
@@ -547,8 +554,11 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vectors as V
 
     e = load_table(spark, sf_dir, "embeddings")
-    # adaptive plane count from the corpus size (metadata-only count);
-    # both engines compute the same integer from the same relation
+    # adaptive plane count from the corpus size. e.count() runs one
+    # narrow Spark job at builder time (parquet row-group counts, no
+    # column data) — the eager cost of making the plan shape follow
+    # the data; both engines compute the same integer from the same
+    # relation, so bucket widths agree
     n_planes = adaptive_n_planes(e.count(), NEARDUP_CELL_TARGET)
     # precompute each vector's norm once (|rows| folds) instead of
     # twice per pair (|pairs| folds) — identical IEEE result, ~2/3

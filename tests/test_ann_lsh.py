@@ -47,3 +47,46 @@ def test_bucket_col_zero_planes_is_constant(spark):
         "vec_id long, embedding array<float>",
     ).select(bucket_col(F.col("embedding"), 0).alias("b"))
     assert {r.b for r in df.collect()} == {0}
+
+
+def test_masked_bucket_matches_spark_at_five_planes(spark):
+    """Cross-engine parity of the ACTIVE mask path: every oracle SF has
+    n_planes == 0 (corpus <= NEARDUP_CELL_TARGET), so without this test
+    a bug in duck_bucket_masked's bit weights or mask comparison would
+    surface only on the first real corpus past the target."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from github_data_pipeline_spark.functions.lsh import (
+        bucket_col,
+        duck_bucket_masked,
+    )
+
+    vecs = [
+        (i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(64)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r.b
+        for r in df.select(
+            "vec_id", bucket_col(F.col("embedding"), 5).alias("b")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {v}::FLOAT[])" for i, v in ((i, list(map(float, v))) for i, v in vecs)
+        )
+        + ") t(vec_id, embedding)"
+    )
+    want = dict(
+        con.execute(
+            f"SELECT vec_id, {duck_bucket_masked('embeddings', '5')} FROM embeddings"
+        ).fetchall()
+    )
+    assert got == want
+    assert len(set(got.values())) > 1  # planes actually split the space
