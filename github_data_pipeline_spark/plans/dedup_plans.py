@@ -400,7 +400,8 @@ _ASSEMBLE_SQL = " + ".join(
     f"""
     WITH tokc AS (
       SELECT doc_id, tok, COUNT(*) AS w
-      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      FROM (SELECT doc_id, unnest(list_filter({_TOKS}, t -> t <> '')) AS tok
+            FROM documents)
       GROUP BY doc_id, tok
     ), hashed AS (
       SELECT doc_id, {_DUCK_H32} AS h, w FROM tokc
@@ -428,13 +429,18 @@ _ASSEMBLE_SQL = " + ".join(
     tags=("dedup", "simhash"),
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL-text guard: the oracle's unnest produces no row for NULL
-    # text (doc absent), while a map-side fold over a NULL array would
-    # emit simhash=0 — filter to keep both engines' doc sets identical.
+    # Zero-token guard: for NULL text the oracle's unnest produces no
+    # row (doc absent), and for empty/whitespace-only text the oracle's
+    # list_filter drops the '' token so the doc contributes no hashed
+    # rows either — while a map-side fold over an empty/NULL array
+    # would emit simhash=0. Both engines must drop zero-token docs
+    # identically, so filter on token count, not just NULL.
     d = spread(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .filter(F.col("text").isNotNull())
+        .filter(
+            F.col("text").isNotNull() & (F.size(T.tokens("text")) > 0)
+        )
     )
 
     def bit_votes(h):  # ±1 vote per bit of one token hash
