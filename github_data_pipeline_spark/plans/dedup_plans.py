@@ -324,12 +324,20 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the measured warm time favors the reused exchange (2.1s vs 5.5s
     # at sf0.1, interpreted HOF folds vs codegen'd partial mins).
     sh = grams.select("doc_id", F.explode("g").alias("s"))
-    sigs = minhash_signatures(sh)
+    # materialize the signature table ONCE: every downstream consumer
+    # (band index, both verify sides) reads the checkpointed 17-column
+    # row of longs instead of re-running the corpus-wide shingle
+    # explode + groupBy — previously the cands checkpoint job shingled
+    # the corpus and then the final job shingled it AGAIN for sa/sb
+    # (ReusedExchange only dedups within a job). Signatures are
+    # n_docs x 16 longs (~128 B/doc) — at 100 TB this is the persisted
+    # signature table a production pipeline would write anyway.
+    sigs = minhash_signatures(sh).localCheckpoint()
     bands = band_index(sigs)
-    # candidates are a tiny fraction of the corpus; localCheckpoint
-    # materializes them ONCE so the three downstream broadcast uses
-    # (cands itself + the two id sets pruning the verify sides) do not
-    # each re-evaluate the whole shingle->sig->band->join lineage
+    # candidates are a tiny fraction of the corpus; materializing them
+    # too makes the three downstream broadcast uses (cands itself + the
+    # two id sets pruning the verify sides) free instead of each
+    # re-running the band self-join
     cands = lsh_candidates(bands).localCheckpoint()
     # verify stage: the signature and shingle-array lookups become
     # map-side joins that move only candidate docs' data
