@@ -90,3 +90,20 @@ def test_masked_bucket_matches_spark_at_five_planes(spark):
     )
     assert got == want
     assert len(set(got.values())) > 1  # planes actually split the space
+
+
+def test_multiprobe_recall_monotone(spark, sf_dir):
+    """Widening the probe can only add candidates (nested sets), so
+    recall@5 must be non-decreasing per query: ivf_p1 <= ivf_p2 <=
+    ivf_p4 and lsh (Hamming-0) <= lsh_h1. Also pins the method row
+    layout the oracle mirrors (6 methods x 8 queries)."""
+    from github_data_pipeline_spark.plans import all_plans
+
+    rows = all_plans()["ann_recall"].builder(spark, sf_dir).collect()
+    by = {(r.method, r.query_id): r.recall_at_5 for r in rows}
+    methods = {m for m, _ in by}
+    assert methods == {"ivf", "ivf_p1", "ivf_p2", "ivf_p4", "lsh", "lsh_h1"}
+    assert len(rows) == 6 * 8
+    for qid in range(8):
+        assert by[("ivf_p1", qid)] <= by[("ivf_p2", qid)] <= by[("ivf_p4", qid)]
+        assert by[("lsh", qid)] <= by[("lsh_h1", qid)]
