@@ -104,10 +104,17 @@ def ensure_table(
     df: DataFrame,
     table: str,
     partition_by: tuple[str, ...] = ("repo_name",),
+    index_prefix: str = "",
 ) -> None:
     """Catalog-managed table DDL — the reference's create-if-missing
     index mapping (client.py:36-52): first write creates the table,
-    later writes append; schema is enforced by the catalog."""
+    later writes append; schema is enforced by the catalog.
+
+    ``index_prefix`` namespaces the table the way the reference's
+    indexing CLI prefixes every target index
+    (``src/indexing/indexer.py:128-129,149``: ``f"{index_prefix}{idx}"``)
+    — one warehouse can hold e.g. ``dev_`` and ``prod_`` twins."""
+    table = f"{index_prefix}{table}"
     if spark.catalog.tableExists(table):
         # insertInto is positional and partitioned tables reorder
         # columns (partition cols last) — align by name first
@@ -132,13 +139,21 @@ def bulk_index(
     id_col: str,
     send_batch: Callable[[list[tuple[str, str]]], int],
     batch_size: int = 500,
+    dry_run: bool = False,
 ) -> tuple[int, int]:
     """ES-bulk-shaped sink: (doc-id, json-doc) batches through
     ``send_batch`` (returns #ok), with ok/fail accounting
     (client.py:54-102). The real ES writer is the elasticsearch-hadoop
     connector (`es.mapping.id`); this path exists for parity tests and
     air-gapped runs — batches stream through toLocalIterator, bounding
-    driver memory at one batch."""
+    driver memory at one batch.
+
+    ``dry_run=True`` mirrors the reference CLI's ``--dry-run``
+    (``src/indexing/indexer.py:158-160``): count the docs that *would*
+    index without touching the sink — here a distributed count, not a
+    driver-side parse loop — returned as (ok, 0)."""
+    if dry_run:
+        return int(df.count()), 0
     docs = df.select(
         F.col(id_col).alias("_id"), F.to_json(F.struct(*df.columns)).alias("_doc")
     )

@@ -26,6 +26,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None, help="warehouse dir")
     ap.add_argument("--max-prs", type=int, default=0)
+    ap.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="count the docs each table would write without writing "
+        "(reference indexer.py:158-160)",
+    )
+    ap.add_argument(
+        "--prefix",
+        default="",
+        help="namespace every output table/view, like the reference's "
+        "--prefix on index names (indexer.py:128-129)",
+    )
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     ap.add_argument(
         "--curate",
@@ -50,18 +62,31 @@ def main() -> None:
     out = args.out or os.path.join(tempfile.gettempdir(), "gdp_warehouse")
     fixtures = load_fixtures(spark)
     tables = process_repo(fixtures, REPO, max_prs=args.max_prs)
-    paths = write_repo_tables(tables, out)
+    if args.dry_run:
+        print(f"(dry-run) would write {len(tables)} tables under {out}:")
+        for name in sorted(tables):
+            print(f"  (dry-run) {args.prefix}{name:28s} "
+                  f"{tables[name].count():6d} docs")
+        return
+    paths = write_repo_tables(
+        tables, os.path.join(out, args.prefix) if args.prefix else out
+    )
     print(f"wrote {len(paths)} tables under {out}:")
     for name, path in sorted(paths.items()):
-        print(f"  {name:28s} {spark.read.parquet(path).count():6d} rows")
+        print(f"  {args.prefix}{name:28s} {spark.read.parquet(path).count():6d} rows")
 
-    register_views(spark, {n: spark.read.parquet(p) for n, p in paths.items()})
+    register_views(
+        spark,
+        {n: spark.read.parquet(p) for n, p in paths.items()},
+        prefix=args.prefix,
+    )
+    p = args.prefix
     print("\nscenario smoke (spark.sql):")
     for label, sql in [
-        ("open/closed issues", "SELECT COUNT(*) AS total, SUM(CASE WHEN state='open' THEN 1 ELSE 0 END) AS open FROM issues"),
-        ("distinct authors", "SELECT COUNT(DISTINCT user.login) AS authors FROM issues"),
-        ("top cross-repo target", "SELECT target.repo_name AS t, COUNT(*) AS refs FROM cross_repo_links GROUP BY 1 ORDER BY refs DESC, t LIMIT 1"),
-        ("auto-close links", "SELECT COUNT(*) AS n FROM pr_links WHERE would_auto_close"),
+        ("open/closed issues", f"SELECT COUNT(*) AS total, SUM(CASE WHEN state='open' THEN 1 ELSE 0 END) AS open FROM {p}issues"),
+        ("distinct authors", f"SELECT COUNT(DISTINCT user.login) AS authors FROM {p}issues"),
+        ("top cross-repo target", f"SELECT target.repo_name AS t, COUNT(*) AS refs FROM {p}cross_repo_links GROUP BY 1 ORDER BY refs DESC, t LIMIT 1"),
+        ("auto-close links", f"SELECT COUNT(*) AS n FROM {p}pr_links WHERE would_auto_close"),
     ]:
         print(f"  {label}: {[tuple(r) for r in spark.sql(sql).collect()]}")
 

@@ -115,3 +115,35 @@ def test_upsert_rewrites_only_affected_partitions(spark, tmp_path):
         ("o/b", 2): "closed",
         ("o/b", 3): "open",
     }
+
+
+def test_bulk_index_dry_run_counts_without_sending(spark):
+    """--dry-run twin (reference indexer.py:158-160): count docs that
+    would index; the sink callable must never fire."""
+    df = spark.createDataFrame(
+        [("o/a", n, "open") for n in range(5)], SCHEMA
+    ).withColumn("_key", key_issue("repo_name", "number"))
+    calls = []
+    ok, fail = bulk_index(df, "_key", lambda b: calls.append(b) or len(b),
+                          batch_size=2, dry_run=True)
+    assert (ok, fail) == (5, 0)
+    assert calls == []
+
+
+def test_ensure_table_index_prefix_namespaces(spark):
+    """index_prefix twin (reference indexer.py:128-129): the same
+    logical table lands under two independent namespaces."""
+    import uuid
+
+    from github_data_pipeline_spark.sources.sinks import ensure_table
+
+    base = f"t_{uuid.uuid4().hex[:8]}"
+    df = spark.createDataFrame([("o/a", 1, "open")], SCHEMA)
+    ensure_table(spark, df, base, index_prefix="dev_")
+    ensure_table(spark, df, base, index_prefix="prod_")
+    ensure_table(spark, df, base, index_prefix="dev_")  # append, not create
+    assert spark.table(f"dev_{base}").count() == 2
+    assert spark.table(f"prod_{base}").count() == 1
+    assert not spark.catalog.tableExists(base)
+    spark.sql(f"DROP TABLE dev_{base}")
+    spark.sql(f"DROP TABLE prod_{base}")
