@@ -97,38 +97,141 @@ def merge_pair_col(syms: Column, left: str, right: str) -> Column:
     return F.aggregate(syms, F.array().cast("array<string>"), step)
 
 
+def merge_pairs_col(syms: Column, pairs: list[tuple[str, str]]) -> Column:
+    """One left-to-right fold applying several *symbol-disjoint* merges.
+
+    With pairwise-disjoint symbol sets at most one pair can match any
+    (prev, next) adjacency, so a single pass is exactly equivalent to
+    folding each pair sequentially (order irrelevant).
+    """
+    merged = {p: p[0] + p[1] for p in pairs}
+
+    def step(acc: Column, x: Column) -> Column:
+        nonempty = F.size(acc) > 0
+        last = F.element_at(acc, -1)
+        expr = F.concat(acc, F.array(x))
+        for left, right in pairs:
+            hit = nonempty & (last == F.lit(left)) & (x == F.lit(right))
+            expr = F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(merged[(left, right)])),
+                ),
+            ).otherwise(expr)
+        return expr
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def _safe_merge_prefix(
+    top: list, window_full: bool, budget: int, min_freq: int
+) -> list:
+    """The longest prefix of the sorted pair window provably equal to
+    what sequential BPE would pick, decided from ONE round's counts.
+
+    Candidate ``P_k`` (k >= 2) is accepted only when every way the
+    earlier accepted merges could perturb the next sequential argmax is
+    ruled out by the counts already in hand:
+
+    * **disjoint**: ``P_k`` shares no symbol with an accepted pair, so
+      its own count is invariant under their merges (a merge of (a, b)
+      only touches adjacencies involving ``a`` or ``b``);
+    * **window bound**: pairs outside the collected window have
+      ``freq <= freq(last collected)``; require ``P_k.freq`` strictly
+      above that, so no unseen pair (or new pair bounded by one) can
+      reach it;
+    * **adjacency bound**: a merge of (a, b) creates only pairs
+      ``(x, ab)`` / ``(ab, y)`` with counts bounded by the old
+      ``(x, a)`` / ``(b, y)``; require every such windowed bound to be
+      strictly below ``P_k.freq`` (ties rejected — a new pair could
+      win the lexicographic tie-break).
+
+    Acceptance stops at the first rejection: a skipped pair may still
+    out-rank everything later once its count shrinks, so only a prefix
+    is ever provably safe.  ``P_1`` is the true argmax and always
+    accepted.
+    """
+    accepted = [top[0]]
+    used = {top[0].left, top[0].right}
+    floor = top[-1].freq if window_full else 0
+    for cand in top[1:]:
+        if len(accepted) >= budget or cand.freq < min_freq:
+            break
+        if cand.left in used or cand.right in used:
+            break
+        if cand.freq <= floor:
+            break
+        threat = False
+        for pj in accepted:
+            for q in top:
+                if (q.left, q.right) == (pj.left, pj.right):
+                    continue
+                if (q.right == pj.left or q.left == pj.right) and (
+                    q.freq >= cand.freq
+                ):
+                    threat = True
+                    break
+            if threat:
+                break
+        if threat:
+            break
+        accepted.append(cand)
+        used.update((cand.left, cand.right))
+    return accepted
+
+
 def learn_bpe(
     docs: DataFrame,
     n_merges: int = 32,
     text_col: str = "text",
     min_freq: int = 2,
+    batch_candidates: int = 64,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right, freq), ...].
 
-    Stops early when no pair reaches ``min_freq``. Each iteration is
-    one shuffle over the cached vocabulary table plus a 1-row collect.
+    Stops early when no pair reaches ``min_freq``. Each round is one
+    aggregation over the cached vocabulary collecting the top
+    ``batch_candidates`` pairs, from which a provably-safe prefix of
+    merges (see :func:`_safe_merge_prefix`) is accepted at once and
+    folded in a single pass — the merge list is *identical* to the
+    one-merge-per-job loop (pinned property-style in tests/test_bpe.py)
+    but needs a fraction of the driver round-trips, which is what makes
+    training latency-sane on a real cluster where every job carries
+    scheduling overhead.  ``batch_candidates=1`` degenerates to the
+    classic one-at-a-time loop.
     """
+    window = max(1, batch_candidates)
     vocab = word_counts(docs, text_col).withColumn(
         "syms", _chars(F.col("word"))
     )
     vocab = vocab.select("syms", "count").cache()
     try:
         merges: list[tuple[str, str, int]] = []
-        for _ in range(n_merges):
+        while len(merges) < n_merges:
             top = (
                 _pair_counts(vocab)
                 .orderBy(
                     F.desc("freq"), F.asc("left"), F.asc("right")
                 )
-                .limit(1)
+                .limit(window)
                 .collect()
             )
             if not top or top[0].freq < min_freq:
                 break
-            left, right, freq = top[0].left, top[0].right, top[0].freq
-            merges.append((left, right, int(freq)))
+            accepted = _safe_merge_prefix(
+                top,
+                window_full=len(top) == window,
+                budget=n_merges - len(merges),
+                min_freq=min_freq,
+            )
+            merges.extend(
+                (c.left, c.right, int(c.freq)) for c in accepted
+            )
             new_vocab = vocab.select(
-                merge_pair_col(F.col("syms"), left, right).alias("syms"),
+                merge_pairs_col(
+                    F.col("syms"), [(c.left, c.right) for c in accepted]
+                ).alias("syms"),
                 "count",
             ).cache()
             vocab.unpersist()

@@ -146,3 +146,54 @@ def test_registry_entry_shape(spark, sf_dir):
     assert len(rows) > 0
     assert [r.rank for r in rows] == list(range(len(rows)))
     assert all(r.freq >= 2 for r in rows)
+
+
+def test_batched_equals_one_at_a_time(spark):
+    """The safe-prefix batch trainer must reproduce the classic
+    one-merge-per-job list exactly — on the toy corpus and with an
+    awkward window size."""
+    texts = ["low low low lower lower", "newest newest widest lowest",
+             "aaa aab b2b x abc ab ab"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    sequential = bpe.learn_bpe(docs, n_merges=8, batch_candidates=1)
+    for window in (2, 3, 64):
+        assert bpe.learn_bpe(docs, n_merges=8, batch_candidates=window) == sequential
+    assert sequential == ref_learn_bpe(texts, 8)
+
+
+def test_safe_prefix_unit():
+    """Decision table for the batch-acceptance rule."""
+    from collections import namedtuple
+
+    P = namedtuple("P", "left right freq")
+    # disjoint runner-up accepted; overlapping pair stops the prefix
+    top = [P("a", "b", 100), P("d", "e", 95), P("b", "c", 90)]
+    got = bpe._safe_merge_prefix(top, window_full=False, budget=8, min_freq=2)
+    assert [(p.left, p.right) for p in got] == [("a", "b"), ("d", "e")]
+    # adjacency threat: (b,c).freq >= candidate freq -> only argmax
+    top = [P("a", "b", 100), P("d", "e", 90), P("b", "c", 95)]
+    got = bpe._safe_merge_prefix(top, window_full=False, budget=8, min_freq=2)
+    assert [(p.left, p.right) for p in got] == [("a", "b")]
+    # full window: candidate at the floor freq is rejected
+    top = [P("a", "b", 100), P("d", "e", 95)]
+    got = bpe._safe_merge_prefix(top, window_full=True, budget=8, min_freq=2)
+    assert [(p.left, p.right) for p in got] == [("a", "b")]
+    # budget truncates
+    top = [P("a", "b", 100), P("d", "e", 95), P("f", "g", 80)]
+    got = bpe._safe_merge_prefix(top, window_full=False, budget=1, min_freq=2)
+    assert len(got) == 1
+
+
+def test_merge_pairs_col_multi(spark):
+    df = spark.createDataFrame(
+        [(["c", "a", "b", "d"],), (["c", "d", "a", "b"],), ([],)], ["syms"]
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            bpe.merge_pairs_col(F.col("syms"), [("a", "b"), ("c", "d")])
+        ).collect()
+    ]
+    assert got == [["c", "ab", "d"], ["cd", "ab"], []]
