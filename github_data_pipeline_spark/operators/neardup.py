@@ -122,6 +122,73 @@ def band_index(sigs: DataFrame) -> DataFrame:
     )
 
 
+LSH_BUCKET_CAP = 32  # band buckets: all-pairs below, star-pairs above
+SIMHASH_BUCKET_CAP = 64  # 16-bit-prefix buckets (denser than bands)
+
+
+def capped_bucket_pairs(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    payload_cols: list[str],
+    cap: int,
+) -> DataFrame:
+    """Bucket-local pair generation with an occupancy cap — the skew
+    guard for every LSH family.
+
+    One shuffle groups rows into a sorted posting list per bucket
+    (payload struct ordered by its first field, the unique id). Buckets
+    at or under ``cap`` emit all C(m, 2) pairs map-side; an OVERSIZED
+    bucket — one boilerplate mega-cluster at 100 TB — emits STAR pairs
+    (list minimum vs. each other member): linear fan-out instead of
+    quadratic, while every member still connects to the same component,
+    so downstream cluster resolution (operators/components.py) elects
+    the identical keeper set. Compare NEARDUP_DF_CAP, which *drops* hot
+    shingles because a shingle is evidence, not identity; a hot LSH
+    bucket IS the near-dup cluster, so its members must stay linked.
+
+    Returns one row per pair: (*bucket_cols, p struct<a, b>) with
+    ``p.a < p.b`` element-wise (both branches draw from the sorted
+    list). Callers project/distinct as needed.
+    """
+    s = F.struct(*[F.col(c) for c in payload_cols])
+    posting = (
+        rows.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_list(s)).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + F.lit(2), F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    star = F.transform(
+        F.slice(F.col("docs"), 2, F.size(F.col("docs"))),
+        lambda y: F.struct(
+            F.element_at(F.col("docs"), 1).alias("a"), y.alias("b")
+        ),
+    )
+    pairs = F.when(F.size("docs") <= cap, all_pairs).otherwise(star)
+    return posting.select(*bucket_cols, F.explode(pairs).alias("p"))
+
+
+def lsh_candidates_capped(
+    bands: DataFrame, cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Distinct candidate pairs from the band index with the occupancy
+    cap engaged — the scale-safe full-build path (the uncapped
+    ``lsh_candidates`` join remains for exact incremental-equivalence
+    proofs on bounded corpora)."""
+    p = capped_bucket_pairs(bands, ["band", "key"], ["doc_id"], cap)
+    return p.select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+    ).distinct()
+
+
 def lsh_candidates(bands: DataFrame) -> DataFrame:
     """All-pairs candidates within one band index (full build)."""
     a = bands.alias("a")

@@ -56,15 +56,34 @@ _GRAMS = (
 # incremental maintenance path); the SQL oracles embed the same
 # literals. p fits products in int64: a < 2^31, (h % p) < 2^30.
 from ..operators.neardup import (  # noqa: E402
+    LSH_BUCKET_CAP,
     MINHASH_BAND_ROWS,
     MINHASH_K,
     MINHASH_P,
     MINHASH_PERMS,
+    SIMHASH_BUCKET_CAP,
     band_index,
+    capped_bucket_pairs,
     doc_shingles,
-    lsh_candidates,
+    lsh_candidates_capped,
     minhash_signatures,
 )
+
+
+def _duck_capped_pairs(cap: int) -> str:
+    """DuckDB twin of operators/neardup.capped_bucket_pairs over a
+    ``buckets(docs)`` CTE: all C(m,2) pairs for occupancy <= cap, star
+    pairs (min element vs rest) above."""
+    return f"""
+      SELECT unnest(CASE WHEN len(docs) <= {cap}
+        THEN flatten(list_transform(generate_series(1, len(docs)-1),
+             i -> list_transform(generate_series(i+1, len(docs)),
+                  j -> {{'a': docs[i], 'b': docs[j]}})))
+        ELSE list_transform(generate_series(2, len(docs)),
+             j -> {{'a': docs[1], 'b': docs[j]}})
+        END) AS p
+      FROM buckets
+    """
 
 # 60-bit md5 prefix -> integer, then reduced mod p. Identical on both
 # engines because md5 hex is identical (operators/neardup.shingle_hash
@@ -275,10 +294,13 @@ _SIG_MATCHES_SQL = " + ".join(
     ), bands AS (
       SELECT doc_id, u.b.band AS band, u.b.key AS key
       FROM sigs, UNNEST([{_BAND_STRUCTS_SQL}]) AS u(b)
+    ), buckets AS (
+      SELECT band, key, list_sort(list(doc_id)) AS docs
+      FROM bands GROUP BY band, key HAVING COUNT(*) >= 2
+    ), rawpairs AS (
+      {_duck_capped_pairs(LSH_BUCKET_CAP)}
     ), cands AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      SELECT DISTINCT p.a AS doc_a, p.b AS doc_b FROM rawpairs
     )
     SELECT c.doc_a, c.doc_b,
            CAST(({_SIG_MATCHES_SQL}) AS BIGINT) AS matching_components,
@@ -302,10 +324,13 @@ _SIG_MATCHES_SQL = " + ".join(
     "shingle-set intersection, reported next to the unbiased signature "
     "estimator (matching components / k) — the recall/precision dial "
     "for choosing k and band shape. Signatures are 16 map-side MINs "
-    "over one shingle shuffle; the band self-join touches only bucket "
-    "collisions, and the verify join moves only candidate docs' "
-    "shingle arrays — the structure that makes 100 TB near-dup "
-    "linear-ish instead of quadratic.",
+    "over one shingle shuffle; candidates come from CAPPED bucket "
+    "posting lists (all pairs at occupancy <= LSH_BUCKET_CAP, star "
+    "pairs above — a boilerplate mega-cluster links every member to "
+    "its minimum instead of exploding C(m,2), preserving connectivity "
+    "for cluster resolution), and the verify join moves only candidate "
+    "docs' shingle arrays — the structure that makes 100 TB near-dup "
+    "linear-ish instead of quadratic even under hot-band skew.",
     tags=("dedup", "minhash", "lsh"),
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,8 +362,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates are a tiny fraction of the corpus; materializing them
     # too makes the three downstream broadcast uses (cands itself + the
     # two id sets pruning the verify sides) free instead of each
-    # re-running the band self-join
-    cands = lsh_candidates(bands).localCheckpoint()
+    # re-running the bucket grouping
+    cands = lsh_candidates_capped(bands).localCheckpoint()
     # verify stage: the signature and shingle-array lookups become
     # map-side joins that move only candidate docs' data
     sa = sigs.alias("sa")
@@ -418,22 +443,29 @@ _ASSEMBLE_SQL = " + ".join(
       FROM hashed GROUP BY doc_id
     ), sims AS (
       SELECT doc_id, CAST({_ASSEMBLE_SQL} AS BIGINT) AS simhash FROM bitsums
+    ), buckets AS (
+      SELECT (simhash >> 16) AS pfx,
+             list_sort(list({{'d': doc_id, 'h': simhash}})) AS docs
+      FROM sims GROUP BY (simhash >> 16) HAVING COUNT(*) >= 2
+    ), rawpairs AS (
+      {_duck_capped_pairs(SIMHASH_BUCKET_CAP)}
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM sims a JOIN sims b
-      ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    SELECT p.a.d AS doc_a, p.b.d AS doc_b,
+           CAST(bit_count(xor(p.a.h, p.b.h)) AS BIGINT) AS hamming
+    FROM rawpairs
+    WHERE bit_count(xor(p.a.h, p.b.h)) <= 6
     """,
     doc="32-bit SimHash near-dup: per-token md5-derived hash, "
     "occurrence-weighted bit votes, sign-assembled signature; pairs "
     "must agree on the high-16-bit prefix band (bucketing that avoids "
     "the full cross join) and lie within hamming distance 6. The "
     "signature is one map-side array fold per document (aggregate + "
-    "zip_with over the token array) — zero shuffles until the band "
-    "join, vs. the naive explode + two grouped aggregates which "
+    "zip_with over the token array) — zero shuffles until the bucket "
+    "grouping, vs. the naive explode + two grouped aggregates which "
     "shuffles every (doc, token) pair. Voting ±1 per token occurrence "
-    "equals the oracle's ±count per distinct token.",
+    "equals the oracle's ±count per distinct token. Prefix buckets are "
+    "OCCUPANCY-CAPPED (SIMHASH_BUCKET_CAP) like the MinHash bands: an "
+    "identical-boilerplate mega-cluster emits star pairs, not C(m,2).",
     tags=("dedup", "simhash"),
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,22 +506,25 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("votes"), j + 1) > 0, F.lit(1 << j)
         ).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    sims = voted.select("doc_id", simhash.cast("long").alias("simhash"))
-    a = sims.alias("a")
-    b = sims.alias("b")
+    sims = voted.select(
+        "doc_id",
+        simhash.cast("long").alias("simhash"),
+        F.shiftright(simhash.cast("long"), 16).alias("pfx"),
+    )
+    # posting-list pairs per prefix bucket, occupancy-capped; the
+    # payload struct carries each doc's signature so hamming computes
+    # map-side with no re-join against sims
+    pairs = capped_bucket_pairs(
+        sims, ["pfx"], ["doc_id", "simhash"], SIMHASH_BUCKET_CAP
+    )
     hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
     )
     return (
-        a.join(
-            b,
-            (F.shiftright(F.col("a.simhash"), 16) == F.shiftright(F.col("b.simhash"), 16))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(hamming <= 6)
+        pairs.filter(hamming <= 6)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
             hamming.cast("long").alias("hamming"),
         )
     )

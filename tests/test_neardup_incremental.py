@@ -145,3 +145,60 @@ def test_array_signatures_equal_row_signatures(spark, sf_dir):
     a = {tuple(r) for r in row_sigs.select(*cols).collect()}
     b = {tuple(r) for r in arr_sigs.select(*cols).collect()}
     assert a == b and len(a) > 0
+
+
+def test_capped_bucket_pairs_star_fallback(spark):
+    """Occupancy cap: small buckets emit all C(m,2) pairs; oversized
+    buckets emit star pairs (min vs rest) — linear fan-out, same
+    connected component."""
+    from github_data_pipeline_spark.operators.neardup import (
+        capped_bucket_pairs,
+        lsh_candidates_capped,
+    )
+
+    rows = spark.createDataFrame(
+        [("b1", i) for i in (3, 1, 2)] + [("b2", i) for i in (9, 7, 8, 6)],
+        "key string, doc_id long",
+    )
+    got = capped_bucket_pairs(rows, ["key"], ["doc_id"], cap=3)
+    pairs = sorted(
+        (r["key"], r["p"]["a"]["doc_id"], r["p"]["b"]["doc_id"])
+        for r in got.collect()
+    )
+    # b1 (m=3 <= cap): all pairs; b2 (m=4 > cap): star around 6
+    assert pairs == [
+        ("b1", 1, 2), ("b1", 1, 3), ("b1", 2, 3),
+        ("b2", 6, 7), ("b2", 6, 8), ("b2", 6, 9),
+    ]
+    # capped candidate wrapper dedups across bands
+    bands = spark.createDataFrame(
+        [(0, "k", 1), (0, "k", 2), (1, "k2", 1), (1, "k2", 2)],
+        "band int, key string, doc_id long",
+    )
+    cands = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidates_capped(bands, cap=8).collect()
+    )
+    assert cands == [(1, 2)]
+
+
+def test_capped_equals_uncapped_below_cap(spark):
+    """With every bucket under the cap, the capped path must equal the
+    all-pairs join exactly."""
+    import random
+
+    from github_data_pipeline_spark.operators.neardup import (
+        lsh_candidates,
+        lsh_candidates_capped,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (b % 4, f"key{rng.randrange(6)}", d)
+        for b in range(4)
+        for d in rng.sample(range(100), 12)
+    ]
+    bands = spark.createDataFrame(rows, "band int, key string, doc_id long")
+    full = sorted(map(tuple, lsh_candidates(bands).collect()))
+    capped = sorted(map(tuple, lsh_candidates_capped(bands, cap=64).collect()))
+    assert full == capped
