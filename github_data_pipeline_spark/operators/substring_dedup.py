@@ -76,10 +76,18 @@ def flagged_windows(docs: DataFrame, n: int = DEFAULT_WINDOW) -> DataFrame:
     flagged here (intra-doc repetition is handled by
     ``functions/text.max_ngram_repetition`` / dedupe_lines).
     """
+    from pyspark.sql import Window
+
     grams = positional_ngrams(docs, n)
-    owners = grams.groupBy("gram_hash").agg(F.min("doc_id").alias("owner_doc"))
+    # min-over-partition instead of groupBy+join: the groupBy form
+    # re-derives the gram table for the join side (the agg subtree
+    # differs, so no ReusedExchange) — the corpus was tokenized,
+    # hashed and exploded TWICE and the gram triples crossed two
+    # exchanges. One window pass exchanges the (gram_hash, doc_id,
+    # start) triples once and computes the owner in place.
+    owner = F.min("doc_id").over(Window.partitionBy("gram_hash"))
     return (
-        grams.join(owners, "gram_hash")
+        grams.withColumn("owner_doc", owner)
         .filter(F.col("doc_id") != F.col("owner_doc"))
         .select(
             "doc_id",

@@ -133,5 +133,11 @@ def all_plans() -> Registry:
     REGISTRY.demote("customers_above_nation_avg")
     REGISTRY.demote("approx_lineitem_stats")
     REGISTRY.demote("bpe_learned_merges")
+    # round-4 swap: neardup_cluster_keepers (new, upgrades cluster
+    # resolution to oracle-backed) takes the window slot of
+    # label_centroids, whose grouped fixed-point centroid aggregation
+    # is also exercised in-window by kmeans_cluster_sizes and which
+    # holds a green driver row in CORRECTNESS_r03.json.
+    REGISTRY.demote("label_centroids")
 
     return REGISTRY

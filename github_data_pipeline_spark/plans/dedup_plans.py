@@ -154,10 +154,10 @@ def exact_dedup_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_DF_CAP = 10  # shingles seen in more docs than this are boilerplate
 
 
-@_add(
-    "neardup_jaccard_pairs",
-    f"""
-    WITH ex0 AS (
+# shared CTE chain: capped-DF shingle index -> exact-jaccard pair
+# candidates (neardup_jaccard_pairs emits them scored; the cluster
+# query below closes them transitively)
+_JACCARD_CTES = f"""ex0 AS (
       SELECT doc_id, unnest({_GRAMS}) AS s
       FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
     ), hot AS (
@@ -170,7 +170,13 @@ NEARDUP_DF_CAP = 10  # shingles seen in more docs than this are boilerplate
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
+    )"""
+
+
+@_add(
+    "neardup_jaccard_pairs",
+    f"""
+    WITH {_JACCARD_CTES}
     SELECT doc_a, doc_b,
            CAST(shared AS BIGINT) AS shared,
            CAST(ga.n_grams + gb.n_grams - shared AS BIGINT) AS union_size,
@@ -642,4 +648,64 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("label", "vec_a", "vec_b", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster resolution: connected components over verified near-dup pairs
+# --------------------------------------------------------------------------
+
+
+@_add(
+    "neardup_cluster_keepers",
+    f"""
+    WITH RECURSIVE {_JACCARD_CTES}, jp AS (
+      SELECT doc_a, doc_b
+      FROM pairs
+      JOIN sizes ga ON ga.doc_id = doc_a
+      JOIN sizes gb ON gb.doc_id = doc_b
+      WHERE shared * 5 >= (ga.n_grams + gb.n_grams - shared) * 4
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jp
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM jp
+    ), nodes AS (
+      SELECT DISTINCT u AS node FROM edges
+    ), reach(node, lab) AS (
+      SELECT node, node AS lab FROM nodes
+      UNION
+      SELECT e.v AS node, r.lab
+      FROM reach r JOIN edges e ON e.u = r.node
+    ), comp AS (
+      SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS size,
+           CAST(SUM(node) AS BIGINT) AS id_sum,
+           CAST(MAX(node) AS BIGINT) AS max_member
+    FROM comp GROUP BY component
+    """,
+    doc="The dedup decision itself, oracle-checked end-to-end: exact "
+    "Jaccard >= 0.8 pairs (the neardup_jaccard_pairs semantics, same "
+    "DF-capped shingle index) resolved into TRANSITIVE clusters with "
+    "the keeper elected as each component's smallest doc_id — pairwise "
+    "drop rules over-drop on chains (A~B, B~C without A~C must still "
+    "be one cluster). Spark runs the distributed min-label propagation "
+    "with pointer jumping (operators/components.py: O(log n) rounds, "
+    "labels are (long, long) rows, text never enters the loop); the "
+    "oracle closes the same edge set with a recursive CTE — two "
+    "entirely different fixpoint algorithms that must land on "
+    "identical components, sizes and membership sums. Upgrades "
+    "cluster resolution from unit-pinned to driver-verdictable.",
+    tags=("dedup", "components"),
+)
+def neardup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.sum("node").alias("id_sum"),
+        F.max("node").alias("max_member"),
     )

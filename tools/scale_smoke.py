@@ -1,15 +1,36 @@
 """Scale-up smoke: measure how the data-heavy queries grow when the
-corpus grows ~10x — the local stand-in for "would this plan survive
-100x".
+corpus grows ~10-30x — the local stand-in for "would this plan survive
+100x" — plus SKEW modes that concentrate load the way a real 100 TB
+corpus does, and a STREAMING mode that grows the state store.
 
-Method: build a scaled testdata dir under ``.scale_tmp/`` — documents
-and embeddings replicated ``--factor`` times with offset ids and a
-per-copy character ``translate`` on the text (deterministic, cheap, and
-it rewrites every shingle so copies are NOT near-duplicates of each
-other; corpus statistics stay comparable while honest work scales with
-the factor). All other tables symlink to the base sf so registry
-builders run unmodified. Then each target query is timed (noop write,
-min of 2) at 1x and at the factor, and the per-query scaling exponent
+Modes (``--skew``):
+
+* ``none`` (default) — documents and embeddings replicated ``--factor``
+  times with offset ids and a per-copy character ``translate`` on the
+  text (deterministic, cheap, and it rewrites every shingle so copies
+  are NOT near-duplicates of each other; corpus statistics stay
+  comparable while honest work scales with the factor). All other
+  tables symlink to the base sf.
+* ``hotband`` — same replication, but every 50th base document (in
+  EVERY copy) is overwritten with one shared boilerplate text plus a
+  per-doc unique suffix token: one mega-cluster of near-identical docs
+  (factor x n_docs / 50 members) that lands in ONE MinHash band bucket
+  / SimHash prefix bucket and makes every shared shingle's document
+  frequency explode. This is the corpus shape that kills uncapped LSH:
+  the run proves NEARDUP_DF_CAP (hot shingles pruned) and the
+  LSH_BUCKET_CAP/SIMHASH_BUCKET_CAP star-pair fallback engage — pair
+  fan-out stays linear in the cluster, not C(m, 2).
+* ``hotkey`` — the events table is replicated with offset event ids
+  and every 5th event is rerouted to ONE hot user (20% of a
+  factor-30 stream on a single key): the grouped aggregations lean on
+  map-side partial aggregation, and the stateful streaming ledger gets
+  one giant state entry — the state-key skew a batch smoke can't see.
+* ``streamscale`` — events replicated with offset event ids AND offset
+  user ids: state-store cardinality grows with the factor (the 100 TB
+  streaming risk), uniform per key. Streaming targets only.
+
+Method: each target is timed (noop write / stream drain, min of 2) at
+1x and at the factor, and the per-target scaling exponent
 ``log(t_Nx / t_1x) / log(N)`` is reported:
 
 * ~1.0 — linear, the plan scales;
@@ -18,8 +39,9 @@ min of 2) at 1x and at the factor, and the per-query scaling exponent
 Sub-linear exponents happen when fixed overhead (JIT, stream/exchange
 setup) dominates the 1x time; they read as "scale-safe at this size".
 
-Usage:  python tools/scale_smoke.py [--factor 10] [--sf /root/testdata/sf0.1]
-Writes SCALING.md at the repo root.
+Usage:  python tools/scale_smoke.py [--factor 30] [--skew MODE]
+                                    [--sf /root/testdata/sf0.1]
+Each mode rewrites only its own marker-delimited section of SCALING.md.
 """
 
 from __future__ import annotations
@@ -27,6 +49,7 @@ from __future__ import annotations
 import argparse
 import math
 import os
+import re
 import shutil
 import sys
 import time
@@ -54,32 +77,75 @@ TARGETS = (
     "doc_pii_scrub",
 )
 
+# the dedup family is what a hot band stresses
+HOTBAND_TARGETS = (
+    "exact_dedup_reingest",
+    "neardup_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "simhash_hamming_pairs",
+    "substring_dup_spans",
+)
+
+# grouped/stateful per-user work is what a hot key stresses
+HOTKEY_TARGETS = (
+    "events_hourly_rollup",
+    "events_top_users_per_type",
+    "events_sessionization",
+    "stream_user_ledger",
+)
+
+STREAM_TARGETS = ("stream_user_ledger",)
+
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
+HOT_TEXT = (
+    "this boilerplate license header is identical across the entire "
+    "hot cluster and repeats the same tokens so every shingle it "
+    "produces is shared by each member of the cluster which is "
+    "exactly the document frequency explosion a web scale corpus "
+    "produces from templated pages and mirrored documentation trees"
+)
 
-def build_scaled_dir(spark, base_sf: str, factor: int, out_dir: str) -> str:
+
+def build_scaled_dir(
+    spark, base_sf: str, factor: int, out_dir: str, skew: str
+) -> str:
     from pyspark.sql import functions as F
 
     from github_data_pipeline_spark.sources.tables import TESTDATA_TABLES
 
     os.makedirs(out_dir, exist_ok=True)
+    scaled_tables = {"documents", "embeddings"}
+    if skew in ("hotkey", "streamscale"):
+        scaled_tables.add("events")
     for t in TESTDATA_TABLES:
-        if t in ("documents", "embeddings"):
+        if t in scaled_tables:
             continue
         link = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(base_sf, f"{t}.parquet"), link)
 
-    docs = spark.read.parquet(os.path.join(base_sf, "documents.parquet"))
-    emb = spark.read.parquet(os.path.join(base_sf, "embeddings.parquet"))
     id_off = 100_000_000
+    docs = spark.read.parquet(os.path.join(base_sf, "documents.parquet"))
     doc_copies = []
     for i in range(factor):
         rot = ALPHA[i % 26 :] + ALPHA[: i % 26]
+        text = F.translate(F.col("text"), ALPHA, rot)
+        if skew == "hotband":
+            # every 50th base doc joins the mega-cluster: shared
+            # boilerplate + a unique suffix token (docs are
+            # near-identical, not byte-identical)
+            text = F.when(
+                F.col("doc_id") % 50 == 0,
+                F.concat(
+                    F.lit(HOT_TEXT + " zz"),
+                    (F.col("doc_id") + i * id_off).cast("string"),
+                ),
+            ).otherwise(text)
         doc_copies.append(
             docs.select(
                 (F.col("doc_id") + i * id_off).alias("doc_id"),
-                F.translate(F.col("text"), ALPHA, rot).alias("text"),
+                text.alias("text"),
                 *[c for c in docs.columns if c not in ("doc_id", "text")],
             )
         )
@@ -90,6 +156,7 @@ def build_scaled_dir(spark, base_sf: str, factor: int, out_dir: str) -> str:
         os.path.join(out_dir, "documents.parquet")
     )
 
+    emb = spark.read.parquet(os.path.join(base_sf, "embeddings.parquet"))
     emb_copies = []
     for i in range(factor):
         emb_copies.append(
@@ -104,29 +171,110 @@ def build_scaled_dir(spark, base_sf: str, factor: int, out_dir: str) -> str:
     scaled_emb.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
+
+    if "events" in scaled_tables:
+        ev = spark.read.parquet(os.path.join(base_sf, "events.parquet"))
+        ev_copies = []
+        for i in range(factor):
+            cols = {"event_id": (F.col("event_id") + i * id_off)}
+            if skew == "streamscale":
+                # distinct users per copy: state cardinality grows
+                cols["user_id"] = F.col("user_id") + i * id_off
+            ev_copies.append(
+                ev.select(
+                    *[
+                        cols.get(c, F.col(c)).alias(c)
+                        for c in ev.columns
+                    ]
+                )
+            )
+        scaled_ev = ev_copies[0]
+        for d in ev_copies[1:]:
+            scaled_ev = scaled_ev.unionByName(d)
+        if skew == "hotkey":
+            # 20% of ALL events land on one user — the hot state key
+            scaled_ev = scaled_ev.withColumn(
+                "user_id",
+                F.when(F.col("event_id") % 5 == 0, F.lit(-42)).otherwise(
+                    F.col("user_id")
+                ),
+            )
+        scaled_ev.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "events.parquet")
+        )
     return out_dir
 
 
-def time_queries(spark, sf_dir: str, names: tuple[str, ...]) -> dict[str, float]:
+def _drain_attribution(spark, sf_dir: str) -> None:
+    """Stream-stream interval join drained availableNow (append sink)."""
+    from github_data_pipeline_spark.streaming.jobs import (
+        attribution_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(
+            attribution_stream(read_events_stream(spark, sf_dir)),
+            "scale_smoke_attr",
+            output_mode="append",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def time_queries(
+    spark, sf_dir: str, names: tuple[str, ...], reps: int = 2
+) -> dict[str, float]:
     from github_data_pipeline_spark.plans import all_plans
 
     registry = all_plans()
     out: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(reps):
         for name in names:
             t0 = time.time()
-            registry[name].builder(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            if name == "attribution_interval_join":
+                _drain_attribution(spark, sf_dir)
+            else:
+                registry[name].builder(spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
             el = time.time() - t0
             out[name] = min(el, out.get(name, el))
     return out
 
 
+def replace_section(path: str, tag: str, body: str) -> None:
+    """Rewrite only the marker-delimited section ``tag`` of SCALING.md,
+    appending it if absent (each smoke mode owns one section)."""
+    start, end = f"<!-- scale:{tag} -->", f"<!-- /scale:{tag} -->"
+    block = f"{start}\n{body.rstrip()}\n{end}\n"
+    text = ""
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
+    pat = re.compile(re.escape(start) + r".*?" + re.escape(end) + r"\n?", re.S)
+    if pat.search(text):
+        text = pat.sub(block, text)
+    else:
+        if not text:
+            text = "# SCALING — measured growth under scale and skew\n\n"
+        text = text.rstrip() + "\n\n" + block
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(text)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--factor", type=int, default=30)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--skew",
+        choices=("none", "hotband", "hotkey", "streamscale"),
+        default="none",
+    )
     args = ap.parse_args()
 
     from github_data_pipeline_spark.session import get_spark
@@ -135,40 +283,79 @@ def main() -> int:
     spark = get_spark("scale-smoke", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    targets = {
+        "none": TARGETS,
+        "hotband": HOTBAND_TARGETS,
+        "hotkey": HOTKEY_TARGETS + ("attribution_interval_join",),
+        "streamscale": STREAM_TARGETS + ("attribution_interval_join",),
+    }[args.skew]
+
     tmp = os.path.join(REPO, ".scale_tmp")
-    scaled = build_scaled_dir(spark, args.sf, args.factor, os.path.join(tmp, "sfX"))
+    scaled = build_scaled_dir(
+        spark, args.sf, args.factor, os.path.join(tmp, f"sfX_{args.skew}"), args.skew
+    )
 
     # warm-up: JIT/codegen on the small sf so 1x isn't penalized
-    time_queries(spark, "/root/testdata/sf0.001", TARGETS)
-    base = time_queries(spark, args.sf, TARGETS)
-    big = time_queries(spark, scaled, TARGETS)
+    time_queries(spark, "/root/testdata/sf0.001", targets, reps=1)
+    base = time_queries(spark, args.sf, targets)
+    big = time_queries(spark, scaled, targets)
 
+    headers = {
+        "none": (
+            "## Uniform growth (data-heavy batch queries)",
+            "documents/embeddings replicated with per-copy id offsets and a\n"
+            "per-copy character translation (copies are distinct docs, not\n"
+            "near-dups of each other); other tables fixed.",
+        ),
+        "hotband": (
+            "## Skew: one hot LSH band (near-identical mega-cluster)",
+            "every 50th base doc in EVERY copy shares one boilerplate text\n"
+            "(+ unique suffix token): one near-dup cluster of\n"
+            f"factor x n_docs/50 members in a single MinHash band / SimHash\n"
+            "prefix bucket. Bounded exponents here prove NEARDUP_DF_CAP and\n"
+            "the LSH_BUCKET_CAP/SIMHASH_BUCKET_CAP star-pair fallback engage\n"
+            "(operators/neardup.capped_bucket_pairs).",
+        ),
+        "hotkey": (
+            "## Skew: one hot join/state key (20% of events on one user)",
+            "events replicated with offset ids; every 5th event rerouted to\n"
+            "user -42. Grouped aggs survive via map-side partial\n"
+            "aggregation; the stateful ledger and the stream-stream\n"
+            "attribution join carry one giant state entry — the skew a\n"
+            "uniform smoke cannot see.",
+        ),
+        "streamscale": (
+            "## Streaming state growth (distinct users per copy)",
+            "events replicated with offset event AND user ids: state-store\n"
+            "cardinality grows with the factor. Drain time must stay\n"
+            "sub-linear or state management is the 100 TB bottleneck.",
+        ),
+    }
+    title, desc = headers[args.skew]
     lines = [
-        "# SCALING — measured growth of the data-heavy queries",
+        title,
         "",
-        f"`tools/scale_smoke.py --factor {args.factor}` on `{args.sf}`: the",
-        "documents/embeddings corpus is replicated with per-copy id offsets",
-        "and a per-copy character translation (copies are distinct docs, not",
-        "near-dups of each other), other tables fixed. exponent =",
-        f"log(t_{args.factor}x / t_1x) / log({args.factor}); ~1 is linear,",
-        "~2 means a quadratic stage survived. Sub-linear = fixed overhead",
-        "dominates at 1x.",
+        f"`tools/scale_smoke.py --factor {args.factor} --skew {args.skew}`"
+        f" on `{args.sf}`:",
+        desc,
+        f"exponent = log(t_{args.factor}x / t_1x) / log({args.factor});"
+        " ~1 linear, ~2 quadratic, sub-linear = fixed overhead dominates"
+        " at 1x.",
         "",
-        f"| query | t_1x (s) | t_{args.factor}x (s) | exponent |",
+        f"| target | t_1x (s) | t_{args.factor}x (s) | exponent |",
         "|---|---|---|---|",
     ]
     worst = 0.0
-    for name in TARGETS:
+    for name in targets:
         e = math.log(big[name] / base[name]) / math.log(args.factor)
         worst = max(worst, e)
         lines.append(
             f"| {name} | {base[name]:.2f} | {big[name]:.2f} | {e:.2f} |"
         )
-    lines += ["", f"**Worst exponent: {worst:.2f}.**", ""]
-    md = "\n".join(lines)
-    with open(os.path.join(REPO, "SCALING.md"), "w", encoding="utf-8") as fh:
-        fh.write(md)
-    print(md)
+    lines += ["", f"**Worst exponent: {worst:.2f}.**"]
+    body = "\n".join(lines)
+    replace_section(os.path.join(REPO, "SCALING.md"), args.skew, body)
+    print(body)
     shutil.rmtree(tmp, ignore_errors=True)
     return 0
 
