@@ -151,6 +151,20 @@ def stream_upsert_to_parquet(
         q.stop()
 
 
+def _interval_seconds(horizon: str) -> int:
+    """Seconds in a simple ``"N hour|minute|second(s)"`` interval."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s*(hour|minute|second)s?\s*", horizon.lower()
+    )
+    if not m:
+        raise ValueError(f"unsupported horizon {horizon!r}")
+    return int(m.group(1)) * {"hour": 3600, "minute": 60, "second": 1}[
+        m.group(2)
+    ]
+
+
 def attribution_stream(
     events: DataFrame, horizon: str = "1 hour"
 ) -> DataFrame:
@@ -161,16 +175,34 @@ def attribution_stream(
     event-time range — the two facts Structured Streaming needs to
     bound state: a buffered click can be dropped once the watermark
     passes ``click_ts + horizon``, so state is arrival-rate x horizon,
-    never history. The equi-key (user_id) hash-partitions both sides'
-    state identically — one co-partitioned shuffle each, no broadcast
-    needed however large the streams.
+    never history.
+
+    The equi-key is (user_id, horizon-wide time bucket), NOT user_id
+    alone — the streaming twin of the bucketed range join
+    (operators/rangejoin.py). Clicks land in one bucket
+    (epoch DIV horizon, exact integer micros); each purchase probes
+    its own bucket and the previous one (two exploded rows), which
+    covers the whole look-back window exactly once per pair, so the
+    output is row-identical to the plain interval join (parity test
+    pins it). Two wins a hot user makes non-negotiable: (1) the state
+    lookup for one purchase scans only clicks from one bucket — the
+    per-key multi-value scan in the state store is bounded by
+    clicks-per-horizon, not clicks-per-history (in a single
+    availableNow batch the watermark never advances mid-batch, so the
+    unbucketed join degrades to |purchases| x |all clicks| per hot
+    key); (2) a hot user's state spreads across (user, bucket)
+    partitions instead of serializing on one task.
     """
+    width_us = _interval_seconds(horizon) * 1_000_000
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("click_ts"),
             F.col("event_id").alias("click_id"),
+        )
+        .withColumn(
+            "c_bucket", F.expr(f"unix_micros(click_ts) DIV {width_us}")
         )
         .withWatermark("click_ts", WATERMARK)
     )
@@ -183,10 +215,18 @@ def attribution_stream(
             cents("value").alias("value_cents"),
         )
         .withWatermark("purchase_ts", WATERMARK)
+        .withColumn(
+            "p_bucket", F.expr(f"unix_micros(purchase_ts) DIV {width_us}")
+        )
+        .withColumn(
+            "probe_bucket",
+            F.explode(F.array(F.col("p_bucket"), F.col("p_bucket") - 1)),
+        )
     )
     return purchases.join(
         clicks,
         (F.col("user_id") == F.col("c_user"))
+        & (F.col("probe_bucket") == F.col("c_bucket"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
         "inner",

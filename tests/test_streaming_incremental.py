@@ -257,3 +257,55 @@ def test_attribution_stream_matches_batch_join(spark, sf_dir):
     )
     want = sorted((r["purchase_id"], r["click_id"]) for r in batch.collect())
     assert got == want
+
+
+def test_attribution_bucket_boundaries(spark, tmp_path):
+    """The (user, time-bucket) salting must not change results at the
+    edges: click exactly horizon before the purchase (kept), click one
+    microsecond earlier (dropped), click in the previous bucket but
+    inside the horizon (kept via the second probe), same-instant click
+    (kept)."""
+    import datetime as dt
+
+    from github_data_pipeline_spark.streaming.jobs import (
+        attribution_stream,
+        run_available_now,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(eid, ts, typ, user=1):
+        return (eid, ts, user, typ, 1.0, "{}")
+
+    rows = [
+        # purchase at 10:30:00 in bucket 10
+        ev(100, base + dt.timedelta(minutes=30), "purchase"),
+        # click exactly 1h before: 09:30:00 (bucket 9) -> kept
+        ev(1, base + dt.timedelta(minutes=-30), "click"),
+        # click 1h + 1us before -> dropped
+        ev(2, base + dt.timedelta(minutes=-30, microseconds=-1), "click"),
+        # click same bucket as purchase (10:05) -> kept
+        ev(3, base + dt.timedelta(minutes=5), "click"),
+        # click same instant as purchase -> kept (<=)
+        ev(4, base + dt.timedelta(minutes=30), "click"),
+        # click after the purchase -> dropped
+        ev(5, base + dt.timedelta(minutes=31), "click"),
+        # click 2 buckets back but within horizon is impossible for 1h
+        # buckets; different user -> dropped
+        ev(6, base + dt.timedelta(minutes=20), "click", user=2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    got = sorted(
+        r["click_id"]
+        for r in run_available_now(
+            attribution_stream(stream), "attr_edges", output_mode="append"
+        )
+    )
+    assert got == [1, 3, 4]

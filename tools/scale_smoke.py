@@ -86,11 +86,14 @@ HOTBAND_TARGETS = (
     "substring_dup_spans",
 )
 
-# grouped/stateful per-user work is what a hot key stresses
+# grouped/stateful per-user work is what a hot key stresses;
+# events_asof_last_click is the bounded (last-touch) attribution
+# alternative shown next to the output-quadratic all-touch join
 HOTKEY_TARGETS = (
     "events_hourly_rollup",
     "events_top_users_per_type",
     "events_sessionization",
+    "events_asof_last_click",
     "stream_user_ledger",
 )
 
@@ -206,21 +209,33 @@ def build_scaled_dir(
 
 
 def _drain_attribution(spark, sf_dir: str) -> None:
-    """Stream-stream interval join drained availableNow (append sink)."""
+    """Stream-stream interval join drained availableNow (append sink).
+
+    Hand-rolled drain instead of run_available_now: that helper's 120 s
+    awaitTermination is a test-suite guard, and a hot-key 30x run can
+    legitimately exceed it — a killed drain would report the timeout as
+    if it were the true cost (censored measurement).
+    """
     from github_data_pipeline_spark.streaming.jobs import (
         attribution_stream,
         read_events_stream,
-        run_available_now,
     )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        run_available_now(
-            attribution_stream(read_events_stream(spark, sf_dir)),
-            "scale_smoke_attr",
-            output_mode="append",
+        q = (
+            attribution_stream(read_events_stream(spark, sf_dir))
+            .writeStream.format("noop")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        try:
+            if not q.awaitTermination(1800):
+                raise RuntimeError("attribution drain exceeded 1800s")
+        finally:
+            q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -322,7 +337,15 @@ def main() -> int:
             "user -42. Grouped aggs survive via map-side partial\n"
             "aggregation; the stateful ledger and the stream-stream\n"
             "attribution join carry one giant state entry — the skew a\n"
-            "uniform smoke cannot see.",
+            "uniform smoke cannot see. attribution_interval_join is the\n"
+            "(user, horizon-bucket)-salted stream-stream join\n"
+            "(streaming/jobs.py): keyed on user_id alone, this exact run\n"
+            "was a single straggler task scanning every buffered hot click\n"
+            "per hot purchase — killed after 1800 s; bucket salting bounds\n"
+            "the per-key state scan to one horizon and spreads the hot\n"
+            "user across partitions. Last-touch attribution\n"
+            "(events_asof_last_click, output linear in purchases) is the\n"
+            "bounded-output alternative, measured alongside.",
         ),
         "streamscale": (
             "## Streaming state growth (distinct users per copy)",
