@@ -289,6 +289,129 @@ def incremental_lsh_candidates(
     return candidates, new_bands
 
 
+def bucket_stats(bands: DataFrame) -> DataFrame:
+    """(band, key, min_doc, cnt): the compact per-bucket summary a
+    daily pipeline persists NEXT TO the band index (bucket it the same
+    way). min and count are mergeable monoids, so the table maintains
+    incrementally under append-only ingest — it is what lets the capped
+    candidate join decide clique-vs-star per bucket without ever
+    grouping the stored index again."""
+    return bands.groupBy("band", "key").agg(
+        F.min("doc_id").alias("min_doc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def merge_bucket_stats(stats: DataFrame, new_bands: DataFrame) -> DataFrame:
+    """Fold a batch's index rows into the stats table (min of mins,
+    sum of counts — replay-idempotence is the caller's concern, same
+    as the band-index append)."""
+    return (
+        stats.unionByName(bucket_stats(new_bands))
+        .groupBy("band", "key")
+        .agg(
+            F.min("min_doc").alias("min_doc"),
+            F.sum("cnt").cast("long").alias("cnt"),
+        )
+    )
+
+
+def incremental_lsh_candidates_capped(
+    new_docs: DataFrame,
+    existing_bands: DataFrame,
+    stats: DataFrame | None = None,
+    cap: int = LSH_BUCKET_CAP,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Skew-safe daily-batch candidates — the incremental twin of
+    ``lsh_candidates_capped``, so the full build and the daily path
+    apply ONE occupancy rule.
+
+    Per bucket, total occupancy (stored ``cnt`` + batch count) decides:
+
+    * ``<= cap`` — exact incremental all-pairs: batch rows equi-join
+      the stored index (zero-exchange on the bucketed side) plus
+      within-batch pairs;
+    * ``> cap`` — STAR: each new member pairs with the bucket's global
+      minimum only. Under the monotone-id ingest contract (new ids >
+      all indexed ids, the same contract
+      ``incremental_flagged_windows`` documents) the stored ``min_doc``
+      never changes, and every earlier member already connects to it
+      (clique while the bucket was small, star once it was not) — so
+      the TRANSITIVE CLUSTERS equal a capped full recompute even
+      though the edge sets differ (cliques frozen at the size they
+      had when emitted). Connectivity is the dedup semantic; the
+      equivalence test pins components, not edges.
+
+    Returns ``(candidates, new_bands, merged_stats)`` — append
+    ``new_bands`` to the index and overwrite the stats with
+    ``merged_stats``, and the next batch never rescans either.
+    """
+    new_bands = band_index(
+        minhash_signatures_from_arrays(doc_shingle_arrays(new_docs))
+    )
+    if stats is None:
+        stats = bucket_stats(existing_bands)
+    batch_stats = bucket_stats(new_bands)
+    occ = (
+        stats.select(
+            "band",
+            "key",
+            F.col("min_doc").alias("old_min"),
+            F.col("cnt").alias("old_cnt"),
+        )
+        .join(
+            batch_stats.select(
+                "band",
+                "key",
+                F.col("min_doc").alias("new_min"),
+                F.col("cnt").alias("new_cnt"),
+            ),
+            ["band", "key"],
+            "right",  # only buckets the batch touches can emit pairs
+        )
+    )
+    total = F.coalesce("old_cnt", F.lit(0)) + F.col("new_cnt")
+    under = occ.filter(total <= cap).select("band", "key")
+    over = occ.filter(total > cap).select(
+        "band",
+        "key",
+        F.least(
+            F.coalesce("old_min", F.col("new_min")), F.col("new_min")
+        ).alias("min_doc"),
+    )
+
+    nb_under = new_bands.join(under, ["band", "key"])
+    n = nb_under.alias("n")
+    e = existing_bands.alias("e")
+    vs_corpus = n.join(
+        e,
+        (F.col("n.band") == F.col("e.band"))
+        & (F.col("n.key") == F.col("e.key"))
+        & (F.col("n.doc_id") != F.col("e.doc_id")),
+    ).select(
+        F.least(F.col("n.doc_id"), F.col("e.doc_id")).alias("doc_a"),
+        F.greatest(F.col("n.doc_id"), F.col("e.doc_id")).alias("doc_b"),
+    )
+    vs_batch = capped_bucket_pairs(
+        nb_under, ["band", "key"], ["doc_id"], cap
+    ).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+    )
+    star = (
+        new_bands.join(over, ["band", "key"])
+        .filter(F.col("doc_id") != F.col("min_doc"))
+        .select(
+            F.least("doc_id", "min_doc").alias("doc_a"),
+            F.greatest("doc_id", "min_doc").alias("doc_b"),
+        )
+    )
+    candidates = (
+        vs_corpus.unionByName(vs_batch).unionByName(star).distinct()
+    )
+    return candidates, new_bands, merge_bucket_stats(stats, new_bands)
+
+
 def verify_candidates_edit_distance(
     candidates: DataFrame,
     docs: DataFrame,

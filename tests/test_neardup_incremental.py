@@ -202,3 +202,77 @@ def test_capped_equals_uncapped_below_cap(spark):
     full = sorted(map(tuple, lsh_candidates(bands).collect()))
     capped = sorted(map(tuple, lsh_candidates_capped(bands, cap=64).collect()))
     assert full == capped
+
+
+def test_capped_incremental_components_equal_full(spark):
+    """One occupancy rule across the full build and the daily path:
+    with a mega-bucket (14 identical docs, cap 8) plus a small clique,
+    capped-incremental ∪ capped-prior must produce the SAME transitive
+    clusters as a capped full recompute (edge sets legitimately
+    differ — cliques freeze at the size they had when emitted)."""
+    from github_data_pipeline_spark.operators.neardup import (
+        band_index,
+        bucket_stats,
+        doc_shingle_arrays,
+        incremental_lsh_candidates_capped,
+        lsh_candidates_capped,
+        minhash_signatures_from_arrays,
+    )
+
+    hot = "alpha beta gamma delta epsilon zeta"
+    small = "one two three four five six seven"
+    rows = [(i, hot) for i in range(14)] + [
+        (100, small), (101, small), (102, small)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id").isin(*range(10), 100, 101))
+    new = docs.filter(F.col("doc_id").isin(10, 11, 12, 13, 102))
+
+    def bands(d):
+        return band_index(
+            minhash_signatures_from_arrays(doc_shingle_arrays(d))
+        )
+
+    CAP = 8
+    prior = _pairs(lsh_candidates_capped(bands(old), cap=CAP))
+    full = _pairs(lsh_candidates_capped(bands(docs), cap=CAP))
+    inc, new_bands, merged = incremental_lsh_candidates_capped(
+        new, bands(old), cap=CAP
+    )
+    inc_pairs = _pairs(inc)
+
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {frozenset(k for k in parent if find(k) == r)
+                for r in {find(x) for x in parent}}
+
+    assert components(prior | inc_pairs) == components(full)
+    # the mega-bucket contributed STAR edges only: each new hot doc
+    # pairs with the stored minimum (0), never with the other 9+ members
+    hot_inc = {p for p in inc_pairs if p[1] < 100}
+    assert hot_inc == {(0, 10), (0, 11), (0, 12), (0, 13)}
+    # the small under-cap bucket stays exact: new doc 102 joins both
+    # stored clique members
+    assert {p for p in inc_pairs if p[0] >= 100} == {(100, 102), (101, 102)}
+    # merged stats == stats of the full index (mergeable monoids)
+    got = {
+        (r["band"], r["key"]): (r["min_doc"], r["cnt"])
+        for r in merged.collect()
+    }
+    want = {
+        (r["band"], r["key"]): (r["min_doc"], r["cnt"])
+        for r in bucket_stats(bands(docs)).collect()
+    }
+    assert got == want
