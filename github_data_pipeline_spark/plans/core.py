@@ -108,6 +108,10 @@ def all_plans() -> Registry:
     from . import chunking_plans  # noqa: F401
     from . import ann_lsh_plans  # noqa: F401
     from . import pii_plans  # noqa: F401
+    # registered last on purpose: tail entries (positions 51+ after
+    # the demotions below), verified by the local cell-exact checker
+    # and CORRECTNESS_TAIL.json; rotate into the window next round
+    from . import curation_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row

@@ -1,0 +1,140 @@
+"""Oracle-backed entries for the curation-side operators that were
+previously unit-pinned only: benchmark decontamination
+(operators/decontam.py) and training-mix budget sampling
+(operators/budget.py). Both are beyond-reference LLM-pipeline surface
+(the reference has no training-data stage at all); registering them
+makes the decontam join shape and the deterministic hash-sampling
+semantics driver-verdictable, not just unit-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators.budget import HASH_BUCKETS, allocation_rates, budget_sample
+from ..operators.decontam import contamination_report
+from ..sources.tables import load_table, spread
+from .core import REGISTRY
+
+_add = REGISTRY.add
+
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+_GRAMS = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+DECONTAM_MIN_HITS = 2
+
+
+@_add(
+    "decontam_overlap",
+    f"""
+    WITH allsh AS (
+      SELECT doc_id, unnest({_GRAMS}) AS s
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ), bench AS (
+      SELECT doc_id AS bench_id, s FROM allsh WHERE doc_id % 97 = 0
+    ), corp AS (
+      SELECT doc_id, s FROM allsh WHERE doc_id % 97 <> 0
+    )
+    SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS hits
+    FROM corp c JOIN bench b USING (s)
+    GROUP BY 1, 2 HAVING COUNT(*) >= {DECONTAM_MIN_HITS}
+    """,
+    doc="Benchmark decontamination (operators/decontam.py): corpus "
+    "docs sharing >= 2 distinct 3-gram shingles with any doc of the "
+    "deterministic eval subset (doc_id % 97 == 0 plays the held-out "
+    "benchmark). The benchmark shingle set BROADCASTS (benchmarks are "
+    "thousands of docs next to a 100 TB corpus) so the overlap join "
+    "is map-side; the grouped hit count shuffles only (doc_id, "
+    "bench_id) longs — corpus text never moves, and the corpus-side "
+    "shingling is the same doc_shingles pass the dedup family reuses. "
+    "Non-vacuous at every SF (36 pairs at sf0.001, 12 at sf0.01).",
+    tags=("curation", "decontam"),
+)
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    benchmark = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_report(
+        corpus, benchmark, n=3, min_hits=DECONTAM_MIN_HITS
+    ).select("doc_id", "bench_id", F.col("hits").cast("long").alias("hits"))
+
+
+# static mixture weights for the 20 synthetic sources (srcN -> N%4+1),
+# normalized once so BOTH engines consume the identical double
+_BUDGET_WEIGHTS = {f"src{n}": float(n % 4 + 1) for n in range(20)}
+_WSUM = sum(_BUDGET_WEIGHTS.values())
+_NORM_WEIGHTS = {s: w / _WSUM for s, w in sorted(_BUDGET_WEIGHTS.items())}
+
+_WEIGHTS_VALUES = ", ".join(
+    f"('{s}', {w!r})" for s, w in _NORM_WEIGHTS.items()
+)
+
+
+@_add(
+    "budget_sample_counts",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, len({_TOKS}) AS n FROM documents
+    ), per_src AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS tokens FROM tok GROUP BY source
+    ), budget AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS b FROM per_src
+    ), wts(source, nw) AS (
+      VALUES {_WEIGHTS_VALUES}
+    ), thresholds AS (
+      SELECT p.source,
+             CAST(round_even(
+               least(1.0, (budget.b * w.nw) / p.tokens) * {HASH_BUCKETS}, 0
+             ) AS BIGINT) AS thr
+      FROM per_src p JOIN wts w USING (source), budget
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(SUM(t.n) AS BIGINT) AS kept_tokens
+    FROM tok t JOIN thresholds h USING (source)
+    WHERE (CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % {HASH_BUCKETS}) < h.thr
+    GROUP BY t.source
+    """,
+    doc="Training-mix budget sampling end-to-end "
+    "(operators/budget.py): per-source token counts -> weighted "
+    "keep-rates for a token budget equal to half-shaped mixture "
+    "weights over the whole corpus (weights srcN -> N%4+1, budget = "
+    "total corpus tokens, so heavy sources cap at rate 1.0 and light "
+    "ones genuinely sample) -> deterministic md5-bucket doc sampling "
+    "-> surviving docs/tokens per source. The per-source aggregate is "
+    "|sources| rows (collected by design); the sampling predicate is "
+    "a map-side hash filter — no rand(), identical doc sets on every "
+    "engine/run/partitioning, which is what makes the final training "
+    "mix reproducible. Python's round-half-even on the threshold is "
+    "mirrored with DuckDB round_even.",
+    tags=("curation", "budget"),
+)
+def budget_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    ).withColumn("n", T.token_count("text"))
+    per_source = {
+        r["source"]: r["tokens"]
+        for r in d.groupBy("source")
+        .agg(F.sum("n").alias("tokens"))
+        .collect()
+    }
+    budget = sum(per_source.values())
+    # raw weights on purpose: allocation_rates divides by their sum
+    # (exactly 50.0), producing bit-identical normalized doubles to
+    # the _NORM_WEIGHTS literals the oracle consumes — passing the
+    # normalized map would re-divide by a not-exactly-1.0 float sum
+    rates = allocation_rates(per_source, _BUDGET_WEIGHTS, budget)
+    kept = budget_sample(d, rates)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n").alias("kept_tokens"),
+    )
