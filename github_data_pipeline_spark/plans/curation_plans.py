@@ -138,3 +138,85 @@ def budget_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("kept_docs"),
         F.sum("n").alias("kept_tokens"),
     )
+
+
+# ---- int8 quantization report (functions/vectors.py) ---------------------
+
+_DUCK_MAXABS = (
+    "list_reduce(list_prepend(0.0, list_transform(embedding,"
+    " x -> abs(x::DOUBLE))), (a, b) -> greatest(a, b))"
+)
+_DUCK_DEQ = (
+    "list_transform(embedding, x -> CAST(CAST(round(x::DOUBLE / scale)"
+    " AS TINYINT) AS DOUBLE) * scale)"
+)
+_DUCK_PAIR_FOLD = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "generate_series(1, len(embedding)), i -> {expr})), (a, b) -> {red})"
+)
+
+
+@_add(
+    "embedding_quantization_report",
+    f"""
+    WITH scaled AS (
+      SELECT label, embedding,
+             (CASE WHEN {_DUCK_MAXABS} > 0.0
+                   THEN {_DUCK_MAXABS} / 127.0 ELSE 1.0 END) AS scale
+      FROM embeddings
+    ), deq AS (
+      SELECT label, embedding, {_DUCK_DEQ} AS d FROM scaled
+    ), per_vec AS (
+      SELECT label,
+        {_DUCK_PAIR_FOLD.format(expr="abs(embedding[i]::DOUBLE - d[i])", red="greatest(a, b)")}
+          AS max_err,
+        {_DUCK_PAIR_FOLD.format(expr="embedding[i]::DOUBLE * d[i]", red="a + b")}
+          / (sqrt({_DUCK_PAIR_FOLD.format(expr="embedding[i]::DOUBLE * embedding[i]::DOUBLE", red="a + b")})
+             * sqrt({_DUCK_PAIR_FOLD.format(expr="d[i] * d[i]", red="a + b")}))
+          AS cos
+      FROM deq
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MAX(max_err) AS max_abs_err,
+           MIN(cos) AS min_cosine
+    FROM per_vec GROUP BY label
+    """,
+    doc="Int8 max-abs quantization quality gate "
+    "(functions/vectors.quantize_int8): per IVF label, the worst "
+    "element-wise reconstruction error and the worst original-vs-"
+    "dequantized cosine across vectors — the numbers that justify "
+    "running the ANN probe set at 4x less memory. Every float op "
+    "folds in array order in BOTH engines (greatest-fold for max-abs, "
+    "ordered sum folds for dot/norm), max/min per label are "
+    "order-independent aggregates, so doubles hash bit-identical — "
+    "no shuffled double-SUM anywhere.",
+    tags=("similarity", "quantization"),
+)
+def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    deq = e.select(
+        "label",
+        "embedding",
+        V.dequantize_int8(V.quantize_int8("embedding")).alias("d"),
+    )
+    errs = F.zip_with(
+        F.col("embedding"),
+        F.col("d"),
+        lambda x, y: F.abs(x.cast("double") - y),
+    )
+    max_err = F.aggregate(
+        errs, F.lit(0.0), lambda acc, v: F.greatest(acc, v)
+    )
+    per_vec = deq.select(
+        "label",
+        max_err.alias("max_err"),
+        V.cosine("embedding", "d").alias("cos"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max("max_err").alias("max_abs_err"),
+        F.min("cos").alias("min_cosine"),
+    )
