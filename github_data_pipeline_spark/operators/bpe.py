@@ -125,7 +125,11 @@ def merge_pairs_col(syms: Column, pairs: list[tuple[str, str]]) -> Column:
 
 
 def _safe_merge_prefix(
-    top: list, window_full: bool, budget: int, min_freq: int
+    top: list,
+    window_full: bool,
+    budget: int,
+    min_freq: int,
+    known_symbols: frozenset[str] = frozenset(),
 ) -> list:
     """The longest prefix of the sorted pair window provably equal to
     what sequential BPE would pick, decided from ONE round's counts.
@@ -151,9 +155,27 @@ def _safe_merge_prefix(
     out-rank everything later once its count shrinks, so only a prefix
     is ever provably safe.  ``P_1`` is the true argmax and always
     accepted.
+
+    Two collision guards close the cases the three bounds above miss
+    (both end the prefix after the colliding acceptance — correctness
+    over batch width):
+
+    * **existing-symbol collision**: if an accepted pair's merged
+      string is ALREADY a vocabulary symbol (``known_symbols`` = all
+      prior merged strings; multi-char symbols can only come from
+      merges), pairs referencing that symbol can have their counts
+      *increased* by the merge — the "counts never grow" premise
+      breaks, so nothing after it is provably safe;
+    * **intra-batch collision**: two accepted pairs producing the same
+      merged string (e.g. ("x","yz") and ("xy","z")) would let a new
+      pair accumulate adjacency bounds from BOTH merges, defeating the
+      per-merge threat scan — the second colliding pair is rejected.
     """
     accepted = [top[0]]
     used = {top[0].left, top[0].right}
+    made = {top[0].left + top[0].right}
+    if (top[0].left + top[0].right) in known_symbols:
+        return accepted
     floor = top[-1].freq if window_full else 0
     for cand in top[1:]:
         if len(accepted) >= budget or cand.freq < min_freq:
@@ -161,6 +183,9 @@ def _safe_merge_prefix(
         if cand.left in used or cand.right in used:
             break
         if cand.freq <= floor:
+            break
+        merged = cand.left + cand.right
+        if merged in made:
             break
         threat = False
         for pj in accepted:
@@ -178,6 +203,9 @@ def _safe_merge_prefix(
             break
         accepted.append(cand)
         used.update((cand.left, cand.right))
+        made.add(merged)
+        if merged in known_symbols:
+            break
     return accepted
 
 
@@ -224,6 +252,7 @@ def learn_bpe(
                 window_full=len(top) == window,
                 budget=n_merges - len(merges),
                 min_freq=min_freq,
+                known_symbols=frozenset(l + r for l, r, _f in merges),
             )
             merges.extend(
                 (c.left, c.right, int(c.freq)) for c in accepted

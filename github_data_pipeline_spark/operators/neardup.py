@@ -131,25 +131,41 @@ def capped_bucket_pairs(
     bucket_cols: list[str],
     payload_cols: list[str],
     cap: int,
+    fallback: str = "star",
 ) -> DataFrame:
     """Bucket-local pair generation with an occupancy cap — the skew
     guard for every LSH family.
 
     One shuffle groups rows into a sorted posting list per bucket
-    (payload struct ordered by its first field, the unique id). Buckets
-    at or under ``cap`` emit all C(m, 2) pairs map-side; an OVERSIZED
-    bucket — one boilerplate mega-cluster at 100 TB — emits STAR pairs
-    (list minimum vs. each other member): linear fan-out instead of
-    quadratic, while every member still connects to the same component,
-    so downstream cluster resolution (operators/components.py) elects
-    the identical keeper set. Compare NEARDUP_DF_CAP, which *drops* hot
-    shingles because a shingle is evidence, not identity; a hot LSH
-    bucket IS the near-dup cluster, so its members must stay linked.
+    (payload struct ordered by its fields in order — put the field
+    that should define adjacency first). Buckets at or under ``cap``
+    emit all C(m, 2) pairs map-side; an OVERSIZED bucket — one
+    boilerplate mega-cluster at 100 TB — degrades to linear fan-out
+    by ``fallback``:
+
+    * ``"star"`` — list minimum vs. each other member. Right when
+      bucket membership itself implies similarity (MinHash bands: a
+      shared band key IS an estimated-Jaccard match), so any member
+      works as the hub and every member still lands in one connected
+      component for cluster resolution.
+    * ``"chain"`` — consecutive pairs of the sorted list. Right when
+      the bucket is only a COARSE prefilter (SimHash prefix buckets:
+      prefix equality says nothing about the low bits) and pairs face
+      a further similarity filter: sorting by the full signature puts
+      identical/near signatures adjacent, so equal-signature runs stay
+      transitively connected while a similarity-elected hub does not
+      exist — the sorted-fingerprint scan of Manku et al. (WWW'07).
+      A star here would funnel through the doc-id minimum, and every
+      star edge can fail the downstream hamming filter even though
+      close pairs exist.
 
     Returns one row per pair: (*bucket_cols, p struct<a, b>) with
-    ``p.a < p.b`` element-wise (both branches draw from the sorted
-    list). Callers project/distinct as needed.
+    ``p.a <= p.b`` in SORT order (callers wanting id order apply
+    least/greatest). Compare NEARDUP_DF_CAP, which *drops* hot
+    shingles because a shingle is evidence, not identity.
     """
+    if fallback not in ("star", "chain"):
+        raise ValueError(f"unknown fallback {fallback!r}")
     s = F.struct(*[F.col(c) for c in payload_cols])
     posting = (
         rows.groupBy(*bucket_cols)
@@ -165,13 +181,20 @@ def capped_bucket_pairs(
             ),
         )
     )
-    star = F.transform(
-        F.slice(F.col("docs"), 2, F.size(F.col("docs"))),
-        lambda y: F.struct(
-            F.element_at(F.col("docs"), 1).alias("a"), y.alias("b")
-        ),
-    )
-    pairs = F.when(F.size("docs") <= cap, all_pairs).otherwise(star)
+    if fallback == "star":
+        over = F.transform(
+            F.slice(F.col("docs"), 2, F.size(F.col("docs"))),
+            lambda y: F.struct(
+                F.element_at(F.col("docs"), 1).alias("a"), y.alias("b")
+            ),
+        )
+    else:
+        over = F.zip_with(
+            F.slice(F.col("docs"), 1, F.size("docs") - 1),
+            F.slice(F.col("docs"), 2, F.size("docs") - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+    pairs = F.when(F.size("docs") <= cap, all_pairs).otherwise(over)
     return posting.select(*bucket_cols, F.explode(pairs).alias("p"))
 
 
@@ -302,12 +325,19 @@ def bucket_stats(bands: DataFrame) -> DataFrame:
     )
 
 
-def merge_bucket_stats(stats: DataFrame, new_bands: DataFrame) -> DataFrame:
+def merge_bucket_stats(
+    stats: DataFrame,
+    new_bands: DataFrame,
+    new_stats: DataFrame | None = None,
+) -> DataFrame:
     """Fold a batch's index rows into the stats table (min of mins,
     sum of counts — replay-idempotence is the caller's concern, same
-    as the band-index append)."""
+    as the band-index append). Pass ``new_stats`` when the batch's
+    ``bucket_stats`` is already at hand to avoid re-aggregating."""
+    if new_stats is None:
+        new_stats = bucket_stats(new_bands)
     return (
-        stats.unionByName(bucket_stats(new_bands))
+        stats.unionByName(new_stats)
         .groupBy("band", "key")
         .agg(
             F.min("min_doc").alias("min_doc"),
@@ -346,9 +376,15 @@ def incremental_lsh_candidates_capped(
     ``new_bands`` to the index and overwrite the stats with
     ``merged_stats``, and the next batch never rescans either.
     """
+    # materialize the batch's index rows once: they feed FOUR subtrees
+    # (batch stats, the under-cap join, the star join, the stats
+    # merge), and without the checkpoint each one re-shingles and
+    # re-minhashes the batch (same discipline as the sigs checkpoint
+    # in plans/dedup_plans.minhash_lsh_candidates). Batches are the
+    # daily increment — n_docs x 4 band rows of longs, cheap to hold.
     new_bands = band_index(
         minhash_signatures_from_arrays(doc_shingle_arrays(new_docs))
-    )
+    ).localCheckpoint()
     if stats is None:
         stats = bucket_stats(existing_bands)
     batch_stats = bucket_stats(new_bands)
@@ -409,7 +445,8 @@ def incremental_lsh_candidates_capped(
     candidates = (
         vs_corpus.unionByName(vs_batch).unionByName(star).distinct()
     )
-    return candidates, new_bands, merge_bucket_stats(stats, new_bands)
+    merged = merge_bucket_stats(stats, new_bands, new_stats=batch_stats)
+    return candidates, new_bands, merged
 
 
 def verify_candidates_edit_distance(

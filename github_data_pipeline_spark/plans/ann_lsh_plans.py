@@ -314,20 +314,39 @@ def _method_topk(pairs: DataFrame, method: str, cond) -> DataFrame:
     )
 
 
+_RECALL_METHODS = (
+    ["ivf"]
+    + [f"ivf_p{p}" for p in IVF_PROBE_WIDTHS]
+    + ["lsh", "lsh_h1"]
+)
+_METHODS_SQL = ", ".join(f"'{m}'" for m in _RECALL_METHODS)
+
+
 @_add(
     "ann_recall",
     f"""
-    WITH {_duck_recall_cte()}
-    SELECT m.method,
-           m.query_id,
-           CAST(COUNT(b.neighbor_id) AS BIGINT) AS hits,
-           CAST(COUNT(b.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_{TOP_K}
-    FROM (
-      {_RECALL_UNION_SQL}
-    ) m
-    LEFT JOIN brute b
-      ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
-    GROUP BY m.method, m.query_id
+    WITH {_duck_recall_cte()},
+    universe AS (
+      SELECT u.method, q.vec_id AS query_id
+      FROM embeddings q, UNNEST([{_METHODS_SQL}]) AS u(method)
+      WHERE q.vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT m.method, m.query_id,
+             CAST(COUNT(b.neighbor_id) AS BIGINT) AS hits
+      FROM (
+        {_RECALL_UNION_SQL}
+      ) m
+      LEFT JOIN brute b
+        ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+      GROUP BY m.method, m.query_id
+    )
+    SELECT un.method, un.query_id,
+           CAST(COALESCE(s.hits, 0) AS BIGINT) AS hits,
+           CAST(COALESCE(s.hits, 0) AS DOUBLE) / {TOP_K}
+             AS recall_at_{TOP_K}
+    FROM universe un
+    LEFT JOIN scored s
+      ON s.method = un.method AND s.query_id = un.query_id
     """,
     doc="Multi-probe ANN quality measurement, in-engine: recall@"
     f"{TOP_K} per query vector and per PROBE WIDTH against the exact "
@@ -460,9 +479,22 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("method", "query_id")
         .agg(F.count("true_id").alias("hits"))
     )
-    return hits.select(
+    # (method x query) universe with explicit zeros: a probe that finds
+    # NO candidate for some query must report recall 0, not silently
+    # drop the row — otherwise "found nothing" is indistinguishable
+    # from "not measured" and downstream per-method averages overstate
+    # recall (array-explode universe, no cross join for the audit)
+    universe = q.select(
+        "query_id",
+        F.explode(
+            F.array(*[F.lit(m) for m in _RECALL_METHODS])
+        ).alias("method"),
+    )
+    return universe.join(hits, ["method", "query_id"], "left").select(
         "method",
         "query_id",
-        F.col("hits").cast("long").alias("hits"),
-        (F.col("hits").cast("double") / TOP_K).alias(f"recall_at_{TOP_K}"),
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        (
+            F.coalesce(F.col("hits"), F.lit(0)).cast("double") / TOP_K
+        ).alias(f"recall_at_{TOP_K}"),
     )

@@ -70,17 +70,23 @@ from ..operators.neardup import (  # noqa: E402
 )
 
 
-def _duck_capped_pairs(cap: int) -> str:
+def _duck_capped_pairs(cap: int, fallback: str = "star") -> str:
     """DuckDB twin of operators/neardup.capped_bucket_pairs over a
-    ``buckets(docs)`` CTE: all C(m,2) pairs for occupancy <= cap, star
-    pairs (min element vs rest) above."""
+    ``buckets(docs)`` CTE (docs list-sorted): all C(m,2) pairs for
+    occupancy <= cap; above it, star pairs (first element vs rest) or
+    chain pairs (consecutive elements) per ``fallback``."""
+    if fallback == "star":
+        over = """list_transform(generate_series(2, len(docs)),
+             j -> {'a': docs[1], 'b': docs[j]})"""
+    else:
+        over = """list_transform(generate_series(1, len(docs)-1),
+             i -> {'a': docs[i], 'b': docs[i+1]})"""
     return f"""
       SELECT unnest(CASE WHEN len(docs) <= {cap}
         THEN flatten(list_transform(generate_series(1, len(docs)-1),
              i -> list_transform(generate_series(i+1, len(docs)),
                   j -> {{'a': docs[i], 'b': docs[j]}})))
-        ELSE list_transform(generate_series(2, len(docs)),
-             j -> {{'a': docs[1], 'b': docs[j]}})
+        ELSE {over}
         END) AS p
       FROM buckets
     """
@@ -451,12 +457,13 @@ _ASSEMBLE_SQL = " + ".join(
       SELECT doc_id, CAST({_ASSEMBLE_SQL} AS BIGINT) AS simhash FROM bitsums
     ), buckets AS (
       SELECT (simhash >> 16) AS pfx,
-             list_sort(list({{'d': doc_id, 'h': simhash}})) AS docs
+             list_sort(list({{'h': simhash, 'd': doc_id}})) AS docs
       FROM sims GROUP BY (simhash >> 16) HAVING COUNT(*) >= 2
     ), rawpairs AS (
-      {_duck_capped_pairs(SIMHASH_BUCKET_CAP)}
+      {_duck_capped_pairs(SIMHASH_BUCKET_CAP, fallback="chain")}
     )
-    SELECT p.a.d AS doc_a, p.b.d AS doc_b,
+    SELECT least(p.a.d, p.b.d) AS doc_a,
+           greatest(p.a.d, p.b.d) AS doc_b,
            CAST(bit_count(xor(p.a.h, p.b.h)) AS BIGINT) AS hamming
     FROM rawpairs
     WHERE bit_count(xor(p.a.h, p.b.h)) <= 6
@@ -470,8 +477,11 @@ _ASSEMBLE_SQL = " + ".join(
     "grouping, vs. the naive explode + two grouped aggregates which "
     "shuffles every (doc, token) pair. Voting ±1 per token occurrence "
     "equals the oracle's ±count per distinct token. Prefix buckets are "
-    "OCCUPANCY-CAPPED (SIMHASH_BUCKET_CAP) like the MinHash bands: an "
-    "identical-boilerplate mega-cluster emits star pairs, not C(m,2).",
+    "OCCUPANCY-CAPPED (SIMHASH_BUCKET_CAP): an oversized bucket "
+    "degrades to the signature-sorted consecutive-pair scan (Manku et "
+    "al. WWW'07) — equal/near signatures sort adjacent so identical "
+    "docs stay paired, where a doc-id star hub could sit hamming>6 "
+    "from every member and drop the whole cluster.",
     tags=("dedup", "simhash"),
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,9 +529,18 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # posting-list pairs per prefix bucket, occupancy-capped; the
     # payload struct carries each doc's signature so hamming computes
-    # map-side with no re-join against sims
+    # map-side with no re-join against sims. Signature-FIRST payload +
+    # chain fallback: an oversized prefix bucket degrades to the
+    # sorted-fingerprint consecutive scan (equal/near signatures are
+    # adjacent, so identical docs stay paired through the hamming
+    # filter) — a doc-id star hub could be far from every member and
+    # silently drop all of a mega-bucket's true pairs
     pairs = capped_bucket_pairs(
-        sims, ["pfx"], ["doc_id", "simhash"], SIMHASH_BUCKET_CAP
+        sims,
+        ["pfx"],
+        ["simhash", "doc_id"],
+        SIMHASH_BUCKET_CAP,
+        fallback="chain",
     )
     hamming = F.bit_count(
         F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
@@ -529,8 +548,8 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.filter(hamming <= 6)
         .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
+            F.least(F.col("p.a.doc_id"), F.col("p.b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("p.a.doc_id"), F.col("p.b.doc_id")).alias("doc_b"),
             hamming.cast("long").alias("hamming"),
         )
     )

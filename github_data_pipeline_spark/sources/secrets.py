@@ -81,9 +81,17 @@ def indexing_settings_from_secrets(
     es = secrets.get("elasticsearch", {})
     if not isinstance(es, dict):
         es = {}
+    # degrade-to-default like the loader itself: a hand-edited secrets
+    # file with a null prefix or a non-numeric batch size must fall
+    # back, not crash startup or mint a "None" table namespace
+    prefix = es.get("index_prefix")
+    try:
+        batch = int(es.get("batch_size", 500))
+    except (TypeError, ValueError):
+        batch = 500
     return {
-        "index_prefix": str(es.get("index_prefix", "")),
-        "batch_size": int(es.get("batch_size", 500)),
+        "index_prefix": str(prefix) if isinstance(prefix, str) else "",
+        "batch_size": batch,
         "connection": {
             k: es[k]
             for k in ("url", "username", "password", "api_key", "verify_tls")

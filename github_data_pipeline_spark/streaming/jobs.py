@@ -152,17 +152,30 @@ def stream_upsert_to_parquet(
 
 
 def _interval_seconds(horizon: str) -> int:
-    """Seconds in a simple ``"N hour|minute|second(s)"`` interval."""
+    """Seconds in an INTERVAL-style horizon: one or more ``N unit``
+    parts (week/day/hour/minute/second), e.g. ``"1 hour 30 minutes"``
+    — the grammar ``F.expr(f"INTERVAL {horizon}")`` accepted before
+    bucketing existed, minus sub-second units (a bucket width below
+    one second is not a meaningful attribution horizon)."""
     import re
 
-    m = re.fullmatch(
-        r"\s*(\d+)\s*(hour|minute|second)s?\s*", horizon.lower()
-    )
-    if not m:
+    units = {
+        "week": 604800,
+        "day": 86400,
+        "hour": 3600,
+        "minute": 60,
+        "second": 1,
+    }
+    pat = re.compile(r"(\d+)\s*(week|day|hour|minute|second)s?")
+    total, pos = 0, 0
+    for m in pat.finditer(horizon.lower()):
+        if horizon[pos : m.start()].strip():
+            raise ValueError(f"unsupported horizon {horizon!r}")
+        total += int(m.group(1)) * units[m.group(2)]
+        pos = m.end()
+    if total <= 0 or horizon[pos:].strip():
         raise ValueError(f"unsupported horizon {horizon!r}")
-    return int(m.group(1)) * {"hour": 3600, "minute": 60, "second": 1}[
-        m.group(2)
-    ]
+    return total
 
 
 def attribution_stream(

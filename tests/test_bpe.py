@@ -197,3 +197,29 @@ def test_merge_pairs_col_multi(spark):
         ).collect()
     ]
     assert got == [["c", "ab", "d"], ["cd", "ab"], []]
+
+
+def test_safe_prefix_collision_guards():
+    """Merged-string collisions end the prefix: intra-batch (two pairs
+    producing one string defeats the per-merge threat bound) and
+    existing-symbol (counts of pairs referencing it can GROW)."""
+    from collections import namedtuple
+
+    P = namedtuple("P", "left right freq")
+    # intra-batch: ("x","yz") and ("xy","z") both make "xyz"
+    top = [P("x", "yz", 100), P("xy", "z", 95), P("d", "e", 90)]
+    got = bpe._safe_merge_prefix(top, window_full=False, budget=8, min_freq=2)
+    assert [(p.left, p.right) for p in got] == [("x", "yz")]
+    # existing-symbol: merged "abc" already in the vocabulary
+    top = [P("ab", "c", 100), P("d", "e", 95)]
+    got = bpe._safe_merge_prefix(
+        top, window_full=False, budget=8, min_freq=2,
+        known_symbols=frozenset({"abc"}),
+    )
+    assert [(p.left, p.right) for p in got] == [("ab", "c")]
+    # a non-colliding known symbol does not restrict the batch
+    got = bpe._safe_merge_prefix(
+        top, window_full=False, budget=8, min_freq=2,
+        known_symbols=frozenset({"zz"}),
+    )
+    assert [(p.left, p.right) for p in got] == [("ab", "c"), ("d", "e")]

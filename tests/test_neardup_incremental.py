@@ -276,3 +276,27 @@ def test_capped_incremental_components_equal_full(spark):
         for r in bucket_stats(bands(docs)).collect()
     }
     assert got == want
+
+
+def test_capped_bucket_pairs_chain_fallback(spark):
+    """Chain fallback: oversized buckets emit consecutive pairs of the
+    payload-sorted list — adjacency follows the FIRST payload field, so
+    equal-signature docs stay paired however far the bucket minimum
+    doc_id sits."""
+    from github_data_pipeline_spark.operators.neardup import (
+        capped_bucket_pairs,
+    )
+
+    # simhash-first payload: docs 7,9 share sig 50; doc 1 sits at 99
+    rows = spark.createDataFrame(
+        [("b", 50, 7), ("b", 50, 9), ("b", 99, 1), ("b", 10, 4)],
+        "key string, simhash long, doc_id long",
+    )
+    got = sorted(
+        (r["p"]["a"]["doc_id"], r["p"]["b"]["doc_id"])
+        for r in capped_bucket_pairs(
+            rows, ["key"], ["simhash", "doc_id"], cap=3, fallback="chain"
+        ).collect()
+    )
+    # sorted by simhash: (10,4) (50,7) (50,9) (99,1) -> chain 4-7, 7-9, 9-1
+    assert got == [(4, 7), (7, 9), (9, 1)]

@@ -272,7 +272,9 @@ def replace_section(path: str, tag: str, body: str) -> None:
             text = fh.read()
     pat = re.compile(re.escape(start) + r".*?" + re.escape(end) + r"\n?", re.S)
     if pat.search(text):
-        text = pat.sub(block, text)
+        # lambda keeps the block literal (a bare string replacement
+        # would interpret backslashes, e.g. a quoted \s+ pattern)
+        text = pat.sub(lambda _m: block, text)
     else:
         if not text:
             text = "# SCALING — measured growth under scale and skew\n\n"
@@ -328,8 +330,9 @@ def main() -> int:
             "(+ unique suffix token): one near-dup cluster of\n"
             f"factor x n_docs/50 members in a single MinHash band / SimHash\n"
             "prefix bucket. Bounded exponents here prove NEARDUP_DF_CAP and\n"
-            "the LSH_BUCKET_CAP/SIMHASH_BUCKET_CAP star-pair fallback engage\n"
-            "(operators/neardup.capped_bucket_pairs).",
+            "the bucket occupancy caps engage "
+            "(operators/neardup.capped_bucket_pairs: star fallback for\n"
+            "MinHash bands, signature-sorted chain for SimHash prefixes).",
         ),
         "hotkey": (
             "## Skew: one hot join/state key (20% of events on one user)",
