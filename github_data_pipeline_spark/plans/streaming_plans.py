@@ -43,15 +43,29 @@ def stream_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import read_events_stream
     from ..streaming.stateful import user_ledger_stream
 
+    import glob
+    import os
+
     name = "stream_user_ledger_sink"
     # dropTempView is idempotent — no listTables() catalog scan needed
     spark.catalog.dropTempView(name)
     stream = user_ledger_stream(read_events_stream(spark, sf_dir))
-    # state shards sized to the single-batch drain (stateful plans don't
-    # get AQE coalescing); production raises this with arrival rate —
-    # the plan is unchanged, each shard still runs the real state store
+    # state shards sized to the DATA, not a constant (stateful plans
+    # don't get AQE coalescing): ~2 MB of events per shard, floor 8,
+    # cap 32. At the bench SF this resolves to the historical 8; the
+    # factor-30 state-growth smoke gets 30 shards instead of pushing
+    # 4x the rows through the same 8 Python state workers. Shard count
+    # never changes results — state is per user_id wherever it hashes.
+    paths = glob.glob(os.path.join(sf_dir, "events.parque*"))
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for p in paths
+        for r, _d, fs in os.walk(p)
+        for f in fs
+    ) or sum(os.path.getsize(p) for p in paths if os.path.isfile(p))
+    shards = str(min(32, max(8, total // (2 << 20))))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", shards)
     try:
         q = (
             stream.writeStream.format("memory")
