@@ -274,6 +274,46 @@ def incremental_candidates_vs_index(
     return incremental_lsh_candidates(new_docs, spark.table(table))
 
 
+def persist_bucket_stats(stats: DataFrame, table: str, buckets: int = 64) -> None:
+    """Persist the per-bucket summary next to the band index, bucketed
+    the same way ((band, key)) so the capped candidate join reads both
+    stored sides shuffle-free.
+
+    The merged stats of a batch READ the previous stats table, and
+    Spark refuses to overwrite a table from its own scan — the summary
+    is |buckets| fixed-width rows, so materializing it first
+    (localCheckpoint) is cheap and makes overwrite-in-place the normal
+    update path (the big band INDEX never needs this: it only ever
+    appends)."""
+    (
+        stats.localCheckpoint()
+        .write.mode("overwrite")
+        .bucketBy(buckets, "band", "key")
+        .sortBy("band", "key")
+        .saveAsTable(table)
+    )
+
+
+def incremental_candidates_vs_index_capped(
+    spark,
+    new_docs: DataFrame,
+    index_table: str,
+    stats_table: str,
+    cap: int = LSH_BUCKET_CAP,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Production entry point for the skew-safe daily path: capped
+    candidates against the persisted index + stats tables. Append the
+    returned ``new_bands`` to ``index_table`` (append_band_index) and
+    overwrite ``stats_table`` with the returned merged stats
+    (persist_bucket_stats) to complete the batch."""
+    return incremental_lsh_candidates_capped(
+        new_docs,
+        spark.table(index_table),
+        stats=spark.table(stats_table),
+        cap=cap,
+    )
+
+
 def incremental_lsh_candidates(
     new_docs: DataFrame, existing_bands: DataFrame
 ) -> tuple[DataFrame, DataFrame]:

@@ -300,3 +300,58 @@ def test_capped_bucket_pairs_chain_fallback(spark):
     )
     # sorted by simhash: (10,4) (50,7) (50,9) (99,1) -> chain 4-7, 7-9, 9-1
     assert got == [(4, 7), (7, 9), (9, 1)]
+
+
+def test_capped_persisted_roundtrip(spark):
+    """Daily-pipeline shape for the capped path: persist index + stats
+    bucketed on (band, key), run a batch through the table entry point,
+    fold the results back, and match a from-scratch rebuild."""
+    import uuid
+
+    from github_data_pipeline_spark.operators.neardup import (
+        append_band_index,
+        band_index,
+        bucket_stats,
+        doc_shingle_arrays,
+        incremental_candidates_vs_index_capped,
+        minhash_signatures_from_arrays,
+        persist_band_index,
+        persist_bucket_stats,
+    )
+
+    hot = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, hot) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 9)
+    new = docs.filter(F.col("doc_id") >= 9)
+
+    def bands(d):
+        return band_index(
+            minhash_signatures_from_arrays(doc_shingle_arrays(d))
+        )
+
+    idx = f"nd_idx_{uuid.uuid4().hex[:8]}"
+    st = f"nd_st_{uuid.uuid4().hex[:8]}"
+    persist_band_index(bands(old), idx)
+    persist_bucket_stats(bucket_stats(bands(old)), st)
+
+    cands, new_bands, merged = incremental_candidates_vs_index_capped(
+        spark, new, idx, st, cap=8
+    )
+    # 9 old + 3 new = 12 > cap: stars to the stored minimum only
+    assert _pairs(cands) == {(0, 9), (0, 10), (0, 11)}
+
+    append_band_index(new_bands, idx)
+    persist_bucket_stats(merged, st)
+    got = {
+        (r["band"], r["key"]): (r["min_doc"], r["cnt"])
+        for r in spark.table(st).collect()
+    }
+    want = {
+        (r["band"], r["key"]): (r["min_doc"], r["cnt"])
+        for r in bucket_stats(bands(docs)).collect()
+    }
+    assert got == want
+    assert spark.table(idx).count() == bands(docs).count()
+    spark.sql(f"DROP TABLE {idx}")
+    spark.sql(f"DROP TABLE {st}")
