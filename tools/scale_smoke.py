@@ -75,6 +75,10 @@ TARGETS = (
     "doc_chunk_windows",
     "ann_lsh_topk",
     "doc_pii_scrub",
+    "neardup_cluster_keepers",
+    "decontam_overlap",
+    "budget_sample_counts",
+    "embedding_quantization_report",
 )
 
 # the dedup family is what a hot band stresses
