@@ -81,13 +81,18 @@ TARGETS = (
     "embedding_quantization_report",
 )
 
-# the dedup family is what a hot band stresses
+# the dedup family is what a hot band stresses; decontam rides along
+# because boilerplate docs shared between corpus and eval subset are
+# exactly the contamination fan-out case (broadcast join bounded by
+# the benchmark side)
 HOTBAND_TARGETS = (
     "exact_dedup_reingest",
     "neardup_jaccard_pairs",
     "minhash_lsh_candidates",
     "simhash_hamming_pairs",
     "substring_dup_spans",
+    "decontam_overlap",
+    "neardup_cluster_keepers",
 )
 
 # grouped/stateful per-user work is what a hot key stresses;
