@@ -1,13 +1,26 @@
-"""Simplified English full-text analysis, one spec — three engines.
+"""English full-text analysis, one spec — three engines, three modes.
 
-The reference indexes ``title``/``body`` through Elasticsearch's
-``english`` analyzer (reference ``src/indexing/schema.py:13-20``) and
-every ES ``match`` query ranks hits with BM25 (Lucene's default
-similarity).  SURVEY §1.2 mapped the analyzer to ``lower()`` +
-``contains`` and VERDICT r01 flagged the residual: no stemming and no
-token-position semantics.  This module closes it with a deterministic,
-intentionally small analysis chain defined ONCE as data
-(:data:`STEM_RULES`) and rendered three ways:
+The reference indexes ``title``/``body`` through Elasticsearch using
+the ``text_en`` analyzer its schema declares (reference
+``src/indexing/schema.py:13-20``): a **standard** analyzer with
+English stopwords — tokenize, lowercase, drop stopwords, NO stemming.
+Every ES ``match`` query then ranks hits with BM25 (Lucene's default
+similarity).  Each analysis function here takes a ``mode``:
+
+* ``"standard"`` — the faithful twin of the reference's declared
+  analyzer: lowercase → split on non-alphanumerics → drop empties →
+  drop stopwords.  (Known tokenizer difference, documented: ES's
+  standard tokenizer keeps ``john's`` as one token; our
+  ``[^a-z0-9]+`` split yields ``john``, ``s``.)
+* ``"light_en"`` — the historical default: standard chain + a small
+  first-match-wins suffix rule list (:data:`STEM_RULES`, plural /
+  participle / final-e stripping), chosen to be exactly
+  re-implementable in all three engines.
+* ``"porter"`` — standard chain + the classic 1980 Porter stemmer
+  (:mod:`.porter`), the enhanced-recall analyzer ES's ``english``
+  analyzer family provides beyond the reference's declared mapping.
+
+Each mode is rendered three ways:
 
 * :func:`analyze`      — Spark ``Column`` (pure Catalyst higher-order
   functions; no Python in the hot path, codegen-friendly);
@@ -15,12 +28,8 @@ intentionally small analysis chain defined ONCE as data
 * :func:`analyze_py`   — plain Python, for analyzing query strings on
   the driver and for cross-implementation tests.
 
-Chain (Elasticsearch ``english``-analyzer order): lowercase → split on
-non-alphanumerics → drop empty tokens → drop stopwords → light suffix
-stemming.  The stemmer is NOT Porter — it is a first-match-wins rule
-list (plural / participle / final-e stripping) chosen to be exactly
-re-implementable in all three engines; ``tests/test_fulltext.py``
-cross-checks the implementations property-style.
+``tests/test_fulltext.py`` and ``tests/test_porter.py`` cross-check
+the implementations property-style.
 """
 
 from __future__ import annotations
@@ -30,9 +39,18 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .porter import porter_col, porter_py, porter_sql
 from .text import EN_STOPWORDS
 
 TOKEN_PATTERN = "[^a-z0-9]+"
+
+MODES = ("standard", "light_en", "porter")
+DEFAULT_MODE = "light_en"
+
+
+def _check_mode(mode: str) -> None:
+    if mode not in MODES:
+        raise ValueError(f"unknown analyzer mode {mode!r}; one of {MODES}")
 
 # (suffix, replacement, min_token_len, excluded_suffixes) — applied
 # first-match-only, in order. min_token_len guards short tokens
@@ -66,9 +84,14 @@ def stem_py(t: str) -> str:
     return t
 
 
-def analyze_py(s: str) -> list[str]:
+def analyze_py(s: str, mode: str = DEFAULT_MODE) -> list[str]:
+    _check_mode(mode)
     toks = [t for t in re.split(TOKEN_PATTERN, s.lower()) if t]
-    return [stem_py(t) for t in toks if t not in EN_STOPWORDS]
+    kept = [t for t in toks if t not in EN_STOPWORDS]
+    if mode == "standard":
+        return kept
+    stem = porter_py if mode == "porter" else stem_py
+    return [stem(t) for t in kept]
 
 
 # -- Spark -----------------------------------------------------------------
@@ -85,15 +108,18 @@ def stem_col(t: Column) -> Column:
     return out.otherwise(t)
 
 
-def analyze(c: Column | str) -> Column:
-    """Analyzed token array — pure Catalyst, first-match-wins stemming."""
+def analyze(c: Column | str, mode: str = DEFAULT_MODE) -> Column:
+    """Analyzed token array — pure Catalyst in every mode."""
+    _check_mode(mode)
     stopset = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     toks = F.split(F.lower(_col(c)), TOKEN_PATTERN)
     kept = F.filter(
         toks,
         lambda t: (t != F.lit("")) & ~F.array_contains(stopset, t),
     )
-    return F.transform(kept, stem_col)
+    if mode == "standard":
+        return kept
+    return F.transform(kept, porter_col if mode == "porter" else stem_col)
 
 
 # -- DuckDB ----------------------------------------------------------------
@@ -109,13 +135,16 @@ def _stem_sql_case() -> str:
     return "CASE " + " ".join(whens) + " ELSE t END"
 
 
-def analyze_sql(expr: str) -> str:
+def analyze_sql(expr: str, mode: str = DEFAULT_MODE) -> str:
     """DuckDB fragment computing the same analyzed token list."""
+    _check_mode(mode)
     stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-    return (
-        "list_transform("
+    kept = (
         "list_filter("
         f"string_split_regex(lower({expr}), '{TOKEN_PATTERN}'), "
-        f"t -> t <> '' AND NOT list_contains([{stops}], t)), "
-        f"t -> {_stem_sql_case()})"
+        f"t -> t <> '' AND NOT list_contains([{stops}], t))"
     )
+    if mode == "standard":
+        return kept
+    body = porter_sql("t") if mode == "porter" else _stem_sql_case()
+    return f"list_transform({kept}, t -> {body})"

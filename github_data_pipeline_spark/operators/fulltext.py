@@ -1,10 +1,14 @@
 """Distributed BM25 ranked search and positional phrase match.
 
 The reference's interactive text queries run inside Elasticsearch,
-whose ``match`` queries score with Lucene BM25 over the ``english``
-analyzer (reference ``src/indexing/schema.py:13-20``, analyzer wiring;
-``src/retrieval/search.py`` issues the match queries).  This module is
-the Spark-native equivalent, with two execution paths:
+whose ``match`` queries score with Lucene BM25 over the ``text_en``
+analyzer its schema declares — a standard analyzer with English
+stopwords (reference ``src/indexing/schema.py:13-20``, analyzer
+wiring; ``src/retrieval/search.py`` issues the match queries).  This
+module is the Spark-native equivalent, with two execution paths and a
+``mode`` knob selecting the analyzer (``standard`` = faithful
+reference twin, ``light_en``, ``porter`` — see
+``functions/fulltext.py``):
 
 **Scan path** (:func:`bm25_scan_topk`) — one pass over the corpus:
 
@@ -39,20 +43,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.fulltext import analyze, analyze_py
+from ..functions.fulltext import DEFAULT_MODE, analyze, analyze_py
 
 K1 = 1.2
 B = 0.75
 
 
-def query_terms(query: str) -> list[str]:
+def query_terms(query: str, mode: str = DEFAULT_MODE) -> list[str]:
     """Analyzed, de-duplicated query terms (order-stable)."""
-    return list(dict.fromkeys(analyze_py(query)))
+    return list(dict.fromkeys(analyze_py(query, mode)))
 
 
-def doc_terms(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_terms(
+    docs: DataFrame, text_col: str = "text", mode: str = DEFAULT_MODE
+) -> DataFrame:
     """(doc_id, toks) with the analyzed token array."""
-    return docs.select("doc_id", analyze(text_col).alias("toks"))
+    return docs.select("doc_id", analyze(text_col, mode).alias("toks"))
 
 
 def _per_doc_tfs(
@@ -110,17 +116,20 @@ def bm25_scan_topk(
     phrase: str | None = None,
     k1: float = K1,
     b: float = B,
+    mode: str = DEFAULT_MODE,
 ) -> DataFrame:
     """BM25 top-k over the corpus in one scan — no inverted index.
 
     Returns (doc_id, score, matched_terms), score rounded to 4 decimals
     for cross-engine hash stability, ordered score desc / doc_id asc.
     With ``phrase``, a ``phrase_hit`` flag (ES ``match_phrase``
-    semantics) is computed in the SAME per-document pass.
+    semantics) is computed in the SAME per-document pass.  ``mode``
+    picks the analyzer (standard / light_en / porter) for both the
+    corpus and the query string.
     """
-    terms = query_terms(query)
-    pterms = query_terms(phrase) if phrase is not None else None
-    per = _per_doc_tfs(doc_terms(docs, text_col), terms, pterms)
+    terms = query_terms(query, mode)
+    pterms = query_terms(phrase, mode) if phrase is not None else None
+    per = _per_doc_tfs(doc_terms(docs, text_col, mode), terms, pterms)
     stats = per.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
@@ -191,6 +200,7 @@ def build_text_index(
     *,
     text_col: str = "text",
     buckets: int = 32,
+    mode: str = DEFAULT_MODE,
 ) -> None:
     """Persist postings (term, doc_id, tf, dl) bucketed by term, plus a
     single-row ``{table}_stats`` (n_docs, total_dl).
@@ -199,7 +209,7 @@ def build_text_index(
     buckets of its few terms and the per-term df aggregate needs no
     extra shuffle (bucket files are already term-partitioned).
     """
-    base = doc_terms(docs, text_col)
+    base = doc_terms(docs, text_col, mode)
     posts = (
         base.select(
             "doc_id",
@@ -229,9 +239,12 @@ def bm25_index_topk(
     *,
     k1: float = K1,
     b: float = B,
+    mode: str = DEFAULT_MODE,
 ) -> DataFrame:
-    """Answer a BM25 query from the persisted index — corpus untouched."""
-    terms = query_terms(query)
+    """Answer a BM25 query from the persisted index — corpus untouched.
+
+    ``mode`` must match the mode the index was built with."""
+    terms = query_terms(query, mode)
     posts = spark.table(table).filter(F.col("term").isin(terms))
     stats = spark.table(f"{table}_stats")
     dfs = posts.groupBy("term").agg(

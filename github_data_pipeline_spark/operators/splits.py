@@ -1,0 +1,127 @@
+"""Leakage-safe train/val/test splitting over near-dup clusters.
+
+A training pipeline that hashes each document independently into
+train/val/test leaks: near-duplicate documents (the pairs the dedup
+stack finds) land on different sides of the split, and the model is
+evaluated on paraphrases of its training data.  The fix is to hash the
+**cluster**, not the document: resolve near-dup pairs into connected
+components (``operators/components.py``), key every document by its
+component id (singletons key by themselves), and derive the split from
+a deterministic content hash of that cluster key.  Every member of a
+cluster then lands in the same split by construction.
+
+Scale shape (100 TB): the component table holds only documents that
+appear in some near-dup pair (tiny vs the corpus); the left join back
+to the corpus is an equi-join AQE can broadcast when small, and the
+split assignment itself is a map-side hash expression — no shuffle
+beyond the join.  The same md5-bucket hash as the budget sampler
+(``operators/budget.py``) keeps assignment reproducible across runs,
+engines, and cluster sizes — no ``rand()`` anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .components import connected_components
+
+HASH_BUCKETS = 1_000_000
+
+
+def hash_bucket(c: Column) -> Column:
+    """md5-bucket in [0, HASH_BUCKETS) — ``operators/budget.py`` twin,
+    reproducible in DuckDB as
+    ``CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8) AS BIGINT) %
+    HASH_BUCKETS``."""
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % HASH_BUCKETS
+    )
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, cumulative-bucket-threshold) pairs; the last split takes
+    the remainder.  Computed driver-side in Python so both engines
+    consume identical integer literals."""
+    items = list(fractions.items())
+    if not items:
+        raise ValueError("need at least one split")
+    total = sum(f for _, f in items)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    out: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, frac in items[:-1]:
+        acc += frac
+        out.append((name, int(round(acc * HASH_BUCKETS))))
+    out.append((items[-1][0], HASH_BUCKETS))
+    return out
+
+
+def split_col(key: Column, fractions: dict[str, float]) -> Column:
+    """Deterministic split name for ``key`` (insertion order of
+    ``fractions`` defines the bucket layout)."""
+    thresholds = split_thresholds(fractions)
+    b = hash_bucket(key)
+    expr = None
+    for name, thr in thresholds[:-1]:
+        cond = b < thr
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = thresholds[-1][0]
+    return expr.otherwise(last) if expr is not None else F.lit(last)
+
+
+def assign_leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """``docs`` + (cluster_key, split, naive_split).
+
+    ``cluster_key`` is the connected-component id of the near-dup
+    graph (the doc's own id for singletons); ``split`` hashes the
+    cluster key (leakage-safe); ``naive_split`` hashes the document id
+    (the broken baseline, kept for auditing — see
+    :func:`leaky_cluster_count`).
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    joined = docs.join(
+        comp, docs[id_col] == comp["node"], "left"
+    ).select(
+        *[docs[c] for c in docs.columns],
+        F.coalesce(comp["component"], docs[id_col]).alias("cluster_key"),
+    )
+    return joined.select(
+        "*",
+        split_col(F.col("cluster_key"), fractions).alias("split"),
+        split_col(F.col(id_col), fractions).alias("naive_split"),
+    )
+
+
+def leaky_cluster_count(
+    assigned: DataFrame,
+    *,
+    cluster_col: str = "cluster_key",
+    split: str = "split",
+    out_col: str = "leaky_clusters",
+) -> DataFrame:
+    """1-row count of clusters whose members span >1 split.
+
+    Zero for the cluster-hashed split BY CONSTRUCTION (the split is a
+    function of the cluster key); typically positive for the naive
+    per-doc hash — the measured difference is the leak the safe
+    assignment closes.
+    """
+    return (
+        assigned.groupBy(cluster_col)
+        .agg(F.count_distinct(split).alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias(out_col))
+    )

@@ -112,6 +112,8 @@ def all_plans() -> Registry:
     # the demotions below), verified by the local cell-exact checker
     # and CORRECTNESS_TAIL.json; rotate into the window next round
     from . import curation_plans  # noqa: F401
+    from . import fulltext_analyzer_plans  # noqa: F401
+    from . import split_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row

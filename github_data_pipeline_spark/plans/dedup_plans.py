@@ -675,10 +675,11 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@_add(
-    "neardup_cluster_keepers",
-    f"""
-    WITH RECURSIVE {_JACCARD_CTES}, jp AS (
+# The Jaccard >= 0.8 pair set closed into connected components with a
+# recursive CTE — shared by neardup_cluster_keepers and the
+# leakage-safe split oracle (plans/split_plans.py), which must agree
+# on the exact same cluster structure.
+COMPONENT_CTES = f"""{_JACCARD_CTES}, jp AS (
       SELECT doc_a, doc_b
       FROM pairs
       JOIN sizes ga ON ga.doc_id = doc_a
@@ -697,7 +698,13 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM reach r JOIN edges e ON e.u = r.node
     ), comp AS (
       SELECT node, MIN(lab) AS component FROM reach GROUP BY node
-    )
+    )"""
+
+
+@_add(
+    "neardup_cluster_keepers",
+    f"""
+    WITH RECURSIVE {COMPONENT_CTES}
     SELECT component,
            CAST(COUNT(*) AS BIGINT) AS size,
            CAST(SUM(node) AS BIGINT) AS id_sum,

@@ -1,0 +1,120 @@
+"""Tail registry entry: leakage-safe train/val/test splits.
+
+The training-data failure this guards against: hashing each document
+independently into train/val/test puts near-duplicates on both sides
+of the split, so eval measures memorization of paraphrased training
+data.  ``operators/splits.py`` keys the split on the near-dup
+CLUSTER (connected components over the Jaccard >= 0.8 pair set —
+exactly the ``neardup_cluster_keepers`` cluster structure), making
+cross-split leakage structurally impossible.
+
+The query reports, per split: document count, cluster count, and two
+scalar audit columns — ``leaky_clusters`` (clusters spanning >1 split
+under the safe assignment: 0 by construction, verified by the oracle,
+not asserted) and ``naive_leaky_clusters`` (the same count under the
+broken per-doc hash: the measured leak the safe assignment closes).
+
+Scale shape: the component table only contains docs in some near-dup
+pair; the corpus-side work is one equi-join plus map-side hash
+expressions; the audit aggregates carry (cluster_key, split) pairs
+only.  Both scalar audits attach by 1-row broadcast (the whitelisted
+plan-audit shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.splits import (
+    HASH_BUCKETS,
+    assign_leakage_safe_splits,
+    leaky_cluster_count,
+    split_thresholds,
+)
+from ..sources.tables import load_table, spread
+from .core import REGISTRY
+from .dedup_plans import COMPONENT_CTES, neardup_jaccard_pairs
+
+FRACTIONS = {"train": 0.90, "val": 0.05, "test": 0.05}
+
+
+def _hb_sql(x: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {HASH_BUCKETS})"
+    )
+
+
+def _split_sql(x: str) -> str:
+    whens = " ".join(
+        f"WHEN {_hb_sql(x)} < {thr} THEN '{name}'"
+        for name, thr in split_thresholds(FRACTIONS)[:-1]
+    )
+    last = split_thresholds(FRACTIONS)[-1][0]
+    return f"CASE {whens} ELSE '{last}' END"
+
+
+_ORACLE = f"""
+WITH RECURSIVE {COMPONENT_CTES}, assigned AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_key
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), sp AS (
+  SELECT doc_id, cluster_key,
+         {_split_sql("cluster_key")} AS split,
+         {_split_sql("doc_id")} AS naive_split
+  FROM assigned
+), leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS leaky_clusters FROM (
+    SELECT cluster_key FROM sp GROUP BY cluster_key
+    HAVING COUNT(DISTINCT split) > 1)
+), nleak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS naive_leaky_clusters FROM (
+    SELECT cluster_key FROM sp GROUP BY cluster_key
+    HAVING COUNT(DISTINCT naive_split) > 1)
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(COUNT(DISTINCT cluster_key) AS BIGINT) AS clusters,
+       leak.leaky_clusters,
+       nleak.naive_leaky_clusters
+FROM sp, leak, nleak
+GROUP BY split, leak.leaky_clusters, nleak.naive_leaky_clusters
+"""
+
+
+@REGISTRY.add(
+    "leakage_safe_splits",
+    _ORACLE,
+    doc="Deterministic 90/5/5 train/val/test assignment keyed on the "
+    "near-dup CLUSTER id (connected components over the Jaccard>=0.8 "
+    "pair set — the exact neardup_cluster_keepers structure, resolved "
+    "by pointer-jumping in Spark and a recursive CTE in the oracle) "
+    "instead of the document id, so near-duplicates cannot straddle "
+    "splits. Per-split doc/cluster counts plus two oracle-verified "
+    "audit scalars: leaky_clusters == 0 under the safe assignment "
+    "(counted, not assumed) and naive_leaky_clusters — what the "
+    "per-doc hash would leak on the same corpus. Split assignment is "
+    "the budget-sampler md5-bucket (operators/splits.py): no rand(), "
+    "identical docs in every engine/run/partitioning. Beyond the "
+    "reference: a training-pipeline operator the dedup stack makes "
+    "possible.",
+    tags=("curation", "splits", "components"),
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+    pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    assigned = assign_leakage_safe_splits(docs, pairs, FRACTIONS)
+    leaky = leaky_cluster_count(assigned)
+    naive = leaky_cluster_count(
+        assigned, split="naive_split", out_col="naive_leaky_clusters"
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.count_distinct("cluster_key").alias("clusters"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .crossJoin(F.broadcast(naive))
+    )

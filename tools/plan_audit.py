@@ -56,6 +56,13 @@ BNLJ_BY_DESIGN = {
     # BM25 corpus stats (N, Σdl, per-term df) are ONE aggregated row
     # broadcast back onto the per-doc scores — the join moves one row.
     "doc_fulltext_search": "scalar-stats 1-row broadcast attach",
+    # same one-pass BM25 plan, different analyzer modes (standard /
+    # porter) — identical 1-row stats attach shape.
+    "doc_fulltext_standard": "scalar-stats 1-row broadcast attach",
+    "doc_fulltext_porter": "scalar-stats 1-row broadcast attach",
+    # the two audit scalars (leaky_clusters, naive_leaky_clusters) are
+    # single aggregated rows broadcast onto the 3-row split summary.
+    "leakage_safe_splits": "scalar-stats 1-row broadcast attach",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
