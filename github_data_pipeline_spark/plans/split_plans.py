@@ -104,7 +104,13 @@ GROUP BY split, leak.leaky_clusters, nleak.naive_leaky_clusters
 def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    assigned = assign_leakage_safe_splits(docs, pairs, FRACTIONS)
+    # materialize the split manifest once: (doc_id, cluster_key, split)
+    # IS the artifact a real pipeline persists (like the MinHash
+    # signature table), and three consumers read it below — without
+    # this the corpus join + hash exprs replay per consumer
+    assigned = assign_leakage_safe_splits(
+        docs, pairs, FRACTIONS
+    ).localCheckpoint()
     leaky = leaky_cluster_count(assigned)
     naive = leaky_cluster_count(
         assigned, split="naive_split", out_col="naive_leaky_clusters"

@@ -140,6 +140,29 @@ def test_analyze_modes_differ_as_specified():
         FT.analyze_py(s, mode="nope")
 
 
+def test_porter_index_path_matches_scan_path(spark, sf_dir):
+    # the persisted inverted index honors the analyzer mode end-to-end
+    from github_data_pipeline_spark.operators import fulltext as ft
+    from github_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    query = "spark joins streaming tables"
+    table = "t_fulltext_porter_idx_test"
+    try:
+        ft.build_text_index(docs, table, buckets=8, mode="porter")
+        scan = ft.bm25_scan_topk(docs, query, k=25, mode="porter").collect()
+        idx = ft.bm25_index_topk(
+            spark, table, query, k=25, mode="porter"
+        ).collect()
+        assert [(r.doc_id, r.score, r.matched_terms) for r in scan] == [
+            (r.doc_id, r.score, r.matched_terms) for r in idx
+        ]
+        assert scan  # non-vacuous
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_stats")
+
+
 def test_porter_registry_entry_plan_and_recall(spark, sf_dir):
     from github_data_pipeline_spark.plans import all_plans
 

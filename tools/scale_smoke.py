@@ -79,6 +79,8 @@ TARGETS = (
     "decontam_overlap",
     "budget_sample_counts",
     "embedding_quantization_report",
+    "doc_fulltext_porter",
+    "leakage_safe_splits",
 )
 
 # the dedup family is what a hot band stresses; decontam rides along
@@ -93,6 +95,7 @@ HOTBAND_TARGETS = (
     "substring_dup_spans",
     "decontam_overlap",
     "neardup_cluster_keepers",
+    "leakage_safe_splits",
 )
 
 # grouped/stateful per-user work is what a hot key stresses;
