@@ -158,5 +158,20 @@ def all_plans() -> Registry:
     REGISTRY.demote("events_sessionization")
     REGISTRY.demote("events_asof_last_click")
     REGISTRY.demote("multimodal_meta_rollup")
+    # second round-4 swap: the three queries added later this round
+    # (doc_fulltext_standard, doc_fulltext_porter, leakage_safe_splits)
+    # take window slots so the driver scores them immediately; three
+    # entries rotate out, each fully green in CORRECTNESS_r03.json
+    # with its operator class still covered in-window:
+    # pricing_summary (grouped SUM-CASE agg ≡ orders_profile, which
+    # stays), revenue_by_nation (fact-dim broadcast join + grouped agg
+    # ≡ top_customers_by_revenue plus the gh dimension joins),
+    # multimodal_decode_features (Arrow mapInPandas 1→1 decode ≡
+    # multimodal_frame_sample's 1→N Arrow stage, which stays). All
+    # demoted entries remain cell-exact under the local checker
+    # (CORRECTNESS_TAIL.json).
+    REGISTRY.demote("pricing_summary")
+    REGISTRY.demote("revenue_by_nation")
+    REGISTRY.demote("multimodal_decode_features")
 
     return REGISTRY

@@ -52,6 +52,9 @@ def test_driver_window_invariants():
         "decontam_overlap",
         "budget_sample_counts",
         "embedding_quantization_report",
+        "doc_fulltext_standard",
+        "doc_fulltext_porter",
+        "leakage_safe_splits",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry still has an oracle or is rows-only by
