@@ -114,6 +114,7 @@ def all_plans() -> Registry:
     from . import curation_plans  # noqa: F401
     from . import fulltext_analyzer_plans  # noqa: F401
     from . import split_plans  # noqa: F401
+    from . import sketch_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row

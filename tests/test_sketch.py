@@ -1,0 +1,62 @@
+"""KMV sketch + deterministic-sample quantiles: estimator sanity,
+hash determinism, and top-k (not sort-all) plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from github_data_pipeline_spark.plans.sketch_plans import (
+    KMV_K,
+    _h32_col,
+    kmv_sketch_stats,
+)
+
+
+def test_h32_matches_python_md5(spark):
+    vals = [1, 42, 99999]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {
+        r.v: r.h
+        for r in df.select("v", _h32_col(F.col("v")).alias("h")).collect()
+    }
+    for v in vals:
+        assert got[v] == int(
+            hashlib.md5(str(v).encode()).hexdigest()[:8], 16
+        )
+
+
+def test_kmv_estimate_within_expected_error(spark, sf_dir):
+    row = kmv_sketch_stats(spark, sf_dir).collect()[0]
+    # KMV standard error ~ 1/sqrt(k) ~ 6.25% at k=256; allow 4 sigma
+    for est, exact in (
+        (row.kmv_orders, row.exact_orders),
+        (row.kmv_parts, row.exact_parts),
+    ):
+        if exact <= KMV_K:
+            # fewer distincts than k: h_k is the max of all hashes and
+            # the estimator degrades gracefully; just demand same scale
+            assert 0 < est
+        else:
+            assert abs(est - exact) / exact < 0.25, (est, exact)
+    # quantiles are ordered and from the sampled data
+    assert row.p50_cents <= row.p95_cents <= row.p99_cents
+    assert row.sample_rows > 0
+
+
+def test_kmv_is_topk_not_full_sort(spark, sf_dir):
+    plan = (
+        kmv_sketch_stats(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_sample_rate_determinism_across_partitionings(spark, sf_dir):
+    a = kmv_sketch_stats(spark, sf_dir).collect()
+    b = kmv_sketch_stats(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

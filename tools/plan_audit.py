@@ -63,6 +63,9 @@ BNLJ_BY_DESIGN = {
     # the two audit scalars (leaky_clusters, naive_leaky_clusters) are
     # single aggregated rows broadcast onto the 3-row split summary.
     "leakage_safe_splits": "scalar-stats 1-row broadcast attach",
+    # four 1-row aggregates (two KMV top-k maxima, exact distincts,
+    # the sorted sample array) cross-joined into the single output row.
+    "kmv_sketch_stats": "scalar-stats 1-row broadcast attach",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
