@@ -46,6 +46,26 @@ def main() -> None:
         help="also run the training-data curation funnel over "
         "SF_DIR/documents.parquet and print the per-stage survivors",
     )
+    ap.add_argument(
+        "--search",
+        metavar="QUERY",
+        default=None,
+        help="BM25 full-text search over --search-dir documents "
+        "(the reference's retrieval/search.py match-query analog)",
+    )
+    ap.add_argument(
+        "--search-dir",
+        default="/root/testdata/sf0.001",
+        help="parquet dir holding documents.parquet for --search",
+    )
+    ap.add_argument(
+        "--analyzer",
+        choices=("standard", "light_en", "porter"),
+        default="standard",
+        help="analyzer mode for --search: standard = the reference "
+        "schema's declared text_en (stopwords, no stemming), porter = "
+        "classic Porter stemming",
+    )
     args = ap.parse_args()
 
     from github_data_pipeline_spark.pipeline import (
@@ -58,6 +78,31 @@ def main() -> None:
 
     spark = get_spark("run-pipeline", master=f"local[{args.cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.search is not None:
+        from github_data_pipeline_spark.operators.fulltext import (
+            bm25_scan_topk,
+            query_terms,
+        )
+        from github_data_pipeline_spark.sources.tables import load_table
+
+        docs = load_table(spark, args.search_dir, "documents")
+        terms = query_terms(args.search, args.analyzer)
+        print(
+            f"search {args.search!r} ({args.analyzer} analyzer) "
+            f"-> terms {terms} over {args.search_dir}:"
+        )
+        rows = bm25_scan_topk(
+            docs, args.search, k=10, mode=args.analyzer
+        ).collect()
+        for r in rows:
+            print(
+                f"  doc {r.doc_id:8d}  score {r.score:8.4f}  "
+                f"matched {r.matched_terms}/{len(terms)}"
+            )
+        if not rows:
+            print("  (no documents matched)")
+        return
 
     out = args.out or os.path.join(tempfile.gettempdir(), "gdp_warehouse")
     fixtures = load_fixtures(spark)
