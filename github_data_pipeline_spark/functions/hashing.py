@@ -20,6 +20,29 @@ def _c(x: Column | str) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+# --- the repo-wide md5-h32 family --------------------------------------
+#
+# One definition for "first 8 hex chars of md5 as a long" — the
+# deterministic 32-bit hash every sampler/sketch/split in this engine
+# keys on (budget sampling, train/val/test splits, KMV sketches).
+# Keeping the Column and SQL renderings side by side is the parity
+# contract: they must never drift independently.
+
+
+def md5_h32(c: Column) -> Column:
+    """32-bit md5 prefix of ``CAST(c AS STRING)`` as a long."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def md5_h32_sql(x: str) -> str:
+    """DuckDB twin of :func:`md5_h32` for an expression ``x``."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+
+
 # --- per-table key expressions (schema.py:303-366) ---------------------
 
 

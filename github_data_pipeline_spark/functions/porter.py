@@ -30,9 +30,12 @@ of VC sequences), ``*v*``, ``*o`` and ``*d`` conditions all derive
 from the word's c/v pattern.  Porter's ``y`` rule (vowel iff preceded
 by a consonant, consonant at position 0) is rendered identically in
 all three engines as three sequential non-overlapping replaces:
-``[aeiou] -> v``, then ``([^v])y -> $1v``, then ``[^v] -> c``; ``m``
-is then the count of non-overlapping ``"vc"`` occurrences.  Digits
-(our tokenizer keeps ``[a-z0-9]`` runs) pattern as consonants in every
+``[aeiou] -> V``, then ``([^V])y -> $1V``, then ``[^V] -> C``; ``m``
+is then the count of non-overlapping ``"VC"`` occurrences.  The
+markers are UPPERCASE precisely because they must sit outside the
+token alphabet ``[a-z0-9]`` — a lowercase ``v`` marker would collide
+with the consonant letter v in the input ("removal", "living") and
+misclassify it as a vowel.  Digits pattern as consonants in every
 engine.
 
 One deliberate simplification, shared by all three renderings and
@@ -203,17 +206,20 @@ def _chop(c: Column, n: int) -> Column:
 
 
 def _pat_c(c: Column) -> Column:
-    p = F.regexp_replace(c, "[aeiou]", "v")
-    p = F.regexp_replace(p, "([^v])y", "$1v")
-    return F.regexp_replace(p, "[^v]", "c")
+    # markers 'V'/'C' are OUTSIDE the token alphabet [a-z0-9]: using
+    # lowercase 'v' would collide with the consonant letter v in the
+    # input ("removal" -> pattern treats v as a vowel)
+    p = F.regexp_replace(c, "[aeiou]", "V")
+    p = F.regexp_replace(p, "([^V])y", "$1V")
+    return F.regexp_replace(p, "[^V]", "C")
 
 
 def _m_c(c: Column) -> Column:
-    return F.regexp_count(_pat_c(c), F.lit("vc"))
+    return F.regexp_count(_pat_c(c), F.lit("VC"))
 
 
 def _has_vowel_c(c: Column) -> Column:
-    return _pat_c(c).contains("v")
+    return _pat_c(c).contains("V")
 
 
 def _last_c(c: Column) -> Column:
@@ -233,7 +239,7 @@ def _doublec_c(c: Column) -> Column:
 
 
 def _cvc_o_c(c: Column) -> Column:
-    return _pat_c(c).endswith("cvc") & ~_last_c(c).isin("w", "x", "y")
+    return _pat_c(c).endswith("CVC") & ~_last_c(c).isin("w", "x", "y")
 
 
 def _c_1a(w: Column) -> Column:
@@ -341,19 +347,20 @@ def porter_col(t: Column) -> Column:
 
 
 def _pat_s(e: str) -> str:
+    # markers 'V'/'C' sit outside [a-z0-9] — see _pat_c
     return (
         "regexp_replace(regexp_replace(regexp_replace("
         + e
-        + r", '[aeiou]', 'v', 'g'), '([^v])y', '\1v', 'g'), '[^v]', 'c', 'g')"
+        + r", '[aeiou]', 'V', 'g'), '([^V])y', '\1V', 'g'), '[^V]', 'C', 'g')"
     )
 
 
 def _m_s(e: str) -> str:
-    return f"len(regexp_extract_all({_pat_s(e)}, 'vc'))"
+    return f"len(regexp_extract_all({_pat_s(e)}, 'VC'))"
 
 
 def _has_vowel_s(e: str) -> str:
-    return f"contains({_pat_s(e)}, 'v')"
+    return f"contains({_pat_s(e)}, 'V')"
 
 
 def _chop_s(e: str, n: int) -> str:
@@ -377,7 +384,7 @@ def _doublec_s(e: str) -> str:
 
 def _cvc_o_s(e: str) -> str:
     return (
-        f"(suffix({_pat_s(e)}, 'cvc')"
+        f"(suffix({_pat_s(e)}, 'CVC')"
         f" AND {_last_s(e)} NOT IN ('w','x','y'))"
     )
 

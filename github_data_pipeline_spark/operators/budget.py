@@ -52,12 +52,9 @@ def budget_sample(
     doc sets on every run/engine/cluster size (unlike rand()), and the
     predicate is a map-side filter — no shuffle.
     """
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % HASH_BUCKETS
-    )
+    from ..functions.hashing import md5_h32
+
+    bucket = md5_h32(F.col(id_col)) % HASH_BUCKETS
     threshold = F.create_map(
         *[
             x

@@ -24,22 +24,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_h32
 from .components import connected_components
 
 HASH_BUCKETS = 1_000_000
 
 
 def hash_bucket(c: Column) -> Column:
-    """md5-bucket in [0, HASH_BUCKETS) — ``operators/budget.py`` twin,
-    reproducible in DuckDB as
-    ``CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8) AS BIGINT) %
-    HASH_BUCKETS``."""
-    return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        )
-        % HASH_BUCKETS
-    )
+    """md5-bucket in [0, HASH_BUCKETS) — ``operators/budget.py`` twin;
+    the hash itself is the repo-wide ``functions/hashing.md5_h32``
+    (DuckDB rendering: ``md5_h32_sql(x) % HASH_BUCKETS``)."""
+    return md5_h32(c) % HASH_BUCKETS
 
 
 def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
@@ -49,6 +44,9 @@ def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
     items = list(fractions.items())
     if not items:
         raise ValueError("need at least one split")
+    for name, frac in items:
+        if not 0.0 < frac <= 1.0:
+            raise ValueError(f"fraction {name}={frac} outside (0, 1]")
     total = sum(f for _, f in items)
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1.0, got {total}")

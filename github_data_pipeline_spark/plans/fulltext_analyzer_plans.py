@@ -22,10 +22,11 @@ tf arrays, 1-row broadcast stats, TakeOrderedAndProject top-k) and the
 same cross-engine hash discipline (mirrored association order,
 ROUND(,4), doc_id tie-break).
 
-Registered past the driver's 50-entry window by design (imported last
-in ``plans.core.all_plans``): the in-window ``doc_fulltext_search``
-row already drives the BM25 operator's verdict; these are verified by
-the local cell-exact checker (CORRECTNESS_TAIL.json).
+Window placement: registered late in ``plans.core.all_plans`` import
+order, then pulled INSIDE the driver's 50-entry verdict window by the
+second round-4 swap (see the demote block in ``plans/core.py``) so the
+driver scores both entries this round; the local cell-exact checker
+covers them too.
 """
 
 from __future__ import annotations

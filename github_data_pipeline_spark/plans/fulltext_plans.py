@@ -68,12 +68,19 @@ def bm25_oracle(
 ) -> str:
     """DuckDB oracle SQL for ``bm25_scan_topk`` with the same args."""
     terms = query_terms(query, mode)
-    score_sql = "0.0 + " + " + ".join(
-        _contrib_sql(i) for i in range(len(terms))
+    # zero analyzed terms (stopword-only query): emit valid SQL that
+    # returns no rows, matching the Spark side's score=0 filter
+    score_sql = " + ".join(
+        ["0.0", *(_contrib_sql(i) for i in range(len(terms)))]
     )
     matched_sql = " + ".join(
-        f"CAST(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END AS BIGINT)"
-        for i in range(len(terms))
+        [
+            "CAST(0 AS BIGINT)",
+            *(
+                f"CAST(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END AS BIGINT)"
+                for i in range(len(terms))
+            ),
+        ]
     )
     per_cols = [
         "len(toks) AS dl",

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_h32, md5_h32_sql
 from ..sources.tables import load_table
 from .core import REGISTRY
 
@@ -48,15 +49,9 @@ QUANTILES = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
 _POW32 = 4294967296.0  # 2^32 as a double, exact
 
 
-def _h32_col(c):
-    """32-bit md5 hash as a long — the repo-wide md5-bucket family."""
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
-
-
-def _h32_sql(x: str) -> str:
-    return f"CAST(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 8)) AS BIGINT)"
+# the repo-wide md5-h32 family (functions/hashing.py)
+_h32_col = md5_h32
+_h32_sql = md5_h32_sql
 
 
 def _kmv_est_col(hk):
@@ -121,7 +116,12 @@ FROM ok_k, pk_k, exact, samp
     tags=("approx", "sketch", "agg"),
 )
 def kmv_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    return sketch_over(load_table(spark, sf_dir, "lineitem"))
+
+
+def sketch_over(li: DataFrame) -> DataFrame:
+    """The sketch pipeline over any lineitem-shaped DataFrame —
+    factored out so tests can pin partitioning-independence."""
 
     def kmv(col: str):
         hashes = li.select(_h32_col(F.col(col)).alias("h")).distinct()

@@ -1,4 +1,6 @@
-"""Tail registry entry: leakage-safe train/val/test splits.
+"""Registry entry (in the driver verdict window via the second
+round-4 swap in ``plans/core.py``): leakage-safe train/val/test
+splits.
 
 The training-data failure this guards against: hashing each document
 independently into train/val/test puts near-duplicates on both sides
@@ -26,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_h32_sql
 from ..operators.splits import (
     HASH_BUCKETS,
     assign_leakage_safe_splits,
@@ -40,10 +43,7 @@ FRACTIONS = {"train": 0.90, "val": 0.05, "test": 0.05}
 
 
 def _hb_sql(x: str) -> str:
-    return (
-        f"(CAST(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 8))"
-        f" AS BIGINT) % {HASH_BUCKETS})"
-    )
+    return f"({md5_h32_sql(x)} % {HASH_BUCKETS})"
 
 
 def _split_sql(x: str) -> str:

@@ -49,6 +49,11 @@ EDGE_WORDS = [
     "ion", "sions", "ations", "big2", "4k", "x9ing", "authentication",
     "authorization", "dependencies", "configurations", "probability",
     "possibilities", "ll", "controll", "controlling", "roll", "rolls",
+    # words containing the letter v — regression for the marker-
+    # collision bug (a lowercase 'v' pattern marker misread the
+    # consonant v as a vowel in the Spark/DuckDB renderings)
+    "removal", "living", "leaves", "arrival", "division", "survival",
+    "avoidance", "revival", "available", "vvv", "evolve", "velvety",
 ]
 
 

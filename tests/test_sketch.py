@@ -57,6 +57,10 @@ def test_kmv_is_topk_not_full_sort(spark, sf_dir):
 
 
 def test_sample_rate_determinism_across_partitionings(spark, sf_dir):
-    a = kmv_sketch_stats(spark, sf_dir).collect()
-    b = kmv_sketch_stats(spark, sf_dir).collect()
+    from github_data_pipeline_spark.plans.sketch_plans import sketch_over
+    from github_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = sketch_over(li.repartition(3)).collect()
+    b = sketch_over(li.repartition(7)).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
