@@ -103,6 +103,75 @@ def assign_leakage_safe_splits(
     )
 
 
+def update_splits(
+    old_assigned: DataFrame,
+    all_docs: DataFrame,
+    new_pairs: DataFrame,
+    fractions: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Incrementally maintain the split manifest for a new ingest batch.
+
+    ``old_assigned`` is the persisted manifest (``id_col``,
+    ``cluster_key``, ...); ``all_docs`` is the full corpus after the
+    batch; ``new_pairs`` are the near-dup edges the incremental index
+    produced for the batch (new-new and new-old).  Instead of
+    re-running components over every historical edge, each new edge's
+    endpoints are first COLLAPSED through the old manifest (an
+    endpoint is replaced by its old cluster key; unseen docs stand for
+    themselves), and components run only on that collapsed edge set —
+    work proportional to the batch, not the corpus.
+
+    Equivalence contract (pinned by ``tests/test_splits.py``): the
+    result equals ``assign_leakage_safe_splits`` over the union of all
+    edges, because collapsing a component to its minimum id preserves
+    the minimum under further merging.  Split STABILITY follows from
+    the same property: with monotonically increasing doc ids, a new
+    batch can never lower an existing cluster's key unless the new
+    edges merge two OLD clusters — exactly the case where re-keying
+    (and re-splitting) one side is REQUIRED to keep the no-leakage
+    invariant.
+    """
+    old_key = old_assigned.select(
+        F.col(id_col).alias("_n"), F.col("cluster_key").alias("_k")
+    )
+
+    def collapse(edge_col: str) -> Column:
+        return F.coalesce(F.col("_k"), F.col(edge_col))
+
+    e = (
+        new_pairs.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
+        .join(old_key.withColumnRenamed("_n", "eu"), "eu", "left")
+        .select(collapse("eu").alias("u"), "ev")
+        .join(old_key.withColumnRenamed("_n", "ev"), "ev", "left")
+        .select("u", collapse("ev").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    comp = connected_components(e, src="u", dst="v")
+    base = all_docs.join(
+        old_key.withColumnRenamed("_n", id_col), id_col, "left"
+    ).select(
+        *[all_docs[c] for c in all_docs.columns],
+        F.coalesce(F.col("_k"), all_docs[id_col]).alias("_base_key"),
+    )
+    rekeyed = base.join(
+        comp.withColumnRenamed("node", "_base_key"), "_base_key", "left"
+    ).select(
+        *[F.col(c) for c in all_docs.columns],
+        F.coalesce(F.col("component"), F.col("_base_key")).alias(
+            "cluster_key"
+        ),
+    )
+    return rekeyed.select(
+        "*",
+        split_col(F.col("cluster_key"), fractions).alias("split"),
+        split_col(F.col(id_col), fractions).alias("naive_split"),
+    )
+
+
 def leaky_cluster_count(
     assigned: DataFrame,
     *,

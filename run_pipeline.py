@@ -47,6 +47,14 @@ def main() -> None:
         "SF_DIR/documents.parquet and print the per-stage survivors",
     )
     ap.add_argument(
+        "--split",
+        metavar="SF_DIR",
+        default=None,
+        help="print the leakage-safe train/val/test split summary for "
+        "SF_DIR/documents.parquet (cluster-keyed; near-dups never "
+        "straddle splits)",
+    )
+    ap.add_argument(
         "--search",
         metavar="QUERY",
         default=None,
@@ -78,6 +86,27 @@ def main() -> None:
 
     spark = get_spark("run-pipeline", master=f"local[{args.cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.split is not None:
+        from github_data_pipeline_spark.plans import all_plans
+
+        rows = (
+            all_plans()["leakage_safe_splits"]
+            .builder(spark, args.split)
+            .collect()
+        )
+        print(f"leakage-safe splits over {args.split}/documents.parquet:")
+        for r in rows:
+            print(
+                f"  {r.split:5s} {r.docs:7d} docs in {r.clusters:7d} "
+                f"clusters"
+            )
+        if rows:
+            print(
+                f"  leaky clusters: safe={rows[0].leaky_clusters} "
+                f"naive-per-doc-hash={rows[0].naive_leaky_clusters}"
+            )
+        return
 
     if args.search is not None:
         from github_data_pipeline_spark.operators.fulltext import (

@@ -84,6 +84,62 @@ def test_assignment_deterministic_across_runs(spark):
     assert a == b
 
 
+def test_incremental_update_equals_full_recompute(spark):
+    from github_data_pipeline_spark.operators.splits import update_splits
+
+    # batch 1: docs 1-10, edges {1-2, 2-3}, {5-6}
+    d1 = spark.createDataFrame([(i,) for i in range(1, 11)], ["doc_id"])
+    p1 = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["doc_a", "doc_b"])
+    old = assign_leakage_safe_splits(d1, p1, FR).select(
+        "doc_id", "cluster_key", "split"
+    )
+    # batch 2: docs 11-16; new-new edge 11-12, new-old edge 13-5,
+    # and an old-old edge discovered late (6-9) that merges nothing
+    # new but must still rekey doc 9 into cluster 5
+    d_all = spark.createDataFrame([(i,) for i in range(1, 17)], ["doc_id"])
+    p2 = spark.createDataFrame(
+        [(11, 12), (13, 5), (6, 9)], ["doc_a", "doc_b"]
+    )
+    incr = update_splits(old, d_all, p2, FR)
+    full = assign_leakage_safe_splits(
+        d_all, p1.unionByName(p2), FR
+    )
+    assert sorted(
+        (r.doc_id, r.cluster_key, r.split) for r in incr.collect()
+    ) == sorted((r.doc_id, r.cluster_key, r.split) for r in full.collect())
+    # stability: docs whose cluster was untouched keep their old split
+    old_by_id = {r.doc_id: r for r in old.collect()}
+    for r in incr.collect():
+        if r.doc_id in old_by_id and r.cluster_key == old_by_id[
+            r.doc_id
+        ].cluster_key:
+            assert r.split == old_by_id[r.doc_id].split
+    # the merged cluster (5,6,9,13) is one key, one split
+    by_id = {r.doc_id: r for r in incr.collect()}
+    assert {by_id[i].cluster_key for i in (5, 6, 9, 13)} == {5}
+    assert len({by_id[i].split for i in (5, 6, 9, 13)}) == 1
+
+
+def test_incremental_update_merging_two_old_clusters_rekeys(spark):
+    from github_data_pipeline_spark.operators.splits import update_splits
+
+    d1 = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
+    p1 = spark.createDataFrame([(1, 2), (5, 6)], ["doc_a", "doc_b"])
+    old = assign_leakage_safe_splits(d1, p1, FR).select(
+        "doc_id", "cluster_key", "split"
+    )
+    # a late edge merges old clusters {1,2} and {5,6}
+    p2 = spark.createDataFrame([(2, 5)], ["doc_a", "doc_b"])
+    incr = update_splits(old, d1, p2, FR)
+    full = assign_leakage_safe_splits(d1, p1.unionByName(p2), FR)
+    assert sorted(map(tuple, incr.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    by_id = {r.doc_id: r for r in incr.collect()}
+    assert {by_id[i].cluster_key for i in (1, 2, 5, 6)} == {1}
+    assert len({by_id[i].split for i in (1, 2, 5, 6)}) == 1
+
+
 def test_registry_query_non_vacuous_on_corpus(spark, sf_dir):
     from github_data_pipeline_spark.plans import all_plans
 
