@@ -28,14 +28,17 @@ the total tree grows additively (~1k nodes).
 **Regex-derived consonant/vowel pattern.**  The measure ``m`` (number
 of VC sequences), ``*v*``, ``*o`` and ``*d`` conditions all derive
 from the word's c/v pattern.  Porter's ``y`` rule (vowel iff preceded
-by a consonant, consonant at position 0) is rendered identically in
-all three engines as three sequential non-overlapping replaces:
-``[aeiou] -> V``, then ``([^V])y -> $1V``, then ``[^V] -> C``; ``m``
-is then the count of non-overlapping ``"VC"`` occurrences.  The
-markers are UPPERCASE precisely because they must sit outside the
-token alphabet ``[a-z0-9]`` — a lowercase ``v`` marker would collide
-with the consonant letter v in the input ("removal", "living") and
-misclassify it as a vowel.  Digits pattern as consonants in every
+by a consonant, consonant at position 0) is rendered in the two
+regex-based engines (Spark, DuckDB) as three sequential
+non-overlapping replaces: ``[aeiou] -> V``, then ``([^V])y -> $1V``,
+then ``[^V] -> C``; ``m`` is then the count of non-overlapping
+``"VC"`` occurrences.  Those markers are UPPERCASE precisely because
+they must sit outside the token alphabet ``[a-z0-9]`` — a lowercase
+``v`` marker would collide with the consonant letter v in the input
+("removal", "living") and misclassify it as a vowel.  The Python
+reference builds the pattern with a positional loop (no marker
+aliasing possible) and is the arbiter the regex renderings are
+property-tested against.  Digits pattern as consonants in every
 engine.
 
 One deliberate simplification, shared by all three renderings and

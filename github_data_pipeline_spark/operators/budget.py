@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_h32
+
 HASH_BUCKETS = 1_000_000
 
 
@@ -52,8 +54,6 @@ def budget_sample(
     doc sets on every run/engine/cluster size (unlike rand()), and the
     predicate is a map-side filter — no shuffle.
     """
-    from ..functions.hashing import md5_h32
-
     bucket = md5_h32(F.col(id_col)) % HASH_BUCKETS
     threshold = F.create_map(
         *[

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.hashing import md5_h32_sql
 from ..operators.budget import HASH_BUCKETS, allocation_rates, budget_sample
 from ..operators.decontam import contamination_report
 from ..sources.tables import load_table, spread
@@ -97,8 +98,7 @@ _WEIGHTS_VALUES = ", ".join(
            CAST(COUNT(*) AS BIGINT) AS kept_docs,
            CAST(SUM(t.n) AS BIGINT) AS kept_tokens
     FROM tok t JOIN thresholds h USING (source)
-    WHERE (CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))
-           AS BIGINT) % {HASH_BUCKETS}) < h.thr
+    WHERE ({md5_h32_sql("t.doc_id")} % {HASH_BUCKETS}) < h.thr
     GROUP BY t.source
     """,
     doc="Training-mix budget sampling end-to-end "

@@ -506,10 +506,9 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_SIMHASH_BITS)
         ])
 
-    hashes = F.transform(
-        T.tokens("text"),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-    )
+    from ..functions.hashing import md5_h32
+
+    hashes = F.transform(T.tokens("text"), md5_h32)
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), _SIMHASH_BITS),

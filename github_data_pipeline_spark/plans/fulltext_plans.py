@@ -105,8 +105,7 @@ WITH base AS (
   SELECT doc_id, {", ".join(per_cols)}
   FROM base
 ), stats AS (
-  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl,
-    {", ".join(f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(len(terms)))}
+  SELECT {", ".join(["COUNT(*) AS n_docs", "SUM(dl) AS total_dl", *(f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(len(terms)))])}
   FROM per
 ), scored AS (
   SELECT doc_id,

@@ -110,7 +110,9 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("t2"), F.lit(_LONG_ID_RE)).alias("ids"),
         F.regexp_replace(F.col("t2"), _LONG_ID_RE, "<ID>").alias("t3"),
     )
-    chk = F.conv(F.substring(F.md5("t3"), 1, 8), 16, 10).cast("long")
+    from ..functions.hashing import md5_h32
+
+    chk = md5_h32(F.col("t3"))
     return masked.groupBy("source").agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("emails").cast("long").alias("emails_masked"),

@@ -92,7 +92,10 @@ def stream_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Approximate aggregates for the 100 TB path: HLL++ distinct "
     "counts and quantile sketches over lineitem. Exact twins "
     "(orders_profile, pricing_summary) are oracle-checked; this "
-    "entry proves the approx surface runs and returns sane shapes.",
+    "entry proves the approx surface runs and returns sane shapes. "
+    "The oracle-checkable counterpart is kmv_sketch_stats "
+    "(plans/sketch_plans.py): engine-neutral KMV distinct estimation "
+    "+ deterministic-sample quantiles, cell-exact in DuckDB.",
     tags=("approx", "agg"),
 )
 def approx_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

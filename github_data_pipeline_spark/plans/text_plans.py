@@ -18,8 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.hashing import md5_h32_sql
 from ..sources.tables import load_table, spread
 from .core import REGISTRY
+
+_H32_DOC = md5_h32_sql("doc_id")
 
 _add = REGISTRY.add
 
@@ -205,7 +208,7 @@ def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS sampled_docs,
              CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
       FROM documents
-      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+      WHERE {_H32_DOC} % 10 = 0
       GROUP BY source
     ), decile AS (
       SELECT source,
@@ -240,12 +243,9 @@ def doc_sampling_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(load_table(spark, sf_dir, "documents"))
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % 10
-    )
+    from ..functions.hashing import md5_h32
+
+    bucket = md5_h32(F.col("doc_id")) % 10
     sample = (
         d.filter(bucket == 0)
         .groupBy("source")

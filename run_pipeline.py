@@ -90,10 +90,12 @@ def main() -> None:
     if args.split is not None:
         from github_data_pipeline_spark.plans import all_plans
 
-        rows = (
+        order = {"train": 0, "val": 1, "test": 2}
+        rows = sorted(
             all_plans()["leakage_safe_splits"]
             .builder(spark, args.split)
-            .collect()
+            .collect(),
+            key=lambda r: order.get(r.split, 99),
         )
         print(f"leakage-safe splits over {args.split}/documents.parquet:")
         for r in rows:

@@ -100,22 +100,22 @@ def test_incremental_update_equals_full_recompute(spark):
     p2 = spark.createDataFrame(
         [(11, 12), (13, 5), (6, 9)], ["doc_a", "doc_b"]
     )
-    incr = update_splits(old, d_all, p2, FR)
+    incr_rows = update_splits(old, d_all, p2, FR).collect()
     full = assign_leakage_safe_splits(
         d_all, p1.unionByName(p2), FR
     )
     assert sorted(
-        (r.doc_id, r.cluster_key, r.split) for r in incr.collect()
+        (r.doc_id, r.cluster_key, r.split) for r in incr_rows
     ) == sorted((r.doc_id, r.cluster_key, r.split) for r in full.collect())
     # stability: docs whose cluster was untouched keep their old split
     old_by_id = {r.doc_id: r for r in old.collect()}
-    for r in incr.collect():
+    for r in incr_rows:
         if r.doc_id in old_by_id and r.cluster_key == old_by_id[
             r.doc_id
         ].cluster_key:
             assert r.split == old_by_id[r.doc_id].split
     # the merged cluster (5,6,9,13) is one key, one split
-    by_id = {r.doc_id: r for r in incr.collect()}
+    by_id = {r.doc_id: r for r in incr_rows}
     assert {by_id[i].cluster_key for i in (5, 6, 9, 13)} == {5}
     assert len({by_id[i].split for i in (5, 6, 9, 13)}) == 1
 
@@ -130,12 +130,12 @@ def test_incremental_update_merging_two_old_clusters_rekeys(spark):
     )
     # a late edge merges old clusters {1,2} and {5,6}
     p2 = spark.createDataFrame([(2, 5)], ["doc_a", "doc_b"])
-    incr = update_splits(old, d1, p2, FR)
+    incr_rows = update_splits(old, d1, p2, FR).collect()
     full = assign_leakage_safe_splits(d1, p1.unionByName(p2), FR)
-    assert sorted(map(tuple, incr.collect())) == sorted(
+    assert sorted(map(tuple, incr_rows)) == sorted(
         map(tuple, full.collect())
     )
-    by_id = {r.doc_id: r for r in incr.collect()}
+    by_id = {r.doc_id: r for r in incr_rows}
     assert {by_id[i].cluster_key for i in (1, 2, 5, 6)} == {1}
     assert len({by_id[i].split for i in (1, 2, 5, 6)}) == 1
 
