@@ -28,12 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_h32_sql
+from ..functions.hashing import md5_h32, md5_h32_sql
 from ..operators.splits import (
     HASH_BUCKETS,
     assign_leakage_safe_splits,
     leaky_cluster_count,
     split_thresholds,
+    update_splits,
 )
 from ..sources.tables import load_table, spread
 from .core import REGISTRY
@@ -123,4 +124,70 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leaky))
         .crossJoin(F.broadcast(naive))
+    )
+
+
+_UPDATE_ORACLE = f"""
+WITH RECURSIVE {COMPONENT_CTES}, assigned AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_key
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), sp AS (
+  SELECT doc_id, cluster_key,
+         {_split_sql("cluster_key")} AS split
+  FROM assigned
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(COUNT(DISTINCT cluster_key) AS BIGINT) AS clusters
+FROM sp GROUP BY split
+"""
+
+
+@REGISTRY.add(
+    "incremental_split_update",
+    _UPDATE_ORACLE,
+    doc="The incremental-manifest equivalence claim, ORACLE-CHECKED "
+    "instead of only unit-pinned: Spark builds the split manifest in "
+    "two ingest batches (a deterministic md5 quarter of the corpus "
+    "arrives second; batch-1 docs and their internal near-dup edges "
+    "form the persisted manifest, then operators/splits.update_splits "
+    "folds in the remaining docs and every edge touching them by "
+    "collapsing those edges through the old cluster keys and running "
+    "components on the batch-sized graph only). The DuckDB oracle "
+    "knows nothing about batches — it is the single-shot full "
+    "recompute over all documents and the full Jaccard>=0.8 pair set. "
+    "Cell-equality of the per-split doc/cluster counts IS the "
+    "incremental==full proof, scored by the correctness gate at "
+    "every SF.",
+    tags=("curation", "splits", "incremental"),
+)
+def incremental_split_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+    # materialize the verified pair set once — p1 and p2 below both
+    # filter it, and the pair pipeline (shingle -> capped posting
+    # lists -> exact verify) must not replay per consumer; the pair
+    # list is the tiny artifact a real pipeline persists anyway
+    pairs = (
+        neardup_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+
+    def late(c):
+        return md5_h32(c) % 4 == 0
+
+    batch1 = docs.filter(~late(F.col("doc_id")))
+    p1 = pairs.filter(~late(F.col("doc_a")) & ~late(F.col("doc_b")))
+    p2 = pairs.filter(late(F.col("doc_a")) | late(F.col("doc_b")))
+    # the persisted manifest after batch 1 (materialized, like any
+    # real checkpoint between ingest days)
+    manifest = (
+        assign_leakage_safe_splits(batch1, p1, FRACTIONS)
+        .select("doc_id", "cluster_key")
+        .localCheckpoint()
+    )
+    updated = update_splits(manifest, docs, p2, FRACTIONS)
+    return updated.groupBy("split").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count_distinct("cluster_key").alias("clusters"),
     )
