@@ -1,10 +1,17 @@
 """Benchmark harness (driver contract).
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints the
+full per-query JSON line followed by a compact summary line LAST::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "n_queries": K, "sf": ...}
+
+The compact line exists because the driver captures only the TAIL of
+stdout: at 65 queries the per-query map alone overflows that buffer
+(round-4 ``"parsed": null``), so the last line must always be one
+complete, small JSON object.  Per-query numbers live in the first line
+and in PROGRESS.jsonl's bench_delta entries.
 
 Each query is materialized through the no-op sink so the full plan
 (including projections) executes without driver-side collect overhead.
@@ -75,6 +82,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     _record_deltas(timings, total)
+    sf_val = float(sf) if sf else sf_dir
     print(
         json.dumps(
             {
@@ -82,9 +90,23 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
+                "sf": sf_val,
             }
         )
+    )
+    # Compact summary LAST: the driver's tail buffer must end with one
+    # complete JSON object regardless of how many queries ran.
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf_val,
+            }
+        ),
+        flush=True,
     )
 
 

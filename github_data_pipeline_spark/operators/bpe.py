@@ -149,7 +149,14 @@ def _safe_merge_prefix(
       ``(x, ab)`` / ``(ab, y)`` with counts bounded by the old
       ``(x, a)`` / ``(b, y)``; require every such windowed bound to be
       strictly below ``P_k.freq`` (ties rejected — a new pair could
-      win the lexicographic tie-break).
+      win the lexicographic tie-break).  The accepted pair ``pj`` is
+      ITSELF a bound source when it is a **self-pair** ``(a, a)``: its
+      merge creates ``(aa, a)`` / ``(a, aa)`` whose counts are bounded
+      by ``freq(a, a)`` — i.e. by ``pj``'s own count, which always
+      ties-or-beats any later candidate in the sorted window, so a
+      self-pair acceptance necessarily ends the prefix.  (For a
+      non-self ``pj`` the adjacency test on ``q = pj`` is vacuously
+      false, so ``pj`` is simply scanned like any other window entry.)
 
     Acceptance stops at the first rejection: a skipped pair may still
     out-rank everything later once its count shrinks, so only a prefix
@@ -190,8 +197,9 @@ def _safe_merge_prefix(
         threat = False
         for pj in accepted:
             for q in top:
-                if (q.left, q.right) == (pj.left, pj.right):
-                    continue
+                # NOTE: q == pj is deliberately NOT skipped — when pj
+                # is a self-pair (a, a), pj itself bounds the created
+                # (aa, a)/(a, aa) pairs (the round-4 correctness bug).
                 if (q.right == pj.left or q.left == pj.right) and (
                     q.freq >= cand.freq
                 ):

@@ -174,5 +174,19 @@ def all_plans() -> Registry:
     REGISTRY.demote("pricing_summary")
     REGISTRY.demote("revenue_by_nation")
     REGISTRY.demote("multimodal_decode_features")
+    # round-5 swap: the two queries added late in round 4
+    # (incremental_split_update, kmv_sketch_stats — registry positions
+    # 51-52 in r4, past the window) take window slots so the driver
+    # scores them; two entries rotate out, each fully green in
+    # CORRECTNESS_r04.json with its operator class still covered
+    # in-window: gh_contributors_drift (pre-aggregated-table drift
+    # audit ≡ gh_contributions_recompute, which stays and exercises
+    # the same contributors fixture + recompute join),
+    # customer_order_left_join (plain left outer join ≡ the left-outer
+    # blame→commit enrichment in gh_blame_file_summary and the richer
+    # join family in-window). Both stay cell-exact under the local
+    # checker (CORRECTNESS_TAIL.json).
+    REGISTRY.demote("gh_contributors_drift")
+    REGISTRY.demote("customer_order_left_join")
 
     return REGISTRY

@@ -3,6 +3,7 @@ Catalyst merge fold vs the Python encoder."""
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 
 from hypothesis import given, settings
@@ -10,6 +11,9 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from github_data_pipeline_spark.operators import bpe
+
+# tools/property_gate.py raises this for the pre-release thorough pass
+HYPO_EXAMPLES = int(os.environ.get("SPARK_GRAFT_HYPO_EXAMPLES", "0")) or 10
 
 
 # -- independent reference trainer (no Spark) ------------------------------
@@ -64,7 +68,7 @@ CORPORA = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=HYPO_EXAMPLES, deadline=None)
 @given(CORPORA)
 def _check_trainer_matches_reference(corpora):
     spark = _check_trainer_matches_reference.spark
@@ -161,6 +165,40 @@ def test_batched_equals_one_at_a_time(spark):
     for window in (2, 3, 64):
         assert bpe.learn_bpe(docs, n_merges=8, batch_candidates=window) == sequential
     assert sequential == ref_learn_bpe(texts, 8)
+
+
+def test_self_pair_counterexample(spark):
+    """Pinned round-4 Hypothesis counterexample: the merge of the
+    self-pair (a, a) creates (aa, a) with freq bounded by (a, a)'s own
+    count; the batched trainer must not accept (l, o) alongside it —
+    sequential BPE's second merge is (aa, a) ("aa" < "l" wins the
+    lexicographic tie-break at freq 2)."""
+    texts = ["low low aaa aaa"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    expect = ref_learn_bpe(texts, 6)
+    assert bpe.learn_bpe(docs, n_merges=6) == expect
+    assert bpe.learn_bpe(docs, n_merges=6, batch_candidates=1) == expect
+    # the divergence round 4 shipped: ("aa","a") must precede ("l","o")
+    assert [(l, r) for l, r, _f in expect[:3]] == [
+        ("a", "a"), ("aa", "a"), ("l", "o")
+    ]
+
+
+def test_safe_prefix_self_pair_ends_batch():
+    """An accepted self-pair bounds its own created pairs, so nothing
+    after it is provably safe — even a symbol-disjoint runner-up."""
+    from collections import namedtuple
+
+    P = namedtuple("P", "left right freq")
+    top = [P("a", "a", 100), P("d", "e", 95), P("f", "g", 90)]
+    got = bpe._safe_merge_prefix(top, window_full=False, budget=8, min_freq=2)
+    assert [(p.left, p.right) for p in got] == [("a", "a")]
+    # a LATER self-pair also ends the prefix after its acceptance
+    top = [P("a", "b", 100), P("d", "d", 95), P("f", "g", 90)]
+    got = bpe._safe_merge_prefix(top, window_full=False, budget=8, min_freq=2)
+    assert [(p.left, p.right) for p in got] == [("a", "b"), ("d", "d")]
 
 
 def test_safe_prefix_unit():

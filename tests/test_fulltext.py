@@ -5,6 +5,7 @@ the persisted inverted-index path matching the scan path."""
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from hypothesis import given, settings
@@ -13,6 +14,9 @@ from pyspark.sql import functions as F
 
 from github_data_pipeline_spark.functions import fulltext as FT
 from github_data_pipeline_spark.operators import fulltext as ft
+
+# tools/property_gate.py raises this for the pre-release thorough pass
+HYPO_EXAMPLES = int(os.environ.get("SPARK_GRAFT_HYPO_EXAMPLES", "0")) or 40
 
 WORDS = st.sampled_from(
     "the a of and is spark join stream table tables joins streaming "
@@ -25,7 +29,7 @@ TEXTS = st.lists(WORDS, min_size=0, max_size=12).map(" ".join)
 # -- analyzer: one spec, three engines -------------------------------------
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=HYPO_EXAMPLES, deadline=None)
 @given(st.lists(TEXTS, min_size=1, max_size=6))
 def test_analyze_py_matches_duckdb(texts):
     import duckdb

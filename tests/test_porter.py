@@ -3,6 +3,8 @@ three-engine parity (Python reference vs Catalyst vs DuckDB)."""
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 from hypothesis import given, settings
@@ -18,6 +20,8 @@ from github_data_pipeline_spark.functions.porter import (
     porter_py,
     porter_sql,
 )
+
+HYPO_EXAMPLES = int(os.environ.get("SPARK_GRAFT_HYPO_EXAMPLES", "0")) or 150
 
 # Classic examples from the 1980 paper's per-step walkthroughs, plus
 # the corpus-relevant inflections the registry queries rely on.
@@ -86,7 +90,7 @@ def _duck_stem(con: duckdb.DuckDBPyConnection, words: list[str]) -> list[str]:
     return out
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=HYPO_EXAMPLES, deadline=None)
 @given(
     st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", max_size=14)
 )
