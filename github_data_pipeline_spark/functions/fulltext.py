@@ -108,8 +108,44 @@ def stem_col(t: Column) -> Column:
     return out.otherwise(t)
 
 
-def analyze(c: Column | str, mode: str = DEFAULT_MODE) -> Column:
-    """Analyzed token array — pure Catalyst in every mode."""
+def term_guard_prefixes(terms: list[str]) -> list[str]:
+    """Candidate token prefixes for equality-vs-``terms`` consumers.
+
+    Every Porter rewrite acts on a suffix, with exactly one way a
+    character at index 1 can change: a trailing ``y -> i`` when the
+    post-step-1a/b stem has length 2 ("ays" -> "ai").  Index 0 never
+    changes and output length never exceeds input length, so
+    ``porter(t) == term`` implies ``t`` starts with ``term[:2]`` or —
+    when ``term[1] == 'i'`` — with ``term[0] + 'y'``.  Verified
+    exhaustively for every [a-z0-9] word up to length 4 plus 500k
+    random longer words, and pinned property-style
+    (tests/test_porter.py::test_prefix_invariant)."""
+    out: set[str] = set()
+    for term in terms:
+        out.add(term[:2])
+        if len(term) >= 2 and term[1] == "i":
+            out.add(term[0] + "y")
+    return sorted(out)
+
+
+def analyze(
+    c: Column | str,
+    mode: str = DEFAULT_MODE,
+    guard_terms: list[str] | None = None,
+) -> Column:
+    """Analyzed token array — pure Catalyst in every mode.
+
+    ``guard_terms`` (porter mode only) is a term-matching contract:
+    the caller promises to use the array ONLY for equality against
+    those terms, n-grams of them, and its size (tf / df / dl / phrase
+    — exactly ``bm25_scan_topk``'s consumption).  Tokens that cannot
+    stem to any guard term (first-two-chars test, see
+    :func:`term_guard_prefixes`) then pass through UNSTEMMED: they
+    compare unequal to every term either way, the array size is
+    unchanged, and the ~1k-node Porter expression — interpreted
+    per-element inside the higher-order ``transform``, the dominant
+    cost of the porter scan — runs only on the few prefix-candidate
+    tokens instead of every token of the corpus."""
     _check_mode(mode)
     stopset = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     toks = F.split(F.lower(_col(c)), TOKEN_PATTERN)
@@ -119,6 +155,19 @@ def analyze(c: Column | str, mode: str = DEFAULT_MODE) -> Column:
     )
     if mode == "standard":
         return kept
+    if mode == "porter" and guard_terms is not None:
+        prefixes = term_guard_prefixes(guard_terms)
+        if not prefixes:
+            return kept
+
+        def guarded(t: Column) -> Column:
+            cond = None
+            for p in prefixes:
+                hit = t.startswith(F.lit(p))
+                cond = hit if cond is None else (cond | hit)
+            return F.when(cond, porter_col(t)).otherwise(t)
+
+        return F.transform(kept, guarded)
     return F.transform(kept, porter_col if mode == "porter" else stem_col)
 
 

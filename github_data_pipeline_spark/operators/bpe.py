@@ -223,6 +223,7 @@ def learn_bpe(
     text_col: str = "text",
     min_freq: int = 2,
     batch_candidates: int = 64,
+    stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right, freq), ...].
 
@@ -232,19 +233,26 @@ def learn_bpe(
     merges (see :func:`_safe_merge_prefix`) is accepted at once and
     folded in a single pass — the merge list is *identical* to the
     one-merge-per-job loop (pinned property-style in tests/test_bpe.py)
-    but needs a fraction of the driver round-trips, which is what makes
-    training latency-sane on a real cluster where every job carries
-    scheduling overhead.  ``batch_candidates=1`` degenerates to the
-    classic one-at-a-time loop.
+    but needs fewer driver round-trips, which is what makes training
+    latency-sane on a real cluster where every job carries scheduling
+    overhead.  Measured after the round-5 self-pair tightening (any
+    accepted self-pair now ends the batch): 10–31% fewer rounds on the
+    test corpora (16 merges: 16→11 rounds on an inflection-heavy
+    corpus; 5→4 on the self-pair-heavy counterexample corpus; the
+    pre-fix ~45% figure was bought with the unsound prefix).
+    ``batch_candidates=1`` degenerates to the classic one-at-a-time
+    loop; ``stats["rounds"]`` reports the driver round-trips used.
     """
     window = max(1, batch_candidates)
     vocab = word_counts(docs, text_col).withColumn(
         "syms", _chars(F.col("word"))
     )
     vocab = vocab.select("syms", "count").cache()
+    rounds = 0
     try:
         merges: list[tuple[str, str, int]] = []
         while len(merges) < n_merges:
+            rounds += 1
             top = (
                 _pair_counts(vocab)
                 .orderBy(
@@ -275,6 +283,8 @@ def learn_bpe(
             vocab = new_vocab
         return merges
     finally:
+        if stats is not None:
+            stats["rounds"] = rounds
         vocab.unpersist()
 
 

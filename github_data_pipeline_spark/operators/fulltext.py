@@ -55,10 +55,20 @@ def query_terms(query: str, mode: str = DEFAULT_MODE) -> list[str]:
 
 
 def doc_terms(
-    docs: DataFrame, text_col: str = "text", mode: str = DEFAULT_MODE
+    docs: DataFrame,
+    text_col: str = "text",
+    mode: str = DEFAULT_MODE,
+    guard_terms: list[str] | None = None,
 ) -> DataFrame:
-    """(doc_id, toks) with the analyzed token array."""
-    return docs.select("doc_id", analyze(text_col, mode).alias("toks"))
+    """(doc_id, toks) with the analyzed token array.
+
+    ``guard_terms`` opts into the equality-only analyzer contract
+    (see :func:`..functions.fulltext.analyze`) — pass the query terms
+    when the array is only compared against them, so porter mode
+    stems just the prefix-candidate tokens."""
+    return docs.select(
+        "doc_id", analyze(text_col, mode, guard_terms).alias("toks")
+    )
 
 
 def _per_doc_tfs(
@@ -129,7 +139,11 @@ def bm25_scan_topk(
     """
     terms = query_terms(query, mode)
     pterms = query_terms(phrase, mode) if phrase is not None else None
-    per = _per_doc_tfs(doc_terms(docs, text_col, mode), terms, pterms)
+    # the scan only ever compares tokens against the query/phrase terms
+    # (tf, df, dl, phrase n-grams), so the analyzer may skip stemming
+    # tokens that cannot match them — the porter-mode fast path
+    guard = terms + (pterms or [])
+    per = _per_doc_tfs(doc_terms(docs, text_col, mode, guard), terms, pterms)
     stats = per.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),

@@ -56,6 +56,17 @@ def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
         acc += frac
         out.append((name, int(round(acc * HASH_BUCKETS))))
     out.append((items[-1][0], HASH_BUCKETS))
+    # a fraction below ~1/HASH_BUCKETS (or two cumulative sums rounding
+    # to the same bucket) would silently make an always-empty split —
+    # fail loudly instead
+    thresholds = [0] + [t for _, t in out]
+    for (name, _), lo, hi in zip(items, thresholds, thresholds[1:]):
+        if hi <= lo:
+            raise ValueError(
+                f"split {name!r} has zero-width bucket range "
+                f"[{lo}, {hi}) — fraction too small for "
+                f"HASH_BUCKETS={HASH_BUCKETS}"
+            )
     return out
 
 

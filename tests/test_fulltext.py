@@ -198,3 +198,48 @@ def test_registry_query_plan_is_jvm_only(spark, sf_dir):
     rows = df.collect()
     assert 0 < len(rows) <= 15
     assert any(r.phrase_hit for r in rows)  # non-vacuous phrase flag
+
+
+def test_guarded_analyze_term_contract(spark):
+    """The guard_terms fast path must be observation-equivalent to the
+    full porter analyzer for every contracted consumption: size (dl),
+    equality against the terms (tf/df), and term n-grams (phrase)."""
+    from github_data_pipeline_spark.functions.fulltext import (
+        term_guard_prefixes,
+    )
+
+    texts = [
+        "joins and joined tables keep joining streams",
+        "the ays pony ponies cried crying cries",
+        "plays played playing stays stayed ays eys",
+        "completely unrelated words here zebra quartz",
+        "",
+    ]
+    terms = ["join", "stream", "poni", "ai"]  # note 'ai' <- 'ays'
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    full = df.select(
+        "doc_id", FT.analyze("text", "porter").alias("toks")
+    )
+    guarded = df.select(
+        "doc_id",
+        FT.analyze("text", "porter", guard_terms=terms).alias("toks"),
+    )
+
+    def _eq(term):
+        # 1-arg lambda: F.filter reads a 2-arg function as (elem, idx)
+        return lambda t: t == F.lit(term)
+
+    def observe(frame):
+        cols = [F.col("doc_id"), F.size("toks").alias("dl")]
+        for i, term in enumerate(terms):
+            cols.append(
+                F.size(F.filter(F.col("toks"), _eq(term))).alias(f"tf_{i}")
+            )
+        return {r.doc_id: r.asDict() for r in frame.select(*cols).collect()}
+
+    assert observe(full) == observe(guarded)
+    # the y->i widening is present in the prefix set
+    assert "ay" in term_guard_prefixes(["ai"])
+    assert term_guard_prefixes([]) == []

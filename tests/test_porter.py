@@ -188,3 +188,22 @@ def test_porter_registry_entry_plan_and_recall(spark, sf_dir):
     assert max(r.matched_terms for r in porter_rows) > max(
         r.matched_terms for r in std_rows
     )
+
+
+@settings(max_examples=HYPO_EXAMPLES, deadline=None)
+@given(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", max_size=14)
+)
+def test_prefix_invariant(word):
+    """Porter rewrites only suffixes: output[:2] is a prefix of the
+    input, except a trailing y -> i landing at index 1 ("ays" ->
+    "ai").  The analyze(guard_terms=...) fast path rests on exactly
+    this (also verified exhaustively for all words up to length 4)."""
+    out = porter_py(word)
+    p = out[:2]
+    assert word.startswith(p) or (
+        len(p) == 2
+        and p[1] == "i"
+        and word[:1] == p[0]
+        and word[1:2] == "y"
+    ), (word, out)

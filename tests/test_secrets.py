@@ -79,3 +79,22 @@ def test_indexing_settings_slice(tmp_path, monkeypatch):
     # defaults mirror the reference's hardcoded fallbacks
     d = indexing_settings_from_secrets({})
     assert (d["index_prefix"], d["batch_size"]) == ("", 500)
+
+
+def test_hardlock_resolution_twin():
+    """reference src/indexing/config.py:80-85: hardlocked resolution
+    silently ignores caller overrides; unlocked resolution merges them."""
+    from github_data_pipeline_spark.sources.secrets import (
+        resolve_indexing_settings,
+    )
+
+    secrets = {"elasticsearch": {"index_prefix": "locked_", "batch_size": 100}}
+    cli = {"index_prefix": "cli_", "batch_size": 9, "connection": {"url": "u"}}
+    locked = resolve_indexing_settings(cli, hardlock=True, secrets=secrets)
+    assert locked["index_prefix"] == "locked_" and locked["batch_size"] == 100
+    open_ = resolve_indexing_settings(cli, hardlock=False, secrets=secrets)
+    assert open_["index_prefix"] == "cli_" and open_["batch_size"] == 9
+    assert open_["connection"]["url"] == "u"
+    # module default is unlocked (the documented intentional divergence)
+    dflt = resolve_indexing_settings(cli, secrets=secrets)
+    assert dflt["index_prefix"] == "cli_"

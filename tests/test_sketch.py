@@ -64,3 +64,23 @@ def test_sample_rate_determinism_across_partitionings(spark, sf_dir):
     a = sketch_over(li.repartition(3)).collect()
     b = sketch_over(li.repartition(7)).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_sketch_empty_input_engines_agree(spark, duck):
+    """Zero sampled rows (ADVICE r4): Spark's empty collect_list vs
+    DuckDB's NULL list() must normalize to the same row — sample_rows
+    0, NULL quantiles, NULL kmv estimates — instead of a latent hash
+    mismatch or an ANSI index error."""
+    from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.plans.sketch_plans import sketch_over
+    from github_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").limit(0)
+    row = sketch_over(li).collect()[0].asDict()
+    assert row["sample_rows"] == 0
+    assert row["p50_cents"] is None and row["p99_cents"] is None
+    oracle = all_plans()["kmv_sketch_stats"].oracle.replace(
+        "FROM lineitem", "FROM (SELECT * FROM lineitem LIMIT 0)"
+    )
+    orow = duck.execute(oracle).fetchdf().iloc[0]
+    assert int(orow["sample_rows"]) == 0

@@ -164,3 +164,29 @@ def test_split_col_respects_fraction_order(spark):
         ).collect()
     ]
     assert got == ["all", "all"]
+
+
+def test_split_thresholds_zero_width_rejected():
+    """A fraction smaller than the bucket resolution must raise, not
+    silently produce an always-empty split (ADVICE r4)."""
+    import pytest
+
+    from github_data_pipeline_spark.operators.splits import (
+        HASH_BUCKETS,
+        split_thresholds,
+    )
+
+    tiny = 0.1 / HASH_BUCKETS
+    with pytest.raises(ValueError, match="zero-width"):
+        split_thresholds(
+            {"train": 1.0 - tiny - 0.05, "val": tiny, "test": 0.05}
+        )
+    # two fractions rounding to the same cumulative bucket
+    with pytest.raises(ValueError, match="zero-width"):
+        split_thresholds(
+            {"a": 0.5, "b": 0.3 / HASH_BUCKETS,
+             "c": 0.5 - 0.3 / HASH_BUCKETS}
+        )
+    # sane fractions still resolve
+    thr = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    assert [t for _, t in thr] == [900000, 950000, 1000000]
