@@ -116,6 +116,7 @@ def all_plans() -> Registry:
     from . import split_plans  # noqa: F401
     from . import sketch_plans  # noqa: F401
     from . import repetition_plans  # noqa: F401
+    from . import graph_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row
@@ -196,5 +197,12 @@ def all_plans() -> Registry:
     # budget_sample_counts; per-source decile/window stats ≡
     # top_orders_per_customer's window family).
     REGISTRY.demote("doc_sampling_gates")
+    # ...and events_item_pagerank (new: fixed-point iterative graph
+    # class) takes the slot of events_hourly_rollup, fully green in
+    # r03+r04 — grouped windowed agg ≡ the §2.4 family in-window; its
+    # JSON-props extraction ≡ gh_repo_meta (stays) and the SAME
+    # regexp k-extraction now feeds the pagerank edge builder; its
+    # streaming twin hourly_rollup_stream stays test-pinned.
+    REGISTRY.demote("events_hourly_rollup")
 
     return REGISTRY
