@@ -81,6 +81,7 @@ TARGETS = (
     "embedding_quantization_report",
     "doc_fulltext_porter",
     "leakage_safe_splits",
+    "doc_repetition_gates",
 )
 
 # the dedup family is what a hot band stresses; decontam rides along
@@ -107,6 +108,10 @@ HOTKEY_TARGETS = (
     "events_sessionization",
     "events_asof_last_click",
     "stream_user_ledger",
+    # pagerank's exposed surface under key skew is the per-user lag
+    # window (one task sorts the hot user's whole sequence); the
+    # iteration itself is edge-bounded and immune to event skew
+    "events_item_pagerank",
 )
 
 STREAM_TARGETS = ("stream_user_ledger",)
