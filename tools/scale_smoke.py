@@ -339,7 +339,12 @@ def main() -> int:
             "## Uniform growth (data-heavy batch queries)",
             "documents/embeddings replicated with per-copy id offsets and a\n"
             "per-copy character translation (copies are distinct docs, not\n"
-            "near-dups of each other); other tables fixed.",
+            "near-dups of each other); other tables fixed.\n"
+            "Note: neardup_cluster_keepers / leakage_safe_splits read the\n"
+            "persisted pair artifact (built once per scale during the first\n"
+            "measured pass; min-of-2 reports the artifact-consumer path —\n"
+            "the raw pair pipeline's growth is the neardup_jaccard_pairs\n"
+            "row).",
         ),
         "hotband": (
             "## Skew: one hot LSH band (near-identical mega-cluster)",
