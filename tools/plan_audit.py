@@ -66,6 +66,8 @@ BNLJ_BY_DESIGN = {
     # four 1-row aggregates (two KMV top-k maxima, exact distincts,
     # the sorted sample array) cross-joined into the single output row.
     "kmv_sketch_stats": "scalar-stats 1-row broadcast attach",
+    # normalizing total attached to |sources| rows
+    "mixture_alpha_sampling": "scalar-stats 1-row broadcast attach",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
