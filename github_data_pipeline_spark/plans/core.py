@@ -118,6 +118,9 @@ def all_plans() -> Registry:
     from . import repetition_plans  # noqa: F401
     from . import graph_plans  # noqa: F401
     from . import mixture_plans  # noqa: F401
+    # registers past the 50-entry window (tail): verified by the local
+    # cell-exact checker this round, rotation candidate for round 6
+    from . import bpe_encode_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row

@@ -261,3 +261,56 @@ def test_safe_prefix_collision_guards():
         known_symbols=frozenset({"zz"}),
     )
     assert [(p.left, p.right) for p in got] == [("ab", "c"), ("d", "e")]
+
+
+def test_catalyst_encoder_matches_arrow_encoder(spark, sf_dir):
+    """The in-order-replace Catalyst encoder (bpe_encoded_profile's
+    hot path) must produce the same subword stream as the rank-greedy
+    Arrow encoder (encode_words) — per-source totals AND the exact
+    per-subword distribution."""
+    from collections import Counter
+
+    from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.plans.bpe_plans import (
+        learned_merges_artifact,
+    )
+    from github_data_pipeline_spark.sources.tables import load_table
+
+    merges = learned_merges_artifact(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    arrow = Counter()
+    for r in bpe.encode_words(docs, merges).collect():
+        arrow[r.subword] += r.n
+    prof = {
+        r.source: r
+        for r in all_plans()["bpe_encoded_profile"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    # totals: subword mass must agree exactly
+    assert sum(r.subwords for r in prof.values()) == sum(arrow.values())
+    # distribution: re-derive the catalyst per-subword counts
+    from pyspark.sql import functions as F
+    from github_data_pipeline_spark.operators.bpe import PRETOKEN_PATTERN
+
+    clean = F.replace(F.lower("text"), F.lit("\x01"), F.lit(" "))
+    toks = F.regexp_extract_all(clean, F.lit(PRETOKEN_PATTERN), F.lit(0))
+    s = F.concat(
+        F.lit("  "),
+        F.regexp_replace(F.array_join(toks, "\x01"), "(.)", "$1  "),
+    )
+    for left, right, _f in merges:
+        s = F.replace(s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
+    subs = F.filter(
+        F.split(F.trim(s), " +"),
+        lambda x: (x != F.lit("\x01")) & (x != F.lit("")),
+    )
+    catalyst = Counter()
+    for r in (
+        docs.select(F.explode(subs).alias("sw"))
+        .groupBy("sw")
+        .count()
+        .collect()
+    ):
+        catalyst[r.sw] = r["count"]
+    assert catalyst == arrow
