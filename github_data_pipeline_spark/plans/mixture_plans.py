@@ -23,6 +23,11 @@ the shuffle carries (source, count) partials only — then a 1-row
 scalar-aggregate broadcast attach (the whitelisted plan-audit shape)
 and per-source integer expressions. |sources| is bounded, the corpus
 is scanned once, text never shuffles.
+
+Int64 bound: ``sqrt_scaled ≈ sqrt(n) * 1e6``, so the largest product
+``sqrt_scaled * PPM`` stays under 2^63 for any per-source token mass
+up to ~8×10^13 — comfortably past a 100 TB corpus (~2.5×10^13 tokens
+total); raise a source past that and SQRT_SCALE must shrink.
 """
 
 from __future__ import annotations

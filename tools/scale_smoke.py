@@ -82,6 +82,8 @@ TARGETS = (
     "doc_fulltext_porter",
     "leakage_safe_splits",
     "doc_repetition_gates",
+    "mixture_alpha_sampling",
+    "bpe_encoded_profile",
 )
 
 # the dedup family is what a hot band stresses; decontam rides along
