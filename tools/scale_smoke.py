@@ -356,7 +356,11 @@ def main() -> int:
             "prefix bucket. Bounded exponents here prove NEARDUP_DF_CAP and\n"
             "the bucket occupancy caps engage "
             "(operators/neardup.capped_bucket_pairs: star fallback for\n"
-            "MinHash bands, signature-sorted chain for SimHash prefixes).",
+            "MinHash bands, signature-sorted chain for SimHash prefixes).\n"
+            "Note: neardup_cluster_keepers / leakage_safe_splits read the\n"
+            "persisted pair artifact (built during the first measured\n"
+            "pass; the raw capped pair pipeline's skew growth is the\n"
+            "neardup_jaccard_pairs row).",
         ),
         "hotkey": (
             "## Skew: one hot join/state key (20% of events on one user)",
