@@ -306,6 +306,14 @@ def learn_bpe(
                 ).alias("syms"),
                 "count",
             ).cache()
+            # materialize the child from the STILL-CACHED parent before
+            # dropping it — cache() is lazy, and unpersisting first
+            # forces the next round's aggregation to recompute the
+            # whole lineage back to the corpus (one full corpus scan
+            # per merge round; caught by an accumulator probe in
+            # round-5 review). The count is one sub-second job over
+            # the vocabulary-sized, coalesced cache.
+            new_vocab.count()
             vocab.unpersist()
             vocab = new_vocab
         return merges

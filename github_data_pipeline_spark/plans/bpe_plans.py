@@ -119,30 +119,26 @@ def learned_merges_artifact(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[str, str, int]]:
     """The learned merge table, persisted per sf_dir (tiny JSON under
-    ``.cache/bpe_merges/``, mtime-keyed like the near-dup pair
-    artifact) — a trained tokenizer is THE canonical persisted
-    artifact of a data pipeline; consumers (the encoder query below,
-    ``operators/bpe.encode_words``) read it instead of retraining."""
-    import hashlib
+    ``.cache/bpe_merges/``) — a trained tokenizer is THE canonical
+    persisted artifact of a data pipeline; consumers (the encoder
+    query, ``operators/bpe.encode_words``) read it instead of
+    retraining.  Keyed by plans/artifacts.artifact_cache_path with the
+    training constants (merge count, min freq, pretokenizer pattern)
+    folded in, so editing any of them invalidates the cache."""
     import json
     import os
 
-    try:
-        mtime = int(
-            os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime
+    from ..operators.bpe import PRETOKEN_PATTERN
+    from .artifacts import artifact_cache_path
+
+    path = (
+        artifact_cache_path(
+            sf_dir,
+            "bpe_merges",
+            f"{N_MERGES}:{MIN_FREQ}:{PRETOKEN_PATTERN}",
         )
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}:{N_MERGES}".encode()
-    ).hexdigest()[:16]
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + ".json"
     )
-    base = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
-        repo_root, ".cache"
-    )
-    path = os.path.join(base, "bpe_merges", key + ".json")
     if os.path.exists(path):
         with open(path) as f:
             return [tuple(m) for m in json.load(f)]
@@ -170,9 +166,17 @@ def _encode_ctes(n_merges: int) -> str:
         f"'{PRETOKEN_PATTERN}'), chr(1)), '(.)', '\\1  ', 'g')"
     )
     for i in range(1, n_merges + 1):
+        # the no-op sentinel for a missing round must be UNMATCHABLE:
+        # a bare chr(2) can occur as a punctuation pretoken (the
+        # pretokenizer's [^A-Za-z0-9\\s] class matches it) and
+        # replace(s, chr(2), '') would strip it; two adjacent \\x02
+        # with no separating space can never appear, because symbols
+        # are space-separated and multi-char symbols are letter/digit
+        # runs only
         s = (
             f"replace({s},\n"
-            f"  COALESCE((SELECT ' '||l||'  '||r||' ' FROM b{i}), chr(2)),\n"
+            f"  COALESCE((SELECT ' '||l||'  '||r||' ' FROM b{i}),"
+            f" chr(2)||chr(2)),\n"
             f"  COALESCE((SELECT ' '||l||r||' ' FROM b{i}), ''))"
         )
     return f"""enc AS (

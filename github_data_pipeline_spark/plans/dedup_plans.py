@@ -707,29 +707,22 @@ def verified_pair_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     persists this manifest next to the MinHash signature table instead
     of replaying the shingle -> posting-list -> verify pipeline per
     downstream job, and at 100 TB that artifact is tiny (pairs only,
-    no text). The cache key carries the documents table's mtime, so a
-    regenerated sf_dir invalidates it; writes go to a pid-suffixed
-    temp dir promoted by atomic rename, so concurrent runs race
-    safely. Falls back to an in-memory localCheckpoint when the cache
-    root is unwritable (read-only checkouts)."""
-    import hashlib
+    no text). The cache key (plans/artifacts.artifact_cache_path)
+    carries the documents table's mtime — a regenerated sf_dir
+    invalidates it — AND the governing algorithm constants, so editing
+    the Jaccard threshold or df cap cannot silently reuse a stale
+    table; writes go to a pid-suffixed temp dir promoted by atomic
+    rename, so concurrent runs race safely. Falls back to an in-memory
+    localCheckpoint when the cache root is unwritable (read-only
+    checkouts)."""
     import os
     import shutil
 
-    try:
-        mtime = int(os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime)
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}".encode()
-    ).hexdigest()[:16]
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from .artifacts import artifact_cache_path
+
+    path = artifact_cache_path(
+        sf_dir, "neardup_pairs", f"jaccard4of5:dfcap{NEARDUP_DF_CAP}"
     )
-    base = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
-        repo_root, ".cache"
-    )
-    path = os.path.join(base, "neardup_pairs", key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
         tmp = f"{path}.tmp.{os.getpid()}"

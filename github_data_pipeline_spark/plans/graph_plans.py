@@ -137,9 +137,12 @@ def events_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeated self-reference of the edge table across iterations
     # would trip Spark's ambiguous-self-join lineage checks)
     e = edges.join(outw, "src").localCheckpoint()
+    # nodes derive from the MATERIALIZED edge table, not the raw edges
+    # lineage — otherwise this checkpoint would replay the per-user
+    # window + edge groupBy (a second full pass over events)
     nodes = (
-        edges.select(F.col("src").alias("item"))
-        .unionByName(edges.select(F.col("dst").alias("item")))
+        e.select(F.col("src").alias("item"))
+        .unionByName(e.select(F.col("dst").alias("item")))
         .distinct()
         .localCheckpoint()
     )

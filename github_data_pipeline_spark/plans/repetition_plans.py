@@ -48,7 +48,12 @@ TOP_WORD_PCT = 20
 TOP_BIGRAM_PCT = 10
 DUP_TRIGRAM_PCT = 5
 
-_TOKS = "string_split_regex(trim(text), '\\s+')"
+# the empty-token filter matches functions/text.tokens (Spark side):
+# without it a whitespace-only document yields one phantom '' token
+# in DuckDB only and the engines diverge on docs/words/gate counts
+_TOKS = (
+    "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+)
 
 
 def _grams_sql(n: int) -> str:
@@ -149,10 +154,6 @@ def doc_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc = exploded.groupBy("doc_id", "source", "k", "gh").agg(
         F.count(F.lit(1)).alias("c")
     )
-
-    def agg_k(k: int, expr, name: str):
-        return expr.alias(name)
-
     k1 = F.col("k") == 1
     k2 = F.col("k") == 2
     k3 = F.col("k") == 3
