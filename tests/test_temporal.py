@@ -1,0 +1,152 @@
+"""Range (interval) join + gap-fill operators (plans/temporal_plans.py,
+operators/range_join.py).
+
+The binned candidate generation is pure optimization: its output must
+equal the naive key-equi-join + range-filter on any input, including
+the adversarial shapes the parquet fixtures don't stress — microsecond
+timestamps straddling bucket boundaries, events exactly at window-open
+(excluded under closed='right') and window-close (included), intervals
+spanning 1, 2, and 3+ buckets, and a hot key with many matches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_data_pipeline_spark.operators.range_join import (
+    interval_join_candidates,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(sec: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def _naive(left, right, key, closed):
+    lo = (
+        F.col("r_ts") > F.col("w_start")
+        if closed == "right"
+        else F.col("r_ts") >= F.col("w_start")
+    )
+    return (
+        left.join(right.withColumnRenamed(key, "rk"), F.col(key) == F.col("rk"))
+        .filter(lo & (F.col("r_ts") <= F.col("w_end")))
+        .drop("rk")
+    )
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.select("user_id", "lid", "rid").collect()
+    )
+
+
+@pytest.mark.parametrize("closed", ["right", "both"])
+@pytest.mark.parametrize("width", [60, 97, 600])
+def test_binned_matches_naive(spark, closed, width):
+    # left intervals: exact boundary hits, microsecond offsets, and an
+    # interval longer than the bucket (spans 3 buckets at width=60)
+    lefts = [
+        (1, 1, _ts(0), _ts(180)),
+        (1, 2, _ts(59.999999), _ts(60.000001)),
+        (1, 3, _ts(100), _ts(100)),  # degenerate zero-width interval
+        (2, 4, _ts(3600), _ts(3780)),
+        (3, 5, _ts(-0.5) + dt.timedelta(days=1), _ts(120) + dt.timedelta(days=1)),
+    ]
+    rights = [
+        # boundary probes around left interval edges
+        (1, 10, _ts(0)),  # == w_start of lid=1: excluded when closed=right
+        (1, 11, _ts(0.000001)),
+        (1, 12, _ts(180)),  # == w_end: always included
+        (1, 13, _ts(180.000001)),  # just past w_end: never included
+        (1, 14, _ts(60)),
+        (1, 15, _ts(100)),
+        (2, 16, _ts(3600)),
+        (2, 17, _ts(3779.999999)),
+        (9, 18, _ts(100)),  # key with no left side
+    ] + [(1, 100 + i, _ts(i * 7.3)) for i in range(30)]  # hot key
+    left = spark.createDataFrame(
+        lefts, "user_id long, lid long, w_start timestamp, w_end timestamp"
+    )
+    right = spark.createDataFrame(
+        rights, "user_id long, rid long, r_ts timestamp"
+    )
+    got = interval_join_candidates(
+        left,
+        right,
+        key="user_id",
+        left_start="w_start",
+        left_end="w_end",
+        right_ts="r_ts",
+        bucket_width_sec=width,
+        closed=closed,
+    )
+    want = _naive(left, right, "user_id", closed)
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 10  # non-vacuous
+
+
+def test_boundary_semantics_closed_right(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(0), _ts(10))],
+        "user_id long, lid long, w_start timestamp, w_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 20, _ts(0)), (1, 21, _ts(10)), (1, 22, _ts(10.000001))],
+        "user_id long, rid long, r_ts timestamp",
+    )
+    got = _rows(
+        interval_join_candidates(
+            left, right, "user_id", "w_start", "w_end", "r_ts", 10
+        )
+    )
+    assert got == [(1, 1, 21)]  # open at start, closed at end
+
+
+def test_gap_fill_leading_nulls_and_locf(spark, tmp_path):
+    """An entity whose first event is mid-span: leading spine hours
+    stay NULL, every later gap carries the last observation."""
+    import pandas as pd
+
+    from github_data_pipeline_spark.plans import temporal_plans as tp
+
+    rows = [
+        # user 7: events in hours 2 and 5 of a 0..6 span
+        (1, _ts(2 * 3600 + 10), 7, "click", 1.50, "{}"),
+        (2, _ts(2 * 3600 + 20), 7, "click", 2.25, "{}"),  # later in hour 2
+        (3, _ts(5 * 3600), 7, "purchase", 9.00, "{}"),
+        # user 57: single event in hour 0
+        (4, _ts(30), 57, "click", 4.00, "{}"),
+        # user 8 (not % 50 == 7): defines the global span end
+        (5, _ts(6 * 3600 + 1800), 8, "click", 0.10, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    orig = tp.load_table
+    tp.load_table = lambda _s, _d, _t: sdf
+    try:
+        out = {
+            (r.user_id, r.hour_start): (r.cents_locf, r.is_filled)
+            for r in tp.events_gap_fill_hourly(spark, "unused").collect()
+        }
+    finally:
+        tp.load_table = orig
+    # 2 selected users x 7 spine hours
+    assert len(out) == 14
+    h = lambda i: f"2024-01-01T{i:02d}:00:00Z"
+    assert out[(7, h(0))] == (None, 1)  # before first observation
+    assert out[(7, h(1))] == (None, 1)
+    assert out[(7, h(2))] == (225, 0)  # last event in the hour wins
+    assert out[(7, h(3))] == (225, 1)  # carried forward
+    assert out[(7, h(4))] == (225, 1)
+    assert out[(7, h(5))] == (900, 0)
+    assert out[(7, h(6))] == (900, 1)
+    assert out[(57, h(0))] == (400, 0)
+    assert out[(57, h(6))] == (400, 1)

@@ -68,6 +68,9 @@ BNLJ_BY_DESIGN = {
     "kmv_sketch_stats": "scalar-stats 1-row broadcast attach",
     # normalizing total attached to |sources| rows
     "mixture_alpha_sampling": "scalar-stats 1-row broadcast attach",
+    # the global hour-span bounds (1 aggregated row) broadcast onto
+    # the distinct-entity table to generate the gap-fill spine
+    "events_gap_fill_hourly": "scalar-bounds 1-row broadcast attach",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
