@@ -31,16 +31,27 @@ def interval_join(
     bucket_seconds: int = 3600,
     extra_key: str | None = None,
     how: str = "inner",
+    closed: str = "both",
 ) -> DataFrame:
-    """Join point rows to interval rows on containment
-    (``start <= ts <= end``), optionally also on an equality key
-    (e.g. user_id) — via bucket quantization + equi-join.
+    """Join point rows to interval rows on containment, optionally
+    also on an equality key (e.g. user_id) — via bucket quantization +
+    equi-join.
+
+    ``closed`` picks the interval convention: ``"both"`` =
+    ``start <= ts <= end``; ``"right"`` = ``start < ts <= end`` (the
+    attribution convention — an event AT the window-close instant
+    counts, one exactly at window-open does not). Bucketing is pure
+    candidate generation either way: the exact predicate filters after
+    the equi-join, so results equal the naive range join on any input
+    (pinned in tests/test_rangejoin.py and tests/test_temporal.py).
 
     ``how`` supports "inner" and "left_semi" (events that fall in any
     interval). Interval columns survive on the output for "inner".
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"unsupported join type {how!r}")
+    if closed not in ("both", "right"):
+        raise ValueError(f"closed must be 'both' or 'right': {closed!r}")
 
     ev_bucket = F.floor(F.col(event_ts).cast("long") / bucket_seconds)
     iv_buckets = F.sequence(
@@ -56,10 +67,12 @@ def interval_join(
     cond = on[0]
     for c in on[1:]:
         cond = cond & c
-    precise = (
-        (tagged[event_ts] >= exploded[start_col])
-        & (tagged[event_ts] <= exploded[end_col])
+    lo = (
+        tagged[event_ts] > exploded[start_col]
+        if closed == "right"
+        else tagged[event_ts] >= exploded[start_col]
     )
+    precise = lo & (tagged[event_ts] <= exploded[end_col])
 
     if how == "left_semi":
         return (

@@ -6,7 +6,7 @@ reference: SURVEY §7 extension class, siblings of the as-of join in
 Both are staples of time-series stores (TimescaleDB's
 ``time_bucket_gapfill``/``locf``, kdb's window joins) re-expressed
 Spark-first: the range join via the binned composite-key rewrite in
-``operators/range_join.py`` (linear, hot-key-sliced), the gap-fill via
+``operators/rangejoin.py`` (linear, hot-key-sliced), the gap-fill via
 ``sequence()`` spine generation + ``last(ignorenulls)`` carry-forward
 (one shuffle on the entity key).  Oracles are plain ANSI inequality
 joins / ``generate_series`` that DuckDB executes with its own IEJoin —
@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.money import cents
-from ..operators.range_join import interval_join_candidates
+from ..operators.rangejoin import interval_join
 from ..sources.tables import load_table
 from .core import REGISTRY
 
@@ -58,7 +58,7 @@ _TS_FMT_SPARK = "yyyy-MM-dd'T'HH:mm:ss'Z'"
     doc="Range (interval) join: every click by the same user within "
     "the 10 minutes before each purchase — ALL matches, not just the "
     "latest (that one is events_asof_last_click). Spark side uses the "
-    "binned composite-key rewrite (operators/range_join.py): explode "
+    "binned composite-key rewrite (operators/rangejoin.py): explode "
     "each purchase window to its <=2 time buckets, equi-join on "
     "(user, bucket), exact-filter the candidates — a hot user is "
     "sliced into per-10-minute join groups instead of one quadratic "
@@ -81,17 +81,17 @@ def events_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("click_ts"),
         cents("value").alias("click_cents"),
     )
-    cand = interval_join_candidates(
-        p.withColumn(
+    cand = interval_join(
+        events=c,
+        intervals=p.withColumn(
             "w_start",
             F.col("ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_SEC} SECONDS"),
         ),
-        c,
-        key="user_id",
-        left_start="w_start",
-        left_end="ts",
-        right_ts="click_ts",
-        bucket_width_sec=ATTRIBUTION_WINDOW_SEC,
+        event_ts="click_ts",
+        start_col="w_start",
+        end_col="ts",
+        bucket_seconds=ATTRIBUTION_WINDOW_SEC,
+        extra_key="user_id",
         closed="right",
     )
     agg = cand.groupBy("event_id").agg(

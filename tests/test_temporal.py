@@ -1,5 +1,5 @@
-"""Range (interval) join + gap-fill operators (plans/temporal_plans.py,
-operators/range_join.py).
+"""Range (interval) join + gap-fill plans (plans/temporal_plans.py)
+over operators/rangejoin.py's closed='right' convention.
 
 The binned candidate generation is pure optimization: its output must
 equal the naive key-equi-join + range-filter on any input, including
@@ -7,6 +7,7 @@ the adversarial shapes the parquet fixtures don't stress — microsecond
 timestamps straddling bucket boundaries, events exactly at window-open
 (excluded under closed='right') and window-close (included), intervals
 spanning 1, 2, and 3+ buckets, and a hot key with many matches.
+(tests/test_rangejoin.py pins the closed='both' path.)
 """
 
 from __future__ import annotations
@@ -16,9 +17,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from github_data_pipeline_spark.operators.range_join import (
-    interval_join_candidates,
-)
+from github_data_pipeline_spark.operators.rangejoin import interval_join
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
@@ -76,14 +75,14 @@ def test_binned_matches_naive(spark, closed, width):
     right = spark.createDataFrame(
         rights, "user_id long, rid long, r_ts timestamp"
     )
-    got = interval_join_candidates(
-        left,
-        right,
-        key="user_id",
-        left_start="w_start",
-        left_end="w_end",
-        right_ts="r_ts",
-        bucket_width_sec=width,
+    got = interval_join(
+        events=right,
+        intervals=left,
+        event_ts="r_ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=width,
+        extra_key="user_id",
         closed=closed,
     )
     want = _naive(left, right, "user_id", closed)
@@ -101,8 +100,15 @@ def test_boundary_semantics_closed_right(spark):
         "user_id long, rid long, r_ts timestamp",
     )
     got = _rows(
-        interval_join_candidates(
-            left, right, "user_id", "w_start", "w_end", "r_ts", 10
+        interval_join(
+            events=right,
+            intervals=left,
+            event_ts="r_ts",
+            start_col="w_start",
+            end_col="w_end",
+            bucket_seconds=10,
+            extra_key="user_id",
+            closed="right",
         )
     )
     assert got == [(1, 1, 21)]  # open at start, closed at end
