@@ -114,6 +114,13 @@ HOTKEY_TARGETS = (
     # window (one task sorts the hot user's whole sequence); the
     # iteration itself is edge-bounded and immune to event skew
     "events_item_pagerank",
+    # batch all-touch range join: under a hot key in a FIXED time span
+    # the matched-pair OUTPUT itself grows ~factor^2 (density^2 x
+    # window is the semantics, same caveat as the streaming all-touch
+    # join above) — what the smoke proves is that the (user, bucket)
+    # bin keeps that output spread across tasks instead of one
+    # straggler
+    "events_range_attribution",
 )
 
 STREAM_TARGETS = ("stream_user_ledger",)
@@ -323,7 +330,16 @@ def main() -> int:
         "none": TARGETS,
         "hotband": HOTBAND_TARGETS,
         "hotkey": HOTKEY_TARGETS + ("attribution_interval_join",),
-        "streamscale": STREAM_TARGETS + ("attribution_interval_join",),
+        # streamscale (distinct users per copy, per-user density fixed)
+        # is the honest linear-growth mode for the temporal family:
+        # range-join output grows with user count, and the gap-fill
+        # spine is entities x span by construction
+        "streamscale": STREAM_TARGETS
+        + (
+            "attribution_interval_join",
+            "events_range_attribution",
+            "events_gap_fill_hourly",
+        ),
     }[args.skew]
 
     tmp = os.path.join(REPO, ".scale_tmp")
@@ -382,7 +398,11 @@ def main() -> int:
             "## Streaming state growth (distinct users per copy)",
             "events replicated with offset event AND user ids: state-store\n"
             "cardinality grows with the factor. Drain time must stay\n"
-            "sub-linear or state management is the 100 TB bottleneck.",
+            "sub-linear or state management is the 100 TB bottleneck.\n"
+            "The batch temporal family rides along because this mode is\n"
+            "its honest growth shape (per-user density fixed, entity\n"
+            "count grows): range-join output grows linearly with users,\n"
+            "and the gap-fill spine is entities x span by construction.",
         ),
     }
     title, desc = headers[args.skew]
