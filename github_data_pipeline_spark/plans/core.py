@@ -122,8 +122,10 @@ def all_plans() -> Registry:
     # cell-exact checker this round, rotation candidate for round 6
     from . import bpe_encode_plans  # noqa: F401
     # round-5 late additions (tail, rotation candidates for round 6):
-    # range join + hypertable gap-fill/LOCF
+    # range join + hypertable gap-fill/LOCF + RANGE-frame window,
+    # exact grouped percentile_disc
     from . import temporal_plans  # noqa: F401
+    from . import quantile_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row

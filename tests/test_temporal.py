@@ -156,3 +156,83 @@ def test_gap_fill_leading_nulls_and_locf(spark, tmp_path):
     assert out[(7, h(6))] == (900, 1)
     assert out[(57, h(0))] == (400, 0)
     assert out[(57, h(6))] == (400, 1)
+
+
+def test_trailing_window_microsecond_boundary(spark):
+    """RANGE frame ordered by integer epoch-micros: an event exactly
+    3600 s earlier is IN the trailing hour, one 3600.000001 s earlier
+    is OUT — the seconds-truncated ordering would get this wrong."""
+    from github_data_pipeline_spark.plans import temporal_plans as tp
+
+    rows = [
+        (1, _ts(0.0), 1, "click", 1.00, "{}"),
+        (2, _ts(0.000001), 1, "click", 2.00, "{}"),
+        (3, _ts(3600.0), 1, "click", 4.00, "{}"),  # sees 1,2,3
+        (4, _ts(3600.000001), 1, "click", 8.00, "{}"),  # sees 2,3,4 not 1
+        # 3600.000001 s after event 4: even event 4 is out of range
+        (5, _ts(7200.000002), 1, "click", 16.00, "{}"),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    orig = tp.load_table
+    tp.load_table = lambda _s, _d, _t: sdf
+    try:
+        out = {
+            r.event_id: (r.trailing_events, r.trailing_cents)
+            for r in tp.events_trailing_hour_window(spark, "x").collect()
+        }
+    finally:
+        tp.load_table = orig
+    assert out == {
+        1: (1, 100),
+        2: (2, 300),
+        3: (3, 700),
+        4: (3, 1400),
+        5: (1, 1600),
+    }
+
+
+def test_percentile_disc_convention_edges(spark):
+    """percentile_disc must agree with DuckDB on duplicate-heavy and
+    tiny groups (ANSI: smallest element with cume_dist >= q)."""
+    import duckdb
+    import pandas as pd
+
+    from github_data_pipeline_spark.plans import quantile_plans as qp
+
+    rows = (
+        [("dup", 5)] * 9 + [("dup", 100)]  # p90 lands exactly on cume 0.9
+        + [("one", 42)]
+        + [("two", 1), ("two", 2)]
+        + [("skew", v) for v in (1, 1, 1, 2, 3, 1000)]
+    )
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": i, "text": "", "lang": "en", "source": s, "n_chars": n}
+            for i, (s, n) in enumerate(rows)
+        ]
+    )
+    sdf = spark.createDataFrame(pdf)
+    orig = qp.load_table
+    qp.load_table = lambda _s, _d, _t: sdf
+    try:
+        got = {
+            tuple(r)
+            for r in qp.doc_length_percentiles(spark, "x").collect()
+        }
+    finally:
+        qp.load_table = orig
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    from github_data_pipeline_spark.plans import all_plans
+
+    want = {
+        tuple(r)
+        for r in con.execute(all_plans()["doc_length_percentiles"].oracle).fetchall()
+    }
+    con.close()
+    assert got == want
+    assert ("dup", 10, 5, 5, 100) in got  # 9th of 10 has cume 0.9 -> p90=5
+    assert ("one", 1, 42, 42, 42) in got
