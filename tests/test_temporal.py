@@ -236,3 +236,38 @@ def test_percentile_disc_convention_edges(spark):
     assert got == want
     assert ("dup", 10, 5, 5, 100) in got  # 9th of 10 has cume 0.9 -> p90=5
     assert ("one", 1, 42, 42, 42) in got
+
+
+@pytest.mark.parametrize("n,expect", [(10, 0), (11, 1)])
+def test_value_outlier_exact_boundary(spark, n, expect):
+    """One extreme point among n-1 equal values has z^2 = n-1 exactly:
+    at n=10 it sits ON the 3-sigma boundary (strict > must not flag),
+    at n=11 it is beyond (must flag) — integer-exact in both engines."""
+    import duckdb
+    import pandas as pd
+
+    from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.plans import quantile_plans as qp
+
+    rows = [(i, T0, 1, "click", 0.0, "{}") for i in range(n - 1)]
+    rows.append((n, T0, 1, "click", 123.45, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    orig = qp.load_table
+    qp.load_table = lambda _s, _d, _t: sdf
+    try:
+        got = {tuple(r) for r in qp.events_value_outliers(spark, "x").collect()}
+    finally:
+        qp.load_table = orig
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = {
+        tuple(r)
+        for r in con.execute(all_plans()["events_value_outliers"].oracle).fetchall()
+    }
+    con.close()
+    assert got == want
+    ((_, cnt, _, flagged),) = got
+    assert (cnt, flagged) == (n, expect)
