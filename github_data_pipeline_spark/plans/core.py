@@ -127,6 +127,7 @@ def all_plans() -> Registry:
     from . import temporal_plans  # noqa: F401
     from . import quantile_plans  # noqa: F401
     from . import scd2_plans  # noqa: F401
+    from . import pivot_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row
