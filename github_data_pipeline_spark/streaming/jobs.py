@@ -89,6 +89,34 @@ def hourly_rollup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_rollup_stream(events: DataFrame) -> DataFrame:
+    """Sliding-window rollup: 1-hour windows advancing every 15
+    minutes — the overlapping-window surface tumbling/session windows
+    don't exercise. Each event belongs to window/slide = 4 windows, so
+    state (and output) carry a 4x factor over the tumbling rollup;
+    the watermark still bounds retained state to ~horizon/slide window
+    groups per key, which is the number that matters at 100 TB. The
+    batch twin is the identical F.window() aggregation run on the
+    static table (parity pinned in tests/test_streaming_incremental)."""
+    fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), fmt).alias("window_start"),
+            "event_type",
+            "events",
+            "value_cents",
+        )
+    )
+
+
 def session_stream(events: DataFrame) -> DataFrame:
     """Streaming sessionization via session_window — the stateful twin
     of the lag/cumsum islands idiom in events_sessionization."""

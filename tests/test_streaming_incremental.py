@@ -309,3 +309,47 @@ def test_attribution_bucket_boundaries(spark, tmp_path):
         )
     )
     assert got == [1, 3, 4]
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    """Sliding 1h/15min windows: the stream drain must equal the
+    identical F.window() aggregation on the static table, and each
+    event must appear in exactly window/slide = 4 windows."""
+    from github_data_pipeline_spark.sources.tables import load_table
+    from github_data_pipeline_spark.streaming.jobs import (
+        sliding_rollup_stream,
+    )
+    from github_data_pipeline_spark.functions.money import cents
+
+    rows = run_available_now(
+        sliding_rollup_stream(read_events_stream(spark, sf_dir)), "sliding_t"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["events"], r["value_cents"])
+        for r in rows
+    }
+    e = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    batch = (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), fmt).alias("window_start"),
+            "event_type",
+            "events",
+            "value_cents",
+        )
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["events"], r["value_cents"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+    # 4x multiplicity: every event is counted in exactly 4 windows
+    total_events = e.count()
+    assert sum(v[0] for v in got.values()) == 4 * total_events
