@@ -108,6 +108,15 @@ def all_plans() -> Registry:
     from . import chunking_plans  # noqa: F401
     from . import ann_lsh_plans  # noqa: F401
     from . import pii_plans  # noqa: F401
+    # round-5 session-2 additions, imported INSIDE the window group so
+    # the driver scores all seven this round (see the matching
+    # demotions below): range join + gap-fill/LOCF + RANGE-frame
+    # window, exact percentile_disc + 128-bit outlier gate, SCD2
+    # incremental==full proof, pivot
+    from . import temporal_plans  # noqa: F401
+    from . import quantile_plans  # noqa: F401
+    from . import scd2_plans  # noqa: F401
+    from . import pivot_plans  # noqa: F401
     # registered last on purpose: tail entries (positions 51+ after
     # the demotions below), verified by the local cell-exact checker
     # and CORRECTNESS_TAIL.json; rotate into the window next round
@@ -121,13 +130,6 @@ def all_plans() -> Registry:
     # registers past the 50-entry window (tail): verified by the local
     # cell-exact checker this round, rotation candidate for round 6
     from . import bpe_encode_plans  # noqa: F401
-    # round-5 late additions (tail, rotation candidates for round 6):
-    # range join + hypertable gap-fill/LOCF + RANGE-frame window,
-    # exact grouped percentile_disc
-    from . import temporal_plans  # noqa: F401
-    from . import quantile_plans  # noqa: F401
-    from . import scd2_plans  # noqa: F401
-    from . import pivot_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row
@@ -231,5 +233,41 @@ def all_plans() -> Registry:
     # tests/test_functions.py and the local cell-exact tail check).
     REGISTRY.demote("ann_topk")
     REGISTRY.demote("doc_token_profile")
+    # round-5 session-2 swap: the seven queries added late in the round
+    # (events_range_attribution, events_gap_fill_hourly,
+    # events_trailing_hour_window, doc_length_percentiles,
+    # events_value_outliers, scd2_order_priority_history,
+    # events_type_pivot — imported inside the window group above) take
+    # window slots so the driver scores every one of them THIS round;
+    # seven entries rotate out, each holding a fully-green r03/r04
+    # driver row with its operator class still covered in-window:
+    # - simhash_hamming_pairs: near-dup banding ≡ minhash_lsh_candidates
+    #   + neardup_cluster_keepers (stay); SimHash edge parity stays
+    #   pinned by tests/test_simhash_edge_parity.py.
+    # - embedding_neardup_pairs: hyperplane-LSH cell join ≡ ann_lsh_topk
+    #   (same functions/lsh.py machinery, stays).
+    # - doc_fulltext_standard: standard+stopwords analyzer ≡
+    #   doc_fulltext_search (same analyzer feeds BM25, stays) and
+    #   doc_fulltext_porter (the stronger fidelity claim, stays).
+    # - gh_blame_author_totals: Counter-sum + author ranking ≡
+    #   gh_blame_file_summary (nested rollup over the same blame
+    #   fixtures, stays) + gh_cross_repo_links (grouped count+sort).
+    # - urgent_orders_with_late_items: left-semi membership prune ≡
+    #   nation_set_ops INTERSECT + the linkers' distinct-before-enrich
+    #   joins (stay).
+    # - customers_without_orders: left-anti set difference ≡
+    #   nation_set_ops EXCEPT (lowers to the same anti join, stays).
+    # - gh_commit_time_range: min/max-over-time ≡ orders_profile's
+    #   wire-format min/max (stays); scenario S7 remains pinned by the
+    #   golden test in tests/test_github_domain.py.
+    # All seven stay cell-exact under the local checker
+    # (CORRECTNESS_TAIL.json).
+    REGISTRY.demote("simhash_hamming_pairs")
+    REGISTRY.demote("embedding_neardup_pairs")
+    REGISTRY.demote("doc_fulltext_standard")
+    REGISTRY.demote("gh_blame_author_totals")
+    REGISTRY.demote("urgent_orders_with_late_items")
+    REGISTRY.demote("customers_without_orders")
+    REGISTRY.demote("gh_commit_time_range")
 
     return REGISTRY

@@ -37,8 +37,8 @@ def test_driver_window_invariants():
     """The rotation policy is load-bearing: the driver verdicts exactly
     the first 50 registry entries, so (a) every windowed entry must be
     oracle-backed (a rows-only entry would waste a verdict slot), and
-    (b) the queries added in round 4 must sit inside the window so they
-    earn driver rows this round."""
+    (b) the queries added THIS round must sit inside the window so
+    they earn driver rows immediately."""
     from github_data_pipeline_spark.plans import all_plans
 
     reg = all_plans()
@@ -48,13 +48,27 @@ def test_driver_window_invariants():
     rows_only = [n for n in window if reg[n].oracle is None]
     assert rows_only == []
     for q in (
+        # round-4 additions that must stay scored
         "neardup_cluster_keepers",
         "decontam_overlap",
         "budget_sample_counts",
         "embedding_quantization_report",
-        "doc_fulltext_standard",
         "doc_fulltext_porter",
         "leakage_safe_splits",
+        # round-5 additions (first window slots this round)
+        "incremental_split_update",
+        "kmv_sketch_stats",
+        "doc_repetition_gates",
+        "events_item_pagerank",
+        "mixture_alpha_sampling",
+        "bpe_learned_merges",
+        "events_range_attribution",
+        "events_gap_fill_hourly",
+        "events_trailing_hour_window",
+        "doc_length_percentiles",
+        "events_value_outliers",
+        "scd2_order_priority_history",
+        "events_type_pivot",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry still has an oracle or is rows-only by
