@@ -84,6 +84,10 @@ TARGETS = (
     "doc_repetition_gates",
     "mixture_alpha_sampling",
     "bpe_encoded_profile",
+    # exact percentile_disc buffers every (source, n_chars) pair in
+    # per-group sort state — the growth of that buffer IS the reason
+    # kmv_sketch_stats exists; measure it, don't assert it
+    "doc_length_percentiles",
 )
 
 # the dedup family is what a hot band stresses; decontam rides along
