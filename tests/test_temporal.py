@@ -271,3 +271,49 @@ def test_value_outlier_exact_boundary(spark, n, expect):
     assert got == want
     ((_, cnt, _, flagged),) = got
     assert (cnt, flagged) == (n, expect)
+
+
+def test_funnel_ordering_and_horizon(spark):
+    """Funnel semantics: a click BEFORE any view doesn't count; a step
+    exactly AT the 24 h horizon boundary counts, one microsecond past
+    does not; cohorts 0-3 all representable."""
+    import duckdb
+    import pandas as pd
+
+    from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.plans import funnel_plans as fp
+
+    H = 24 * 3600
+    rows = [
+        # user 1: full funnel, purchase exactly at the horizon
+        (1, _ts(0), 1, "view", 0.0, "{}"),
+        (2, _ts(10), 1, "click", 0.0, "{}"),
+        (3, _ts(10 + H), 1, "purchase", 0.0, "{}"),
+        # user 2: click precedes the only view -> stuck at step 1
+        (4, _ts(100), 2, "click", 0.0, "{}"),
+        (5, _ts(200), 2, "view", 0.0, "{}"),
+        # user 3: click one microsecond past the horizon -> step 1
+        (6, _ts(0), 3, "view", 0.0, "{}"),
+        (7, _ts(H + 0.000001), 3, "click", 0.0, "{}"),
+        # user 4: never views -> step 0
+        (8, _ts(50), 4, "purchase", 0.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    orig = fp.load_table
+    fp.load_table = lambda _s, _d, _t: sdf
+    try:
+        got = {
+            r.steps_reached: r.users
+            for r in fp.events_funnel_steps(spark, "x").collect()
+        }
+    finally:
+        fp.load_table = orig
+    assert got == {0: 1, 1: 2, 3: 1}
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = dict(con.execute(all_plans()["events_funnel_steps"].oracle).fetchall())
+    con.close()
+    assert got == want
