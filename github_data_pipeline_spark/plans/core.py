@@ -130,9 +130,11 @@ def all_plans() -> Registry:
     # registers past the 50-entry window (tail): verified by the local
     # cell-exact checker this round, rotation candidate for round 6
     from . import bpe_encode_plans  # noqa: F401
-    # round-5 final tail addition (rotation candidate for round 6):
-    # sequential conditional aggregation (conversion funnel)
+    # round-5 final tail additions (rotation candidates for round 6):
+    # sequential conditional aggregation (conversion funnel) and
+    # edit-distance verification over the routed candidate set
     from . import funnel_plans  # noqa: F401
+    from . import editdist_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row
