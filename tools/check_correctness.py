@@ -7,6 +7,12 @@ driver hash, so passing here means passing there).
 
 Usage:  python tools/check_correctness.py [sf_dir] [query ...]
         python tools/check_correctness.py --tail [--json OUT.json] [sf_dir]
+        python tools/check_correctness.py --vanilla [sf_dir] [query ...]
+
+``--vanilla`` runs the Spark side on a PLAIN SparkSession instead of
+get_spark — the driver builds its own untuned session, so this mode
+catches any query that silently depends on a session-level conf that
+load_table doesn't itself apply (run it once before round end).
 
 ``--tail`` restricts the run to registry entries PAST the driver's
 50-entry verdict window (the demoted queries); ``--json`` additionally
@@ -42,6 +48,9 @@ def main() -> int:
     tail_only = "--tail" in argv
     if tail_only:
         argv.remove("--tail")
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
@@ -51,7 +60,22 @@ def main() -> int:
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
-    spark = get_spark("check-correctness", master="local[8]")
+    if vanilla:
+        # driver-faithful environment: the driver builds its own plain
+        # SparkSession (no get_spark tuning), so every session-level
+        # conf a query silently depends on must instead be applied by
+        # load_table — this mode catches such dependencies before the
+        # driver does
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-correctness-vanilla")
+            .config("spark.sql.shuffle.partitions", "8")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check-correctness", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     register_duckdb_views(con, sf_dir)
