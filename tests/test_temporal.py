@@ -317,3 +317,69 @@ def test_funnel_ordering_and_horizon(spark):
     want = dict(con.execute(all_plans()["events_funnel_steps"].oracle).fetchall())
     con.close()
     assert got == want
+
+
+def test_pivot_unknown_type_guard(spark):
+    """An event type outside the declared pivot domain must land in
+    unknown_events (not silently vanish), identically in both engines."""
+    import duckdb
+    import pandas as pd
+
+    from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.plans import pivot_plans as pp
+
+    rows = [
+        (1, T0, 3, "click", 1.00, "{}"),
+        (2, T0, 3, "refund", 5.00, "{}"),  # outside EVENT_TYPES
+        (3, T0, 14, "purchase", 2.00, "{}"),
+        (4, T0, 14, "chargeback", 9.00, "{}"),  # outside EVENT_TYPES
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    orig = pp.load_table
+    pp.load_table = lambda _s, _d, _t: sdf
+    try:
+        got = {tuple(r) for r in pp.events_type_pivot(spark, "x").collect()}
+    finally:
+        pp.load_table = orig
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = {
+        tuple(r)
+        for r in con.execute(all_plans()["events_type_pivot"].oracle).fetchall()
+    }
+    con.close()
+    assert got == want
+    by_bucket = {r[0]: r for r in got}
+    assert by_bucket[3][-1] == 1  # refund counted as unknown
+    assert by_bucket[3][1] == 1 and by_bucket[3][2] == 100  # click kept
+
+
+def test_editdist_threshold_boundary(spark):
+    """levenshtein(a, b, k): distance exactly k is kept, k+1 rejected;
+    the length prefilter must not drop a within-k pair."""
+    from github_data_pipeline_spark.operators.neardup import (
+        verify_candidates_edit_distance,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),
+            (2, "abcdefghij" + "XXXXXX"),  # 6 insertions: dist == 6
+            (3, "abcdefghij" + "XXXXXXX"),  # 7 insertions: dist == 7
+            (4, "ZZZdefghij"),  # 3 substitutions, same length
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in verify_candidates_edit_distance(
+            cands, docs, max_dist=6
+        ).collect()
+    }
+    assert got == {(1, 2): 6, (1, 4): 3}
