@@ -32,6 +32,7 @@ def interval_join(
     extra_key: str | None = None,
     how: str = "inner",
     closed: str = "both",
+    max_buckets_per_interval: int = 64,
 ) -> DataFrame:
     """Join point rows to interval rows on containment, optionally
     also on an equality key (e.g. user_id) — via bucket quantization +
@@ -47,6 +48,14 @@ def interval_join(
 
     ``how`` supports "inner" and "left_semi" (events that fall in any
     interval). Interval columns survive on the output for "inner".
+
+    ``max_buckets_per_interval`` is the misconfiguration guard: an
+    interval spanning more than this many buckets (a month-long
+    interval over a 10-minute ``bucket_seconds``) means the bucket
+    width is badly undersized for the data — at scale the explode
+    would silently multiply the interval side by thousands. The job
+    fails with a clear message instead; raise the limit or widen the
+    bucket deliberately.
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"unsupported join type {how!r}")
@@ -58,7 +67,20 @@ def interval_join(
         F.floor(F.col(start_col).cast("long") / bucket_seconds),
         F.floor(F.col(end_col).cast("long") / bucket_seconds),
     )
-    exploded = intervals.withColumn("__bucket", F.explode(iv_buckets))
+    guarded = F.when(
+        F.size(iv_buckets) <= max_buckets_per_interval, iv_buckets
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "interval_join: interval spans %s buckets "
+                f"(> max_buckets_per_interval={max_buckets_per_interval}); "
+                f"bucket_seconds={bucket_seconds} is undersized for this "
+                "data — widen it or raise the limit explicitly",
+                F.size(iv_buckets).cast("string"),
+            )
+        )
+    )
+    exploded = intervals.withColumn("__bucket", F.explode(guarded))
     tagged = events.withColumn("__bucket", ev_bucket)
 
     on = [tagged["__bucket"] == exploded["__bucket"]]

@@ -60,3 +60,30 @@ def test_plan_is_hash_join_not_nested_loop(spark, sf_dir):
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_fanout_guard_trips_on_undersized_bucket(spark):
+    """A month-long interval over a 60 s bucket must fail loudly (the
+    silent alternative is a thousands-x explode at scale); a compliant
+    interval with the same call succeeds."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    t0 = dt.datetime(2024, 1, 1)
+    e = spark.createDataFrame([(1, t0)], "user_id long, ts timestamp")
+    bad = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(days=30))],
+        "user_id long, start timestamp, end timestamp",
+    )
+    with pytest.raises(Exception, match="max_buckets_per_interval"):
+        interval_join(e, bad, bucket_seconds=60, extra_key="user_id").collect()
+    ok = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(minutes=30))],
+        "user_id long, start timestamp, end timestamp",
+    )
+    assert (
+        interval_join(e, ok, bucket_seconds=60, extra_key="user_id").count()
+        == 1
+    )
