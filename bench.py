@@ -15,6 +15,9 @@ and in PROGRESS.jsonl's bench_delta entries.
 
 Each query is materialized through the no-op sink so the full plan
 (including projections) executes without driver-side collect overhead.
+Per-query numbers are min-of-2 measured passes; the summary line also
+carries ``pass_totals`` and ``spread_pct`` so a contended run (large
+spread) is visible in the driver's recorded output.
 """
 
 from __future__ import annotations
@@ -69,7 +72,9 @@ def main() -> None:
     # pause or JIT recompile — observed ±25% run-to-run totals; min-of-2
     # reports the plan's steady-state cost.
     timings: dict[str, float] = {}
+    pass_totals: list[float] = []
     for _ in range(2):
+        pass_total = 0.0
         for q in registry:
             if q.oracle is None:
                 continue
@@ -77,9 +82,20 @@ def main() -> None:
             df = q.builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             el = round(time.time() - t0, 3)
+            pass_total += el
             timings[q.name] = min(el, timings.get(q.name, el))
+        pass_totals.append(round(pass_total, 3))
 
     total = round(sum(timings.values()), 3)
+    # Contention telemetry: the spread between the two measured passes.
+    # A large spread (>~15%) means the machine was contended during the
+    # run and even the min-of-2 headline is inflated — it makes
+    # cross-round driver comparisons interpretable (the r5 driver bench
+    # ran ~50% above an uncontended run of identical plans).
+    spread_pct = round(
+        100.0 * (max(pass_totals) - min(pass_totals)) / max(min(pass_totals), 1e-9),
+        1,
+    )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     _record_deltas(timings, total)
     sf_val = float(sf) if sf else sf_dir
@@ -104,6 +120,8 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf_val,
+                "pass_totals": pass_totals,
+                "spread_pct": spread_pct,
             }
         ),
         flush=True,

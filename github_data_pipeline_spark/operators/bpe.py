@@ -242,6 +242,16 @@ def learn_bpe(
     pre-fix ~45% figure was bought with the unsound prefix).
     ``batch_candidates=1`` degenerates to the classic one-at-a-time
     loop; ``stats["rounds"]`` reports the driver round-trips used.
+
+    .. warning:: **Single-user session assumption.** Training sets
+       session-wide confs for its duration (AQE off, shuffle
+       partitions shrunk to the vocabulary size) and restores them in
+       a ``finally``. Any query running CONCURRENTLY on the same
+       SparkSession executes under these confs; the restore does not
+       protect concurrent use. Run training on a dedicated
+       SparkSession (``SparkSession.newSession()`` shares the
+       SparkContext but isolates ``spark.conf``) if other work shares
+       the JVM — the merge list itself is conf-independent either way.
     """
     window = max(1, batch_candidates)
     vocab = word_counts(docs, text_col).withColumn(

@@ -63,12 +63,16 @@ def interval_join(
         raise ValueError(f"closed must be 'both' or 'right': {closed!r}")
 
     ev_bucket = F.floor(F.col(event_ts).cast("long") / bucket_seconds)
-    iv_buckets = F.sequence(
-        F.floor(F.col(start_col).cast("long") / bucket_seconds),
-        F.floor(F.col(end_col).cast("long") / bucket_seconds),
-    )
+    lo_bucket = F.floor(F.col(start_col).cast("long") / bucket_seconds)
+    hi_bucket = F.floor(F.col(end_col).cast("long") / bucket_seconds)
+    # Guard on the ARITHMETIC count, before any sequence() exists: a
+    # badly undersized bucket (years over minute buckets) must hit this
+    # message, not first allocate a huge array per interval row or trip
+    # Spark's sequence element cap with a confusing error.
+    n_buckets = hi_bucket - lo_bucket + F.lit(1)
     guarded = F.when(
-        F.size(iv_buckets) <= max_buckets_per_interval, iv_buckets
+        n_buckets <= max_buckets_per_interval,
+        F.sequence(lo_bucket, hi_bucket),
     ).otherwise(
         F.raise_error(
             F.format_string(
@@ -76,7 +80,7 @@ def interval_join(
                 f"(> max_buckets_per_interval={max_buckets_per_interval}); "
                 f"bucket_seconds={bucket_seconds} is undersized for this "
                 "data — widen it or raise the limit explicitly",
-                F.size(iv_buckets).cast("string"),
+                n_buckets.cast("string"),
             )
         )
     )

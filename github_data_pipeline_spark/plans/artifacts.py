@@ -20,17 +20,24 @@ from __future__ import annotations
 import hashlib
 import os
 
+# Bump on ANY change to producing-pipeline logic that is not visible in
+# a keyed constant (new shingling rule, changed pair ordering, ...).
+# Folded into every cache key so stale artifacts cannot survive a code
+# change that leaves the constants untouched.
+ARTIFACT_SCHEME_VERSION = "v2"
+
 
 def artifact_cache_path(sf_dir: str, name: str, extra_key: str = "") -> str:
     """Cache path for artifact ``name`` of ``sf_dir`` (no extension)."""
     try:
-        mtime = int(
-            os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime
-        )
+        # nanosecond mtime: a corpus regenerated in-place within the
+        # same integer second still invalidates the cache
+        mtime = os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
     except OSError:
         mtime = 0
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}:{extra_key}".encode()
+        f"{ARTIFACT_SCHEME_VERSION}:{os.path.abspath(sf_dir)}:{mtime}:"
+        f"{extra_key}".encode()
     ).hexdigest()[:16]
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -274,5 +274,26 @@ def all_plans() -> Registry:
     REGISTRY.demote("urgent_orders_with_late_items")
     REGISTRY.demote("customers_without_orders")
     REGISTRY.demote("gh_commit_time_range")
+    # round-6 swap: the three queries added at the end of round 5
+    # (bpe_encoded_profile, events_funnel_steps, neardup_editdist_pairs
+    # — registry positions 51-53 in r5, past the window, cell-exact
+    # under the local checker but never driver-scored) take window
+    # slots so the driver verdicts them this round; three entries
+    # rotate out, each fully green in CORRECTNESS_r05.json with its
+    # operator class still covered in-window:
+    # - events_type_pivot: pivot lowers to grouped SUM-CASE ≡
+    #   orders_profile's conditional-count family (stays); the
+    #   unknown-type guard stays pinned by tests/test_temporal.py.
+    # - events_gap_fill_hourly: spine+LOCF ≡ the temporal family
+    #   anchored by events_range_attribution and
+    #   events_trailing_hour_window (both stay in-window).
+    # - doc_quality_by_source: per-source text-profile agg ≡
+    #   lang_id_confusion + doc_repetition_gates (both stay and read
+    #   the same documents profile columns).
+    # All three stay cell-exact under the local checker
+    # (CORRECTNESS_TAIL.json).
+    REGISTRY.demote("events_type_pivot")
+    REGISTRY.demote("events_gap_fill_hourly")
+    REGISTRY.demote("doc_quality_by_source")
 
     return REGISTRY

@@ -129,9 +129,13 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("n").cast("long").alias("events"),
-            (F.col("s") / F.col("n"))
-            .cast("long")
-            .alias("mean_cents_floor"),
+            # integral `div`, NOT (s / n).cast("long"): decimal `/`
+            # rounds HALF_UP at the result scale before the cast, so
+            # s/n = x.9999995 would round up to x+1 where exact
+            # integer division gives x. `div` is exact truncation
+            # toward zero — the same semantics as DuckDB HUGEINT `//`
+            # (verified: both give -7//2 = -3), negative-safe.
+            F.expr("CAST(s div n AS BIGINT)").alias("mean_cents_floor"),
             "outliers_3sigma",
         )
     )

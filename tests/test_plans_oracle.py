@@ -63,12 +63,18 @@ def test_driver_window_invariants():
         "mixture_alpha_sampling",
         "bpe_learned_merges",
         "events_range_attribution",
-        "events_gap_fill_hourly",
         "events_trailing_hour_window",
         "doc_length_percentiles",
         "events_value_outliers",
         "scd2_order_priority_history",
-        "events_type_pivot",
+        # round-6 rotation: the three r5 tail entries that had never
+        # held a driver-scored row (demoted to make room:
+        # events_type_pivot, events_gap_fill_hourly,
+        # doc_quality_by_source — all r05-green, classes covered
+        # in-window; see plans/core.py round-6 swap comment)
+        "bpe_encoded_profile",
+        "events_funnel_steps",
+        "neardup_editdist_pairs",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry still has an oracle or is rows-only by
