@@ -383,3 +383,103 @@ def test_editdist_threshold_boundary(spark):
         ).collect()
     }
     assert got == {(1, 2): 6, (1, 4): 3}
+
+
+# -- funnel property: chained-min-ts construction vs a sequential scan ----
+
+import os as _os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# tools/property_gate.py raises this for the pre-release thorough pass
+HYPO_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_HYPO_EXAMPLES", "0")) or 10
+
+
+def _funnel_model(events, horizon_sec):
+    """Independent pure-Python funnel: per user, a literal sequential
+    scan over (ts, type) following the spec — first view, then first
+    click at-or-after it within the horizon, then first purchase
+    at-or-after that within the horizon."""
+    from collections import Counter, defaultdict
+
+    by_user = defaultdict(list)
+    for uid, ts, typ in events:
+        by_user[uid].append((ts, typ))
+    counts = Counter()
+    for uid, evs in by_user.items():
+        step = 0
+        views = [t for t, ty in evs if ty == "view"]
+        if views:
+            step, t1 = 1, min(views)
+            clicks = [
+                t for t, ty in evs
+                if ty == "click" and t1 <= t <= t1 + horizon_sec
+            ]
+            if clicks:
+                step, t2 = 2, min(clicks)
+                if any(
+                    ty == "purchase" and t2 <= t <= t2 + horizon_sec
+                    for t, ty in evs
+                ):
+                    step = 3
+        counts[step] += 1
+    return dict(counts)
+
+
+_event_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # user_id
+        # quarter-horizon grid: boundary timestamps (exact multiples of
+        # the horizon) are drawn often, so >= / <= edges get exercised
+        st.integers(min_value=0, max_value=12),
+        st.sampled_from(["view", "click", "purchase", "other"]),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(events=_event_lists, horizon_hours=st.sampled_from([1, 2]))
+@settings(max_examples=HYPO_EXAMPLES, deadline=None)
+def _check_funnel_matches_model(events, horizon_hours):
+    import pandas as pd
+
+    from github_data_pipeline_spark.plans import funnel_plans as fp
+
+    spark = _check_funnel_matches_model.spark
+    h_sec = horizon_hours * 3600
+    quarter = h_sec // 4
+    rows = [
+        (i, _ts(g * quarter), uid, typ, 0.0, "{}")
+        for i, (uid, g, typ) in enumerate(events)
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    sdf = spark.createDataFrame(pdf)
+    orig_load, orig_h = fp.load_table, fp.STEP_HORIZON_HOURS
+    fp.load_table = lambda _s, _d, _t: sdf
+    fp.STEP_HORIZON_HOURS = horizon_hours
+    try:
+        got = {
+            r.steps_reached: r.users
+            for r in fp.events_funnel_steps(spark, "x").collect()
+        }
+    finally:
+        fp.load_table, fp.STEP_HORIZON_HOURS = orig_load, orig_h
+    want = _funnel_model(
+        [(uid, g * quarter, typ) for (uid, g, typ) in events], h_sec
+    )
+    assert got == want
+
+
+def test_funnel_matches_sequential_model(spark):
+    """Property: the chained-min-ts funnel equals an independent
+    per-user sequential scan on random event sequences — random
+    horizons, boundary-heavy timestamps, arbitrary arrival order
+    (the spark fixture rides in on an attribute; @given doesn't mix
+    with pytest fixtures)."""
+    _check_funnel_matches_model.spark = spark
+    _check_funnel_matches_model()

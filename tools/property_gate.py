@@ -26,6 +26,8 @@ PROPERTY_TESTS = [
     "tests/test_porter.py",
     "tests/test_fulltext.py",
     "tests/test_plan_properties.py",
+    # funnel: chained-min-ts construction vs the sequential-scan model
+    "tests/test_temporal.py::test_funnel_matches_sequential_model",
 ]
 
 

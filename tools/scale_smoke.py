@@ -322,6 +322,19 @@ def main() -> int:
         choices=("none", "hotband", "hotkey", "streamscale"),
         default="none",
     )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated subset of the mode's targets (e.g. for a "
+        "deeper factor on the worst-exponent queries)",
+    )
+    ap.add_argument(
+        "--tag",
+        default=None,
+        help="SCALING.md section tag (default: the skew mode); pass a "
+        "distinct tag so a subset/deep-factor run doesn't overwrite "
+        "the mode's full section",
+    )
     args = ap.parse_args()
 
     from github_data_pipeline_spark.session import get_spark
@@ -345,6 +358,9 @@ def main() -> int:
             "events_gap_fill_hourly",
         ),
     }[args.skew]
+    if args.only:
+        wanted = tuple(s.strip() for s in args.only.split(",") if s.strip())
+        targets = wanted  # explicit subset may add registry names too
 
     tmp = os.path.join(REPO, ".scale_tmp")
     scaled = build_scaled_dir(
@@ -410,6 +426,14 @@ def main() -> int:
         ),
     }
     title, desc = headers[args.skew]
+    tag = args.tag or args.skew
+    if args.tag:
+        title = f"## Deep-factor check ({args.skew} mode, factor {args.factor})"
+        desc = (
+            "subset re-run at a deeper factor to confirm the worst\n"
+            "exponents from the full-mode section hold (or caps engage)\n"
+            "beyond factor 30."
+        )
     lines = [
         title,
         "",
@@ -432,7 +456,7 @@ def main() -> int:
         )
     lines += ["", f"**Worst exponent: {worst:.2f}.**"]
     body = "\n".join(lines)
-    replace_section(os.path.join(REPO, "SCALING.md"), args.skew, body)
+    replace_section(os.path.join(REPO, "SCALING.md"), tag, body)
     print(body)
     shutil.rmtree(tmp, ignore_errors=True)
     return 0
