@@ -207,7 +207,7 @@ def _interval_seconds(horizon: str) -> int:
 
 
 def attribution_stream(
-    events: DataFrame, horizon: str = "1 hour"
+    events: DataFrame, horizon: str = "1 hour", closed: str = "both"
 ) -> DataFrame:
     """Stream-stream interval join: each ``purchase`` attributed to the
     same user's ``click`` events within the preceding ``horizon``.
@@ -233,7 +233,16 @@ def attribution_stream(
     unbucketed join degrades to |purchases| x |all clicks| per hot
     key); (2) a hot user's state spreads across (user, bucket)
     partitions instead of serializing on one task.
+
+    ``closed`` picks the look-back convention, mirroring
+    ``operators/rangejoin.interval_join``: ``"both"`` keeps a click
+    exactly ``horizon`` before the purchase; ``"right"`` (the batch
+    ``events_range_attribution`` convention) drops it — so the stream
+    is row-identical to the oracle-checked batch range join, pinned by
+    tests/test_streaming_incremental.py.
     """
+    if closed not in ("both", "right"):
+        raise ValueError(f"closed must be 'both' or 'right': {closed!r}")
     width_us = _interval_seconds(horizon) * 1_000_000
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -241,6 +250,7 @@ def attribution_stream(
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("click_ts"),
             F.col("event_id").alias("click_id"),
+            cents("value").alias("click_cents"),
         )
         .withColumn(
             "c_bucket", F.expr(f"unix_micros(click_ts) DIV {width_us}")
@@ -264,14 +274,28 @@ def attribution_stream(
             F.explode(F.array(F.col("p_bucket"), F.col("p_bucket") - 1)),
         )
     )
+    lo = (
+        F.col("click_ts") > F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        if closed == "right"
+        else F.col("click_ts")
+        >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+    )
     return purchases.join(
         clicks,
         (F.col("user_id") == F.col("c_user"))
         & (F.col("probe_bucket") == F.col("c_bucket"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        & lo,
         "inner",
-    ).select("purchase_id", "user_id", "purchase_ts", "value_cents", "click_id", "click_ts")
+    ).select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "value_cents",
+        "click_id",
+        "click_ts",
+        "click_cents",
+    )
 
 
 def run_available_now(

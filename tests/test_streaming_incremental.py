@@ -353,3 +353,55 @@ def test_streaming_sliding_matches_batch(spark, sf_dir):
     # 4x multiplicity: every event is counted in exactly 4 windows
     total_events = e.count()
     assert sum(v[0] for v in got.values()) == 4 * total_events
+
+
+def test_attribution_stream_matches_oracle_checked_batch(spark, sf_dir):
+    """VERDICT-r5 #6: batch==stream parity for the bucketed range join
+    itself — the streaming attribution join, run with the batch
+    query's exact convention (10-minute horizon, closed='right'),
+    aggregated per purchase, must equal the driver-oracle-checked
+    `events_range_attribution` output on the same fixture."""
+    from collections import defaultdict
+
+    from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.streaming.jobs import attribution_stream
+
+    rows = run_available_now(
+        attribution_stream(
+            read_events_stream(spark, sf_dir),
+            horizon="10 minutes",
+            closed="right",
+        ),
+        "attribution_oracle_t",
+        output_mode="append",
+    )
+    agg = defaultdict(lambda: [0, 0])  # purchase event_id -> [n, cents]
+    purchase_meta = {}
+    for r in rows:
+        agg[r["purchase_id"]][0] += 1
+        agg[r["purchase_id"]][1] += r["click_cents"]
+        purchase_meta[r["purchase_id"]] = (r["user_id"], r["value_cents"])
+
+    batch = {
+        r["event_id"]: (
+            r["user_id"],
+            r["purchase_cents"],
+            r["clicks_10m"],
+            r["click_cents_10m"],
+        )
+        for r in all_plans()["events_range_attribution"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert batch  # fixture has purchases
+    with_clicks = {k: v for k, v in batch.items() if v[2] > 0}
+    assert with_clicks  # non-vacuous: some purchases have clicks
+    got = {
+        pid: (purchase_meta[pid][0], purchase_meta[pid][1], n, c)
+        for pid, (n, c) in agg.items()
+    }
+    assert got == with_clicks
+    # zero-click purchases are exactly the ones the stream never emits
+    assert set(batch) - set(agg) == {
+        k for k, v in batch.items() if v[2] == 0
+    }
