@@ -1,0 +1,235 @@
+"""Model-based document filtering — the classifier family of a
+training-data pipeline, in exact integer arithmetic.
+
+Two industry-standard quality-filter shapes the gate/profile queries
+don't cover:
+
+* ``doc_quality_linear_gate`` — a linear quality classifier applied as
+  a filter (the C4 / fastText-classifier shape, Raffel et al. 2020;
+  Joulin et al. 2016): per-doc features -> fixed-point dot product with
+  shipped weights -> threshold gate. Inference only; the weights are
+  constants "trained offline", which is exactly how such classifiers
+  deploy in a pipeline (the model never trains inside the scan job).
+* ``doc_char_trigram_typicality`` — the CCNet-style LM-proxy (Wenzek
+  et al. 2020 use a real KenLM; the deployable integer-exact analog is
+  character-n-gram typicality): per-doc mean corpus document-frequency
+  of its distinct char trigrams, normalized by corpus size. Junk/noise
+  scores atypically low because its trigrams appear in few other
+  documents.
+
+Integer-exactness rules (hash-parity with DuckDB): all ratios are
+fixed-point via integral division (Spark ``div`` == DuckDB ``//``,
+both exact truncation), doubles never enter a predicate or an output.
+
+Scale shape (100 TB):
+
+* the linear gate is map-only + one tiny per-source aggregation —
+  embarrassingly parallel, no shuffle of document text;
+* typicality hash-repartitions documents by doc_id once, so the
+  per-doc aggregation after the DF join is exchange-free (same trick
+  as plans/repetition_plans.py); the trigram DF table is bounded by
+  the charset (|Σ|³, ~50k entries real-world) — built with map-side
+  partial aggregation collapsing to per-partition distinct trigrams,
+  then BROADCAST back, so the doc×trigram stream never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources.tables import load_table, spread
+from .core import REGISTRY
+
+_add = REGISTRY.add
+
+# filtered tokens — the phantom-''-token guard (see repetition_plans)
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+FP_SCALE = 10_000  # ratio fixed point: 1.0 -> 10000
+LEN_SCALE = 100  # mean-token-length fixed point: 1 char -> 100
+
+# "offline-trained" linear model: weights over (stopword ratio,
+# type-token ratio, mean token length). Positive on all three — junk
+# in this corpus family is low-stopword, low-diversity, short-token.
+W_STOP, W_TTR, W_LEN = 3, 2, 10
+# calibrated on the synthetic corpus so the gate is non-vacuous both
+# ways (score p25 = 13731 at sf0.01 -> ~75% pass / ~25% fail)
+SCORE_THRESHOLD = 13_700
+
+_STOPS = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
+
+
+@_add(
+    "doc_quality_linear_gate",
+    f"""
+    WITH f AS (
+      SELECT source,
+        len(toks) AS t,
+        len(list_filter(toks, x -> list_contains([{_STOPS}], lower(x))))
+          AS s,
+        len(list_distinct(toks)) AS u,
+        COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS c
+      FROM (SELECT source, {_TOKS} AS toks FROM documents)
+    ), scored AS (
+      SELECT source,
+        CASE WHEN t = 0 THEN 0 ELSE
+          {W_STOP} * ((s * {FP_SCALE}) // t)
+          + {W_TTR} * ((u * {FP_SCALE}) // t)
+          + {W_LEN} * ((c * {LEN_SCALE}) // t)
+        END AS score
+      FROM f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN score >= {SCORE_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS passed,
+           CAST(SUM(score) // COUNT(*) AS BIGINT) AS avg_score_fp
+    FROM scored GROUP BY source
+    """,
+    doc="Linear quality-classifier gate (C4/fastText-classifier shape: "
+    "offline-trained weights shipped as constants, inference in the "
+    "scan job): per-doc fixed-point features — stopword ratio, "
+    "type-token ratio, mean token length — dotted with integer "
+    "weights and thresholded; per-source pass counts + mean score. "
+    "All ratios are integral divisions (Spark div == DuckDB //, exact "
+    "truncation), so the score is hash-exact at any scale. Map-only "
+    "expressions + one tiny per-source aggregation; document text "
+    "never shuffles. Threshold calibrated non-vacuous (~25% of the "
+    "fixture fails).",
+    tags=("text", "quality", "classifier"),
+)
+def doc_quality_linear_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents").select("source", "text"))
+    toks = T.tokens("text")
+    f = d.select(
+        "source",
+        F.size(toks).cast("long").alias("t"),
+        T.stopword_hits(toks).cast("long").alias("s"),
+        F.size(F.array_distinct(toks)).cast("long").alias("u"),
+        T.char_count(toks).cast("long").alias("c"),
+    )
+    score = F.when(F.col("t") == 0, F.lit(0).cast("long")).otherwise(
+        F.lit(W_STOP) * F.expr(f"(s * {FP_SCALE}) div t")
+        + F.lit(W_TTR) * F.expr(f"(u * {FP_SCALE}) div t")
+        + F.lit(W_LEN) * F.expr(f"(c * {LEN_SCALE}) div t")
+    )
+    return (
+        f.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum((F.col("score") >= SCORE_THRESHOLD).cast("int"))
+            .cast("long")
+            .alias("passed"),
+            F.expr("CAST(sum(score) div count(*) AS BIGINT)").alias(
+                "avg_score_fp"
+            ),
+        )
+    )
+
+
+# a doc is "atypical" when the average document-frequency of its
+# trigrams covers less than this percentage of the corpus (calibrated:
+# fixture typicality runs 57-71% of corpus size, p05 ≈ 59% -> ~15% of
+# docs flagged at 60)
+ATYPICAL_PCT = 60
+
+
+@_add(
+    "doc_char_trigram_typicality",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, lower(trim(text)) AS s FROM documents
+    ), tri AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(s) - 2, 0)),
+               i -> substr(s, i, 3)))) AS t
+      FROM d
+    ), df AS (
+      SELECT t, COUNT(*) AS df FROM tri GROUP BY t
+    ), typ AS (
+      SELECT tri.doc_id, SUM(df.df) // COUNT(*) AS typ
+      FROM tri JOIN df USING (t) GROUP BY 1
+    ), tot AS (SELECT COUNT(*) AS total FROM d)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(COALESCE(typ.typ, 0)) // COUNT(*) AS BIGINT)
+             AS avg_typicality,
+           CAST(SUM(CASE WHEN COALESCE(typ.typ, 0) * 100
+                         < {ATYPICAL_PCT} * tot.total
+                    THEN 1 ELSE 0 END) AS BIGINT) AS atypical_docs
+    FROM d LEFT JOIN typ ON d.doc_id = typ.doc_id CROSS JOIN tot
+    GROUP BY d.source
+    """,
+    doc="LM-proxy typicality score (the integer-exact analog of "
+    "CCNet's KenLM perplexity bucket, Wenzek et al. 2020): per doc, "
+    "the mean corpus document-frequency of its distinct character "
+    "trigrams; docs whose trigrams appear in under "
+    f"{ATYPICAL_PCT}% of the corpus flagged atypical. Corpus-statistic "
+    "join-back shape: the trigram DF table (bounded by charset^3) is "
+    "built with map-side partial aggregation and BROADCAST back onto "
+    "the doc-trigram stream, which itself never shuffles — documents "
+    "are hash-repartitioned by doc_id once, making the per-doc "
+    "aggregation exchange-free (the repetition_plans trick), and "
+    "explode_outer keeps trigram-less docs on the same stream (typ 0, "
+    "atypical) so no extra scan re-lists the doc universe. The "
+    "corpus-size normalizer is a footer-only count(*) attached as the "
+    "whitelisted 1-row broadcast. Corpus data is scanned exactly "
+    "twice (DF pass + score pass) by design — the stats pass of "
+    "every deployed CCNet-style filter.",
+    tags=("text", "quality", "classifier", "typicality"),
+)
+def doc_char_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.lower(F.trim(F.col("text"))).alias("s")
+    )
+    d = raw.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tri_arr = F.when(
+        F.length("s") >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s") - 2),
+                lambda i: F.col("s").substr(i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # explode_outer keeps len<3 docs as one t=NULL row, so the doc
+    # universe rides the same stream — no third corpus scan to re-list
+    # doc_ids for a left join
+    e = d.select("doc_id", "source", F.explode_outer(tri_arr).alias("t"))
+    df_tbl = (
+        e.filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # per-doc mean DF; a trigram-less doc contributes its single NULL
+    # row: sum(df) NULL -> 0, count 1 -> typ = 0 (atypical by
+    # definition). groupBy(doc_id, source) is exchange-free (doc_id
+    # hash partitioning from the repartition above).
+    typ = (
+        e.join(F.broadcast(df_tbl), "t", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr(
+                "CAST(coalesce(sum(df), 0) div count(*) AS BIGINT)"
+            ).alias("typ")
+        )
+    )
+    # corpus-size normalizer: count(*) over the raw scan prunes every
+    # column — parquet answers it from footer rowcounts, not data
+    total = raw.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    scored = typ.crossJoin(F.broadcast(total))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.expr("CAST(sum(typ) div count(*) AS BIGINT)").alias(
+            "avg_typicality"
+        ),
+        F.sum(
+            (F.col("typ") * 100 < ATYPICAL_PCT * F.col("total")).cast("int")
+        )
+        .cast("long")
+        .alias("atypical_docs"),
+    )

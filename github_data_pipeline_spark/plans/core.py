@@ -135,6 +135,10 @@ def all_plans() -> Registry:
     # edit-distance verification over the routed candidate set
     from . import funnel_plans  # noqa: F401
     from . import editdist_plans  # noqa: F401
+    # round-6 additions (tail, rotation candidates for round 7): the
+    # classifier family — linear quality-gate inference and the
+    # CCNet-style trigram-typicality LM proxy
+    from . import classifier_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row

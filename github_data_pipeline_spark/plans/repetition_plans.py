@@ -17,14 +17,14 @@ gates evaluated in exact integer arithmetic (``top*100 <= thr*total``
 — no float ever enters a predicate), rolled up per source as pure
 BIGINT counts.
 
-Scale shape (100 TB): ONE explode produces (doc, k, gram-hash) rows
-for all three gram sizes at once — the gram TEXT never shuffles; the
-32-bit md5 gram hash does (engine-neutral, so DuckDB reproduces it
-exactly; production would swap in xxhash64).  Two hash aggregations
-— per (doc, k, hash) then per doc with conditional aggregates — then
-a tiny per-source rollup.  Both shuffles are keyed by doc_id-leading
-keys, so hot grams cannot skew a partition the way a gram-keyed
-shuffle would.
+Scale shape (100 TB): the documents are hash-repartitioned by doc_id
+(one corpus-bytes exchange), after which BOTH heavy aggregations —
+per (doc, k, gram) then per doc — are exchange-free: doc_id leads
+every grouping key, so the partitioning satisfies their clustered
+distributions and the ~3x-token-count gram stream never shuffles (nor
+needs hashing — grams group by exact text on both engines). Only the
+tiny per-source rollup exchanges after that. Hot grams cannot skew a
+partition because work is partitioned by document, never by gram.
 """
 
 from __future__ import annotations
@@ -33,8 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..functions.hashing import md5_h32, md5_h32_sql
-from ..sources.tables import load_table, spread
+from ..sources.tables import load_table
 from .core import REGISTRY
 
 # Gate thresholds: top word <= 20% of word occurrences, top bigram
@@ -76,7 +75,7 @@ WITH toks AS (
   UNION ALL
   SELECT doc_id, source, 3, unnest({_grams_sql(3)}) FROM toks
 ), gc AS (
-  SELECT doc_id, source, k, {md5_h32_sql("g")} AS gh, COUNT(*) AS c
+  SELECT doc_id, source, k, g, COUNT(*) AS c
   FROM grams GROUP BY 1, 2, 3, 4
 ), per_doc AS (
   SELECT doc_id, source,
@@ -118,18 +117,31 @@ FROM gated GROUP BY source
     "Table A1 analogs over words): per-document top-word occupancy, "
     "top-bigram occupancy, and duplicate-trigram fraction, gated in "
     "exact integer arithmetic and rolled up per source as BIGINT "
-    "pass counts. One explode emits (doc, k, md5-h32(gram)) for all "
-    "three gram sizes — gram text never shuffles, and both shuffle "
-    "keys lead with doc_id so a corpus-hot phrase cannot skew a "
-    "partition. Complements curation.repetition_stage (the map-side "
+    "pass counts. Documents are hash-repartitioned by doc_id once, "
+    "making both heavy aggregations exchange-free (doc_id leads every "
+    "grouping key) — the gram stream never shuffles and a corpus-hot "
+    "phrase cannot skew a partition (work is partitioned by document, "
+    "never by gram). Complements curation.repetition_stage (the map-side "
     "array-fold gate): same family, the distributed shape for "
     "documents too large to fold per-row.",
     tags=("text", "quality", "repetition"),
 )
 def doc_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load_table(spark, sf_dir, "documents").select(
+    # Repartition the DOCUMENTS by doc_id (one corpus-bytes exchange)
+    # instead of letting the exploded gram rows shuffle: a hash
+    # partitioning on doc_id satisfies the clustered distribution of
+    # BOTH downstream groupBys (doc_id leads each key set), so
+    # Catalyst plans them exchange-free — the ~3x-token-count gram
+    # stream (≈15x the corpus bytes as shuffle rows) never crosses the
+    # wire, and the gram text can be grouped directly with no hash
+    # function at all. The partition count is EXPLICIT: with a bare
+    # repartition("doc_id") AQE sees a tiny shuffle and coalesces it
+    # to one partition, serializing the heavy per-gram compute on a
+    # single core (the input bytes are small; the work per byte is
+    # not).
+    d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
-    ))
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = T.tokens("text")
 
     def tagged(arr, k: int):
@@ -149,9 +161,9 @@ def doc_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.col("p.k").alias("k"),
-        md5_h32(F.col("p.g")).alias("gh"),
+        F.col("p.g").alias("g"),
     )
-    gc = exploded.groupBy("doc_id", "source", "k", "gh").agg(
+    gc = exploded.groupBy("doc_id", "source", "k", "g").agg(
         F.count(F.lit(1)).alias("c")
     )
     k1 = F.col("k") == 1

@@ -71,6 +71,9 @@ BNLJ_BY_DESIGN = {
     # the global hour-span bounds (1 aggregated row) broadcast onto
     # the distinct-entity table to generate the gap-fill spine
     "events_gap_fill_hourly": "scalar-bounds 1-row broadcast attach",
+    # corpus-size normalizer (1 aggregated row) broadcast onto the
+    # per-doc typicality scores
+    "doc_char_trigram_typicality": "scalar-stats 1-row broadcast attach",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
