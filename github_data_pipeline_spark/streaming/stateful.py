@@ -71,3 +71,81 @@ def user_ledger_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -- streaming conversion funnel (per-user state machine) ------------------
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, steps_reached long"
+FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"  # epoch micros, -1 unset
+
+_STAGE_RANK = {"view": 0, "click": 1, "purchase": 2}
+
+
+def make_funnel_update(horizon_hours: int):
+    """Build the applyInPandasWithState update fn for a
+    view->click->purchase funnel with a per-step horizon.
+
+    The per-user fold over EVENT-TIME-ORDERED events is exact and
+    needs only (t1, t2, t3) state: each stage records the first
+    qualifying event, and once recorded it can never improve, because
+    any earlier qualifying event would have sorted first. Ties sort
+    view < click < purchase so a click at the same instant as the
+    first view still qualifies (the batch semantics' >= bound).
+
+    Exactness across micro-batches requires event-time-ordered batch
+    boundaries (each batch's events at-or-after the previous batch's —
+    the file-source-per-time-slice layout, or any watermark-disciplined
+    upstream). Within a batch, arrival order is free: the fold sorts.
+    The availableNow catch-up drain is the degenerate single ordered
+    batch. Parity with the oracle-checked batch funnel is pinned for
+    both the single-batch and the time-sliced multi-batch layout in
+    tests/test_streaming_curation.py.
+    """
+    horizon_us = horizon_hours * 3600 * 1_000_000
+
+    def _update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows["_us"] = rows["ts"].astype("datetime64[us]").astype("int64")
+        rows["_rank"] = rows["event_type"].map(_STAGE_RANK).fillna(3)
+        rows = rows.sort_values(["_us", "_rank"])
+        for ts_us, typ in zip(rows["_us"], rows["event_type"]):
+            if typ == "view":
+                if t1 < 0:
+                    t1 = ts_us
+            elif typ == "click":
+                if t1 >= 0 and t2 < 0 and t1 <= ts_us <= t1 + horizon_us:
+                    t2 = ts_us
+            elif typ == "purchase":
+                if t2 >= 0 and t3 < 0 and t2 <= ts_us <= t2 + horizon_us:
+                    t3 = ts_us
+        state.update((t1, t2, t3))
+        steps = 3 if t3 >= 0 else 2 if t2 >= 0 else 1 if t1 >= 0 else 0
+        yield pd.DataFrame(
+            {"user_id": [user_id], "steps_reached": [steps]}
+        )
+
+    return _update
+
+
+def funnel_stream(events: DataFrame, horizon_hours: int = 24) -> DataFrame:
+    """events stream -> per-user funnel progress (one row per user per
+    micro-batch, update mode): the streaming twin of the oracle-checked
+    ``events_funnel_steps`` batch query, as a custom stateful operator
+    with three longs of state per user."""
+    return (
+        events.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_funnel_update(horizon_hours),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

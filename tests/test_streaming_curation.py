@@ -37,3 +37,111 @@ def test_streamed_gates_equal_batch(spark, sf_dir):
     }
     want = {r["doc_id"] for r in gates(batch_docs).collect()}
     assert got == want and len(want) > 0
+
+
+def test_funnel_stream_matches_oracle_batch(spark, sf_dir):
+    """Single availableNow drain of the stateful streaming funnel ==
+    the oracle-checked events_funnel_steps cohorts on the fixture."""
+    from collections import Counter
+
+    from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.streaming.jobs import read_events_stream
+    from github_data_pipeline_spark.streaming.stateful import funnel_stream
+
+    rows = run_available_now(
+        funnel_stream(read_events_stream(spark, sf_dir)),
+        "funnel_t",
+        output_mode="update",
+    )
+    got = Counter(r["steps_reached"] for r in rows)
+    want = {
+        r["steps_reached"]: r["users"]
+        for r in all_plans()["events_funnel_steps"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert dict(got) == want
+    assert want.get(3, 0) > 0  # non-vacuous: full conversions exist
+
+
+def test_funnel_stream_multibatch_time_sliced(spark, tmp_path):
+    """Three event-time-ordered micro-batches (maxFilesPerTrigger=1
+    over time-sliced files) must fold to the same final cohorts as one
+    batch — including a funnel whose stages SPAN batch boundaries, a
+    same-instant view+click tie, and a cross-boundary horizon miss."""
+    import datetime as dt
+
+    from collections import Counter
+
+    from github_data_pipeline_spark.streaming.stateful import funnel_stream
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    H = dt.timedelta(hours=24)
+
+    def ev(eid, minutes, user, typ, abs_ts=None):
+        return (
+            eid,
+            abs_ts if abs_ts is not None else base + dt.timedelta(minutes=minutes),
+            user,
+            typ,
+            0.0,
+            "{}",
+        )
+
+    # slice 1: user 1 views (+ same-instant click -> tie must count);
+    #          user 2 views; user 3 clicks (no view yet -> never counts)
+    s1 = [
+        ev(1, 0, 1, "view"),
+        ev(2, 0, 1, "click", abs_ts=base),  # same instant as the view
+        ev(3, 10, 2, "view"),
+        ev(4, 20, 3, "click"),
+    ]
+    # slice 2 (starts after slice 1): user 1 purchases in-horizon;
+    #          user 2 clicks in-horizon; user 3 views
+    s2 = [
+        ev(5, 60, 1, "purchase"),
+        ev(6, 90, 2, "click"),
+        ev(7, 100, 3, "view"),
+    ]
+    # slice 3: user 2 purchase EXACTLY at t2+H (counts);
+    #          user 3 click one microsecond past t1+H (does not)
+    s3 = [
+        ev(8, 0, 2, "purchase", abs_ts=base + dt.timedelta(minutes=90) + H),
+        ev(
+            9,
+            0,
+            3,
+            "click",
+            abs_ts=base + dt.timedelta(minutes=100, microseconds=1) + H,
+        ),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = tmp_path / "events.parquet"
+    # one file per time slice; lexicographic file order == event-time
+    # order so maxFilesPerTrigger=1 yields ordered micro-batches
+    # sequential writes -> strictly increasing file modification times,
+    # which is the file source's processing order
+    for rows in (s1, s2, s3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_available_now(
+        funnel_stream(stream), "funnel_mb_t", output_mode="update"
+    )
+    # update mode emits one row per user per micro-batch it appears in;
+    # more rows than users proves the state actually folded across
+    # multiple micro-batches rather than collapsing into one
+    assert len(out) > 3
+    # the LAST row per user is the final state
+    last = {}
+    for r in out:
+        last[r["user_id"]] = r["steps_reached"]
+    assert last == {1: 3, 2: 3, 3: 1}
