@@ -1,0 +1,99 @@
+"""Physical data layout for scale: partitioned writes, partition-
+pruning reads, and small-file compaction.
+
+At 100 TB the dominant scan cost is decided before any query runs, by
+how the data lands on disk:
+
+* **Partitioned layout** — ``partitionBy`` on a derived date column
+  turns every time-bounded query into a directory prune: Spark's file
+  index skips non-matching partitions entirely (visible as
+  ``PartitionFilters`` in the scan node), so a one-day query over a
+  year of data reads ~1/365th of the files. The partition column must
+  be LOW cardinality (days, not timestamps) or the directory tree
+  itself becomes the bottleneck.
+* **Compaction** — streaming/incremental sinks accumulate many small
+  files; each file costs a task, a footer read, and an open() on the
+  object store. Periodic compaction rewrites a directory to
+  ~target-sized files. The rewrite is one shuffle-free coalesce when
+  shrinking file count; correctness is row-identical by construction.
+
+Pinned by tests/test_layout.py: pruning proof (plan shows
+PartitionFilters + pruned file count, results equal the unpartitioned
+filter), compaction row-identity + file-count reduction.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_events_partitioned(events: DataFrame, out_dir: str) -> None:
+    """Land events Hive-partitioned by event day (``dt=YYYY-MM-DD``).
+
+    The partition value is DERIVED (date-truncated), kept alongside
+    the full-fidelity ``ts`` column — queries filter on ``dt`` for the
+    prune and on ``ts`` for the precise bound, the standard lakehouse
+    time-partitioning pattern.
+    """
+    (
+        events.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(out_dir)
+    )
+
+
+def read_events_day(
+    spark: SparkSession, part_dir: str, day: str
+) -> DataFrame:
+    """One-day slice of a partitioned events directory.
+
+    The ``dt`` equality is a pure partition predicate — it prunes at
+    the file-index level and never reaches row groups; a 100 TB/year
+    table answers this from one day's files.
+    """
+    return spark.read.parquet(part_dir).filter(F.col("dt") == day)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory to ~``target_file_bytes`` files;
+    returns the new file count.
+
+    File count is sized from the CURRENT on-disk bytes (cheap listing,
+    no data job). The rewrite goes through a temp directory + atomic
+    rename so a failed compaction never destroys the input. Coalesce,
+    not repartition: shrinking file count needs no shuffle.
+    """
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ] or [
+        f
+        for f in glob.glob(os.path.join(path, "part-*"), recursive=False)
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, -(-total // target_file_bytes))  # ceil
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    bak = path.rstrip("/") + ".__compact_old__"
+    spark.read.parquet(path).coalesce(int(n)).write.mode("overwrite").parquet(
+        tmp
+    )
+    # commit: swap directories (rename is atomic per directory on a
+    # POSIX fs; on an object store this step is the table-format
+    # commit — Delta/Iceberg do it with a metadata pointer instead)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(bak)
+    return int(n)

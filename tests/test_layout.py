@@ -1,0 +1,73 @@
+"""Physical-layout operators (sources/layout.py): partition pruning
+actually prunes (plan + file count), compaction is row-identical."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from github_data_pipeline_spark.sources.layout import (
+    compact_parquet,
+    read_events_day,
+    write_events_partitioned,
+)
+from github_data_pipeline_spark.sources.tables import load_table
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_part")
+    write_events_partitioned(events, out)
+
+    days = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(out)
+        if d.startswith("dt=")
+    )
+    assert len(days) > 1  # fixture spans multiple days
+    day = days[len(days) // 2]
+
+    sliced = read_events_day(spark, out, day)
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    # the dt predicate must appear as a partition filter on the scan,
+    # NOT as a post-scan row filter
+    assert "PartitionFilters" in plan and "dt" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+    # the prune is physical: only the one day's files are read
+    day_files = glob.glob(os.path.join(out, f"dt={day}", "*.parquet"))
+    all_files = glob.glob(os.path.join(out, "dt=*", "*.parquet"))
+    assert 0 < len(day_files) < len(all_files)
+    n_scanned = sliced.rdd.getNumPartitions()
+    assert n_scanned <= len(day_files) + 1
+
+    # results equal the unpartitioned filter on the same day
+    want = events.filter(
+        F.date_format("ts", "yyyy-MM-dd") == day
+    ).count()
+    assert sliced.count() == want > 0
+
+
+def test_compaction_row_identical(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").limit(200)
+    path = str(tmp_path / "many_small")
+    # land 20 tiny files
+    events.repartition(20).write.parquet(path)
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert before >= 15  # some partitions may be empty-file-skipped
+
+    rows_before = {
+        r["event_id"] for r in spark.read.parquet(path).collect()
+    }
+    n = compact_parquet(spark, path, target_file_bytes=1024 * 1024)
+    after = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert n == 1 and after == 1  # tiny data -> one target file
+    rows_after = {
+        r["event_id"] for r in spark.read.parquet(path).collect()
+    }
+    assert rows_after == rows_before
+    assert not os.path.exists(path + ".__compact_tmp__")
+    assert not os.path.exists(path + ".__compact_old__")
