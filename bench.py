@@ -173,6 +173,9 @@ def _record_deltas(timings: dict[str, float], total: float) -> None:
             "removed_queries": sorted(set(prev_q) - set(timings)),
             "regressed": regressed,
             "deltas": deltas,
+            # full map too: the driver artifact stores only a tail
+            # buffer, so this line is the durable per-query record
+            "timings": timings,
         }
         with open(os.path.join(here, "PROGRESS.jsonl"), "a") as f:
             f.write(json.dumps(entry) + "\n")

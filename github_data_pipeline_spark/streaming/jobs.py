@@ -318,3 +318,32 @@ def run_available_now(
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def enriched_rollup_stream(
+    events: DataFrame, customers: DataFrame
+) -> DataFrame:
+    """Stream-static broadcast enrichment: the event stream joined to a
+    static customer dimension (user_id -> nation), rolled up per
+    nation — the canonical streaming fact-dim pattern.
+
+    The static side is re-planned per micro-batch (so a dimension
+    refresh lands without restarting the query) and BROADCAST: no
+    stream-side shuffle for the join, state exists only in the
+    aggregation. Left join keeps events for unknown users (nation
+    NULL) — a dropped-row enrichment is a silent data loss at scale.
+    Parity with the identical batch plan is pinned in
+    tests/test_streaming_incremental.py.
+    """
+    dims = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+    )
+    return (
+        events.join(F.broadcast(dims), "user_id", "left")
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+    )
