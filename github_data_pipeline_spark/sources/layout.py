@@ -97,3 +97,26 @@ def compact_parquet(
 
     shutil.rmtree(bak)
     return int(n)
+
+
+def write_events_clustered(events: DataFrame, out_dir: str, files: int) -> None:
+    """Range-cluster events by ``ts`` into ``files`` files with
+    non-overlapping time ranges (repartitionByRange + in-partition
+    sort).
+
+    Partitioning prunes directories; CLUSTERING prunes inside them:
+    with each file covering a disjoint ts range, the parquet footer
+    min/max statistics let any engine (Spark row-group skipping,
+    DuckDB zone maps, object-store readers) discard whole files for a
+    time-bounded predicate — the poor man's Z-order for a 1-D key,
+    and the right layout for append-mostly event tables. The proof in
+    tests/test_layout.py checks the on-disk property itself: per-file
+    ts ranges are pairwise disjoint, so skipping is guaranteed for
+    every reader, not just one engine's plan.
+    """
+    (
+        events.repartitionByRange(files, F.col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

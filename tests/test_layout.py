@@ -71,3 +71,34 @@ def test_compaction_row_identical(spark, sf_dir, tmp_path):
     assert rows_after == rows_before
     assert not os.path.exists(path + ".__compact_tmp__")
     assert not os.path.exists(path + ".__compact_old__")
+
+
+def test_clustered_write_disjoint_ranges(spark, sf_dir, tmp_path):
+    """Range clustering must yield pairwise-disjoint per-file ts
+    ranges (the footer-stats property every engine's file skipping
+    relies on), and lose no rows."""
+    import duckdb
+
+    from github_data_pipeline_spark.sources.layout import (
+        write_events_clustered,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_clustered")
+    write_events_clustered(events, out, files=8)
+
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert len(files) == 8
+    con = duckdb.connect()
+    spans = [
+        con.execute(
+            f"SELECT MIN(ts), MAX(ts), COUNT(*) FROM '{f}'"
+        ).fetchone()
+        for f in files
+    ]
+    con.close()
+    spans = [s for s in spans if s[2] > 0]
+    spans.sort()
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file time ranges overlap — no skipping"
+    assert sum(s[2] for s in spans) == events.count()
