@@ -299,5 +299,10 @@ def all_plans() -> Registry:
     REGISTRY.demote("events_type_pivot")
     REGISTRY.demote("events_gap_fill_hourly")
     REGISTRY.demote("doc_quality_by_source")
+    # round-6 NEW query registered inside the window-group
+    # repetition_plans module: park it in the tail with the other r6
+    # additions (rotation candidate for round 7) so it does not push a
+    # this-round rotation target past the verdict window.
+    REGISTRY.demote("doc_gates_unpivot_long")
 
     return REGISTRY

@@ -210,3 +210,40 @@ def doc_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w_total").alias("words"),
         F.sum("w_top").alias("top_word_hits"),
     )
+
+
+_GATE_METRICS = (
+    "docs",
+    "pass_top_word",
+    "pass_top_bigram",
+    "pass_dup_trigram",
+    "pass_all",
+    "words",
+    "top_word_hits",
+)
+
+
+@REGISTRY.add(
+    "doc_gates_unpivot_long",
+    f"""
+    WITH gates AS ({_ORACLE})
+    SELECT source, metric, CAST(value AS BIGINT) AS value
+    FROM (UNPIVOT gates ON {", ".join(_GATE_METRICS)}
+          INTO NAME metric VALUE value)
+    """,
+    doc="Wide-to-long reshape (UNPIVOT/melt — the inverse of the "
+    "events_type_pivot conditional-aggregation pivot): the per-source "
+    "repetition-gate report unpivoted to (source, metric, value) "
+    "rows, the shape reporting/metric stores ingest. Spark side uses "
+    "the native DataFrame.unpivot (Catalyst Expand node: one "
+    "projection per metric over the 20-row aggregate — trivially "
+    "cheap because the reshape happens AFTER aggregation; unpivoting "
+    "before aggregating would multiply the scan by the metric count, "
+    "the classic melt-too-early mistake).",
+    tags=("text", "reshape"),
+)
+def doc_gates_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = doc_repetition_gates(spark, sf_dir)
+    return wide.unpivot(
+        ["source"], list(_GATE_METRICS), "metric", "value"
+    ).select("source", "metric", F.col("value").cast("long").alias("value"))

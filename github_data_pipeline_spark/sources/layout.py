@@ -81,6 +81,8 @@ def compact_parquet(
         for f in glob.glob(os.path.join(path, "part-*"), recursive=False)
         if os.path.isfile(f)
     ]
+    if not files:
+        return 0  # nothing to compact; never run a job on an empty dir
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, -(-total // target_file_bytes))  # ceil
     tmp = path.rstrip("/") + ".__compact_tmp__"
