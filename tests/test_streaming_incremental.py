@@ -500,3 +500,67 @@ def test_funnel_stream_checkpoint_recovery(spark, tmp_path):
     assert (7, 2) in finals[min(finals)]
     assert (7, 3) in finals[max(finals)]
     assert len(finals) >= 2
+
+
+def test_watermark_drops_too_late_data(spark, tmp_path):
+    """The watermark contract as Spark actually guarantees it (append
+    mode): a finalized window emits EXACTLY ONCE with the rows that
+    arrived before its state was evicted; a late row arriving AFTER
+    eviction is dropped and can never cause a second emission.
+
+    (A late row arriving in the same batch that finalizes its window
+    may still merge — the drop guarantee is post-eviction, which is
+    why this test lands the late event one batch later.)"""
+    import datetime as dt
+
+    from github_data_pipeline_spark.streaming.jobs import (
+        hourly_rollup_stream,
+    )
+
+    day = dt.datetime(2024, 3, 1)
+
+    def ev(eid, hh, mm):
+        return (
+            eid,
+            day + dt.timedelta(hours=hh, minutes=mm),
+            1,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = tmp_path / "late_events"
+    slices = (
+        # slice 1: two events in the 10:00 window; 12:00 pushes the
+        # watermark to 11:30 at batch end
+        [ev(1, 10, 0), ev(2, 10, 5), ev(3, 12, 0)],
+        # slice 2: on-time events only; during this batch the 10:00
+        # window (end 11:00 < watermark 11:30) finalizes, emits, and
+        # its state is evicted
+        [ev(5, 11, 45), ev(6, 12, 5)],
+        # slice 3: the 10:10 straggler arrives AFTER eviction -> must
+        # be dropped, never re-emitting the 10:00 window
+        [ev(4, 10, 10), ev(7, 12, 10)],
+    )
+    for rows in slices:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_available_now(
+        hourly_rollup_stream(stream), "late_t", output_mode="append"
+    )
+    emitted = [(r["hour_start"], r["events"]) for r in out]
+    # exactly one emission of the finalized window, without the
+    # post-eviction straggler; the still-open 11:00/12:00 windows
+    # correctly emit nothing in this run
+    assert emitted == [("2024-03-01T10:00:00Z", 2)]
