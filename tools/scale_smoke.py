@@ -88,6 +88,11 @@ TARGETS = (
     # per-group sort state — the growth of that buffer IS the reason
     # kmv_sketch_stats exists; measure it, don't assert it
     "doc_length_percentiles",
+    # round-6 classifier family: the linear gate is map-only (should
+    # stay sub-linear); typicality's DF table is charset-bounded so
+    # its broadcast must NOT grow with the corpus
+    "doc_quality_linear_gate",
+    "doc_char_trigram_typicality",
 )
 
 # the dedup family is what a hot band stresses; decontam rides along
