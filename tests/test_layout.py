@@ -102,3 +102,67 @@ def test_clustered_write_disjoint_ranges(spark, sf_dir, tmp_path):
     for (lo1, hi1, _), (lo2, hi2, _) in zip(spans, spans[1:]):
         assert hi1 <= lo2, "file time ranges overlap — no skipping"
     assert sum(s[2] for s in spans) == events.count()
+
+
+def test_zorder_prunes_on_both_dims(spark, sf_dir, tmp_path):
+    """Z-order vs 1-D ts clustering, measured as FILES A PREDICATE
+    MUST READ (the statistic footer pruning actually uses). Total box
+    area is ~1/files in any layout — what Z-order changes is the
+    per-dimension extent: 1-D ts clustering answers a ts predicate
+    from ~1 file but a user predicate from ALL files; the Z-curve
+    answers BOTH from a small fraction. No rows may be lost."""
+    import duckdb
+
+    from github_data_pipeline_spark.sources.layout import (
+        write_events_clustered,
+        write_events_zordered,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n_files = 16
+    one_d = str(tmp_path / "ts_clustered")
+    z_d = str(tmp_path / "zordered")
+    write_events_clustered(events, one_d, files=n_files)
+    write_events_zordered(events, z_d, files=n_files)
+
+    con = duckdb.connect()
+
+    def boxes(path):
+        rows = [
+            con.execute(
+                f"SELECT MIN(user_id), MAX(user_id), "
+                f"MIN(epoch(ts)), MAX(epoch(ts)), COUNT(*) FROM '{f}'"
+            ).fetchone()
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        ]
+        return [r for r in rows if r[4] > 0]
+
+    b1, bz = boxes(one_d), boxes(z_d)
+    con.close()
+    total = events.count()
+    assert sum(r[4] for r in b1) == sum(r[4] for r in bz) == total
+
+    users = [r["user_id"] for r in events.select("user_id").distinct().limit(8).collect()]
+    t_lo = min(r[2] for r in b1)
+    t_hi = max(r[3] for r in b1)
+    t_probes = [t_lo + (t_hi - t_lo) * k // 8 for k in range(1, 8)]
+
+    def files_for_user(bs, u):
+        return sum(1 for r in bs if r[0] <= u <= r[1])
+
+    def files_for_ts(bs, t):
+        return sum(1 for r in bs if r[2] <= t <= r[3])
+
+    user_1d = sum(files_for_user(b1, u) for u in users) / len(users)
+    user_z = sum(files_for_user(bz, u) for u in users) / len(users)
+    ts_1d = sum(files_for_ts(b1, t) for t in t_probes) / len(t_probes)
+    ts_z = sum(files_for_ts(bz, t) for t in t_probes) / len(t_probes)
+
+    # 1-D: every file's user range is full-width -> all 16 files
+    assert user_1d == len(b1)
+    # Z: a user predicate prunes to a fraction of the files
+    assert user_z <= 0.5 * user_1d, (user_z, user_1d)
+    # Z still prunes on ts too (worse than 1-D's ~1 file, but far
+    # better than reading everything)
+    assert ts_1d <= 2
+    assert ts_z <= 0.5 * len(bz), (ts_z, ts_1d)
