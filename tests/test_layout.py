@@ -166,3 +166,30 @@ def test_zorder_prunes_on_both_dims(spark, sf_dir, tmp_path):
     # better than reading everything)
     assert ts_1d <= 2
     assert ts_z <= 0.5 * len(bz), (ts_z, ts_1d)
+
+
+def test_morton_key_matches_python_reference(spark):
+    """The Catalyst bit-interleave equals the plain-Python Morton
+    code on edge values (0, max, alternating bit patterns)."""
+    from github_data_pipeline_spark.sources.layout import (
+        _interleave_bits_expr,
+    )
+
+    def py_morton(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [0, 1, 2, 3, 0x5555, 0xAAAA, 0x7FFF, 0x8000, 0xFFFF, 12345]
+    rows = [(a, b) for a in vals for b in vals]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = [
+        r["z"]
+        for r in df.select(
+            _interleave_bits_expr(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    ]
+    want = [py_morton(a, b) for a, b in rows]
+    assert got == want
