@@ -47,7 +47,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
-def build(spark, sf_dir: str, out: str, n_shards: int) -> dict:
+def _both_endpoints_in(pairs, docs):
+    """Pair edges restricted to the given doc set (both endpoints)."""
+    from pyspark.sql import functions as F
+
+    ids = docs.select(F.col("doc_id"))
+    return (
+        pairs.join(
+            F.broadcast(ids.withColumnRenamed("doc_id", "doc_a")),
+            "doc_a",
+            "left_semi",
+        ).join(
+            F.broadcast(ids.withColumnRenamed("doc_id", "doc_b")),
+            "doc_b",
+            "left_semi",
+        )
+    )
+
+
+def build(spark, sf_dir: str, out: str, n_shards: int, doc_filter=None) -> dict:
     from pyspark.sql import functions as F
 
     from github_data_pipeline_spark.curation import curate, funnel_report
@@ -71,6 +89,8 @@ def build(spark, sf_dir: str, out: str, n_shards: int) -> dict:
 
     os.makedirs(out, exist_ok=True)
     docs = spread(load_table(spark, sf_dir, "documents"))
+    if doc_filter is not None:
+        docs = docs.filter(doc_filter)
 
     # 1. curation funnel (the benchmark holdout never enters the corpus)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
@@ -87,8 +107,14 @@ def build(spark, sf_dir: str, out: str, n_shards: int) -> dict:
     with open(os.path.join(out, "funnel.json"), "w") as f:
         json.dump(funnel, f, indent=1)
 
-    # 3. leakage-safe splits over the persisted pair artifact
-    pairs = verified_pair_artifact(spark, sf_dir)
+    # 3. leakage-safe splits over the persisted pair artifact,
+    # restricted to edges between SURVIVING docs (an edge to a
+    # funnel-dropped doc must not drive a cluster key, and the
+    # restriction is what makes the incremental path's edge algebra
+    # exact: base edges ∪ new-touching edges == full edges)
+    pairs = _both_endpoints_in(
+        verified_pair_artifact(spark, sf_dir), cleaned
+    )
     split_docs = assign_leakage_safe_splits(
         cleaned, pairs, SPLIT_FRACTIONS
     ).localCheckpoint()
@@ -136,6 +162,201 @@ def build(spark, sf_dir: str, out: str, n_shards: int) -> dict:
         "packed_tokens": int(pack_stats["tokens"]),
         "manifest_docs": int(manifest_docs),
         "manifest_covers_train": int(manifest_docs) == n_train,
+        "n_shards": n_shards,
+    }
+    with open(os.path.join(out, "build_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    return report
+
+
+def incremental_update(spark, sf_dir: str, out: str, new_pred) -> dict:
+    """Fold a new ingest batch into an EXISTING build at ``out``.
+
+    ``new_pred`` is the Column predicate selecting the batch's docs in
+    the documents table. Work is proportional to the batch everywhere
+    the math allows:
+
+    * the curation funnel runs on the NEW docs only (it is per-doc);
+    * split maintenance goes through ``operators/splits.update_splits``
+      — new edges collapsed through the old manifest, components over
+      the batch-sized collapsed graph (incremental==full proven in
+      tests/test_splits.py; the driver-level equivalence is re-proven
+      end-to-end in tests/test_databuild_e2e.py);
+    * shards APPEND only the new train docs (order keys are
+      per-doc-deterministic, so placement never depends on history);
+    * the manifest is MERGEABLE by construction (sums + min/max), so
+      the new manifest is old ⊎ delta — no full re-aggregation.
+
+    One case forces a partial rebuild: a new edge merging two OLD
+    clusters can re-key survivors OUT of train (the no-leakage
+    invariant demands it). Those docs are detected and the shard
+    store is rewritten only then (reported as ``shards_rebuilt``).
+
+    New-batch near-dup edges come from the corpus pair artifact here;
+    in a live pipeline the incremental LSH index
+    (operators/neardup.py maintenance path) produces exactly this
+    edge set without re-scanning history.
+    """
+    from pyspark.sql import functions as F
+
+    from github_data_pipeline_spark.curation import (
+        clean_stage,
+        language_stage,
+        neardup_drop_stage,
+        quality_stage,
+        repetition_stage,
+    )
+    from github_data_pipeline_spark.operators.decontam import decontaminate
+    from github_data_pipeline_spark.operators.packing import pack_sequences
+    from github_data_pipeline_spark.operators.sharding import (
+        assign_shards,
+        shard_manifest,
+        write_shards,
+    )
+    from github_data_pipeline_spark.operators.splits import update_splits
+    from github_data_pipeline_spark.plans.curation_plans import (
+        DECONTAM_MIN_HITS,
+    )
+    from github_data_pipeline_spark.plans.dedup_plans import (
+        verified_pair_artifact,
+    )
+    from github_data_pipeline_spark.sources.tables import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # materialize BEFORE anything overwrites the directories being
+    # read (splits/ and manifest.parquet are both rewritten below;
+    # a lazy read evaluated after the overwrite hits deleted files)
+    old_assigned = spark.read.parquet(
+        os.path.join(out, "splits")
+    ).localCheckpoint()
+    prev_docs = old_assigned.drop("cluster_key", "split", "naive_split")
+
+    # per-doc gates run on the batch ONLY (they are pointwise); the
+    # near-dup drop must see old+new together — a new doc duplicating
+    # an old survivor has to lose to it (monotone ids keep the old
+    # keeper stable), and a new-new cluster keeps one member
+    new_raw = docs.filter(new_pred)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    new_corpus = new_raw.filter(F.col("doc_id") % 97 != 0)
+    new_gated = repetition_stage(
+        quality_stage(language_stage(clean_stage(new_corpus)))
+    )
+    union = prev_docs.unionByName(new_gated.select(*prev_docs.columns))
+    deduped = neardup_drop_stage(union).localCheckpoint()
+    # decontam runs after dedup, mirroring build()'s stage order. Two
+    # screens: new docs against the FULL benchmark, and — the part a
+    # naive incremental forgets — OLD survivors against the NEW
+    # benchmark slice (the eval set grew with this batch; a doc that
+    # was clean yesterday can be contaminated against today's
+    # benchmark). The new-benchmark side is tiny and broadcasts, so
+    # the re-screen costs one pass over the survivors' shingles.
+    new_dedup = deduped.join(
+        F.broadcast(new_gated.select("doc_id")), "doc_id", "left_semi"
+    )
+    prev_dedup = deduped.join(
+        F.broadcast(new_gated.select("doc_id")), "doc_id", "left_anti"
+    )
+    new_clean = decontaminate(
+        new_dedup, benchmark, n=3, min_hits=DECONTAM_MIN_HITS
+    ).localCheckpoint()
+    new_benchmark = new_raw.filter(F.col("doc_id") % 97 == 0)
+    prev_screened = decontaminate(
+        prev_dedup, new_benchmark, n=3, min_hits=DECONTAM_MIN_HITS
+    )
+    all_docs = prev_screened.unionByName(new_clean)
+    # edges touching the batch, endpoints restricted to survivors
+    all_pairs = _both_endpoints_in(
+        verified_pair_artifact(spark, sf_dir), all_docs
+    )
+    new_ids = new_clean.select("doc_id")
+    new_pairs = all_pairs.join(
+        F.broadcast(
+            new_ids.withColumnRenamed("doc_id", "doc_a")
+        ),
+        "doc_a",
+        "left_semi",
+    ).unionByName(
+        all_pairs.join(
+            F.broadcast(new_ids.withColumnRenamed("doc_id", "doc_b")),
+            "doc_b",
+            "left_semi",
+        )
+    ).distinct()
+
+    updated = update_splits(
+        old_assigned.select(*all_docs.columns, "cluster_key"),
+        all_docs,
+        new_pairs,
+        SPLIT_FRACTIONS,
+    ).localCheckpoint()
+    (
+        updated.write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(os.path.join(out, "splits"))
+    )
+
+    train = updated.filter(F.col("split") == "train")
+    n_shards = len(
+        spark.read.parquet(os.path.join(out, "manifest.parquet")).collect()
+    )
+    # docs whose re-keying moved them OUT of train: the append-only
+    # shard path cannot express a removal
+    old_train_ids = old_assigned.filter(
+        F.col("split") == "train"
+    ).select("doc_id")
+    moved_out = old_train_ids.join(
+        train.select("doc_id"), "doc_id", "left_anti"
+    ).count()
+    if moved_out:
+        write_shards(train, os.path.join(out, "shards"), n_shards)
+        manifest = shard_manifest(assign_shards(train, n_shards))
+        rebuilt = True
+    else:
+        new_train = train.join(
+            F.broadcast(new_ids), "doc_id", "left_semi"
+        )
+        assigned_new = assign_shards(new_train, n_shards)
+        (
+            assigned_new.repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "order_key")
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(os.path.join(out, "shards"))
+        )
+        # mergeable manifest: old ⊎ delta
+        old_manifest = spark.read.parquet(
+            os.path.join(out, "manifest.parquet")
+        ).localCheckpoint()
+        delta = shard_manifest(assigned_new)
+        manifest = (
+            old_manifest.unionByName(delta)
+            .groupBy("shard")
+            .agg(
+                F.sum("docs").alias("docs"),
+                F.sum("chars").alias("chars"),
+                F.min("first_key").alias("first_key"),
+                F.max("last_key").alias("last_key"),
+                F.sum("content_checksum").alias("content_checksum"),
+            )
+            .orderBy("shard")
+        )
+        rebuilt = False
+    manifest = manifest.localCheckpoint()
+    manifest.write.mode("overwrite").parquet(
+        os.path.join(out, "manifest.parquet")
+    )
+
+    packs = pack_sequences(train, budget=512)
+    packs.write.mode("overwrite").parquet(os.path.join(out, "packs.parquet"))
+
+    n_final = updated.count()
+    report = {
+        "sf_dir": sf_dir,
+        "final_docs": n_final,
+        "new_docs_ingested": new_clean.count(),
+        "train_docs": train.count(),
+        "moved_out_of_train": moved_out,
+        "shards_rebuilt": rebuilt,
         "n_shards": n_shards,
     }
     with open(os.path.join(out, "build_report.json"), "w") as f:

@@ -106,3 +106,96 @@ def test_shards_match_manifest_and_are_deterministic(
         ).collect()
     }
     assert again == got
+
+
+def test_incremental_build_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Driver-level incremental==full: build on the first 80% of doc
+    ids, fold in the last 20% with incremental_update, and compare
+    against a one-shot build over everything — final split table and
+    shard manifest must be IDENTICAL (monotone ingest ids, so old
+    near-dup keepers stay stable)."""
+    from run_databuild import build, incremental_update
+
+    T = 400  # first 80% of the 0-499 id space is the base corpus
+
+    full_out = str(tmp_path / "full")
+    build(spark, sf_dir, full_out, n_shards=4)
+
+    inc_out = str(tmp_path / "inc")
+    build(spark, sf_dir, inc_out, n_shards=4, doc_filter=F.col("doc_id") < T)
+    report = incremental_update(
+        spark, sf_dir, inc_out, F.col("doc_id") >= T
+    )
+    assert report["new_docs_ingested"] > 0
+
+    def splits_set(out):
+        return {
+            (r["doc_id"], r["cluster_key"], r["split"])
+            for r in spark.read.parquet(os.path.join(out, "splits")).collect()
+        }
+
+    assert splits_set(inc_out) == splits_set(full_out)
+
+    def manifest_set(out):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(out, "manifest.parquet")
+            ).collect()
+        }
+
+    assert manifest_set(inc_out) == manifest_set(full_out)
+    # the shard FILES must agree with the merged manifest too
+    shards = spark.read.parquet(os.path.join(inc_out, "shards"))
+    content32 = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    re_derived = {
+        (r["shard"], r["docs"], r["content_checksum"])
+        for r in shards.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(content32).alias("content_checksum"),
+        )
+        .collect()
+    }
+    want = {
+        (r["shard"], r["docs"], r["content_checksum"])
+        for r in spark.read.parquet(
+            os.path.join(inc_out, "manifest.parquet")
+        ).collect()
+    }
+    assert re_derived == want
+
+
+def test_incremental_append_path_merges_manifest(spark, sf_dir, tmp_path):
+    """A batch that changes no old doc (no new benchmark slice, no
+    cross-batch keeper change) must take the cheap path: shards
+    APPENDED (not rebuilt) and the manifest produced by the mergeable
+    old ⊎ delta aggregation — still identical to the full rebuild."""
+    from run_databuild import build, incremental_update
+
+    # ids 486-499: past the last benchmark id (485) and touching no
+    # verified near-dup pair, so nothing old moves
+    T = 486
+    inc_out = str(tmp_path / "inc")
+    build(spark, sf_dir, inc_out, n_shards=4, doc_filter=F.col("doc_id") < T)
+    report = incremental_update(
+        spark, sf_dir, inc_out, F.col("doc_id") >= T
+    )
+    assert report["moved_out_of_train"] == 0
+    assert report["shards_rebuilt"] is False
+    assert report["new_docs_ingested"] > 0
+
+    full_out = str(tmp_path / "full")
+    build(spark, sf_dir, full_out, n_shards=4)
+
+    def manifest_set(out):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(out, "manifest.parquet")
+            ).collect()
+        }
+
+    assert manifest_set(inc_out) == manifest_set(full_out)
