@@ -275,6 +275,32 @@ def _drain_attribution(spark, sf_dir: str) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _drain_funnel(spark, sf_dir: str) -> None:
+    """Stateful per-user funnel (applyInPandasWithState) drained
+    availableNow: state cardinality == distinct users, the number
+    streamscale grows."""
+    from github_data_pipeline_spark.streaming.jobs import read_events_stream
+    from github_data_pipeline_spark.streaming.stateful import funnel_stream
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            funnel_stream(read_events_stream(spark, sf_dir))
+            .writeStream.format("noop")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(1800):
+                raise RuntimeError("funnel drain exceeded 1800s")
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def time_queries(
     spark, sf_dir: str, names: tuple[str, ...], reps: int = 2
 ) -> dict[str, float]:
@@ -287,6 +313,8 @@ def time_queries(
             t0 = time.time()
             if name == "attribution_interval_join":
                 _drain_attribution(spark, sf_dir)
+            elif name == "funnel_stream_drain":
+                _drain_funnel(spark, sf_dir)
             else:
                 registry[name].builder(spark, sf_dir).write.format(
                     "noop"
@@ -359,6 +387,7 @@ def main() -> int:
         "streamscale": STREAM_TARGETS
         + (
             "attribution_interval_join",
+            "funnel_stream_drain",
             "events_range_attribution",
             "events_gap_fill_hourly",
         ),
