@@ -296,8 +296,12 @@ def incremental_update(spark, sf_dir: str, out: str, new_pred) -> dict:
     )
 
     train = updated.filter(F.col("split") == "train")
-    n_shards = len(
-        spark.read.parquet(os.path.join(out, "manifest.parquet")).collect()
+    # max id + 1, not row count: an empty shard has no manifest row
+    n_shards = 1 + max(
+        r["shard"]
+        for r in spark.read.parquet(
+            os.path.join(out, "manifest.parquet")
+        ).collect()
     )
     # docs whose re-keying moved them OUT of train: the append-only
     # shard path cannot express a removal
