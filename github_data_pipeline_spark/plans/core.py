@@ -137,8 +137,10 @@ def all_plans() -> Registry:
     from . import editdist_plans  # noqa: F401
     # round-6 additions (tail, rotation candidates for round 7): the
     # classifier family — linear quality-gate inference and the
-    # CCNet-style trigram-typicality LM proxy
+    # CCNet-style trigram-typicality LM proxy — and hybrid
+    # lexical+vector retrieval with Borda rank fusion
     from . import classifier_plans  # noqa: F401
+    from . import hybrid_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row

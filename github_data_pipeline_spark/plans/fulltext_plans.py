@@ -65,8 +65,14 @@ def bm25_oracle(
     phrase: str | None = None,
     top_k: int = TOP_K,
     mode: str = DEFAULT_MODE,
+    table_sql: str = "documents",
 ) -> str:
-    """DuckDB oracle SQL for ``bm25_scan_topk`` with the same args."""
+    """DuckDB oracle SQL for ``bm25_scan_topk`` with the same args.
+
+    ``table_sql`` swaps the corpus relation (e.g. a subquery
+    restricting to embedded docs — the hybrid-retrieval entry); BM25
+    stats (N, df, Σdl) are then computed over that restriction,
+    matching a Spark side that filters before scoring."""
     terms = query_terms(query, mode)
     # zero analyzed terms (stopword-only query): emit valid SQL that
     # returns no rows, matching the Spark side's score=0 filter
@@ -100,7 +106,7 @@ def bm25_oracle(
         out_cols += ", phrase_hit"
     return f"""
 WITH base AS (
-  SELECT doc_id, {analyze_sql("text", mode)} AS toks FROM documents
+  SELECT doc_id, {analyze_sql("text", mode)} AS toks FROM {table_sql}
 ), per AS (
   SELECT doc_id, {", ".join(per_cols)}
   FROM base

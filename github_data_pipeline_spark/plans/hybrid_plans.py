@@ -1,0 +1,157 @@
+"""Hybrid retrieval: lexical (BM25) + vector (cosine) rank fusion.
+
+The modern RAG-retrieval staple: run a keyword search and a
+nearest-neighbor search over the same corpus and fuse the two ranked
+lists. Fusion here is Borda count — ``(K+1) - rank`` points from each
+list, summed — the integer-exact sibling of reciprocal-rank fusion
+(RRF's 1/(60+rank) sums to engine-dependent floating point; Borda
+keeps every score a BIGINT, so the fused ranking hash-compares
+cell-exact across engines while exercising the identical plan shape).
+
+Corpus = the embedded subset (vec_id == doc_id by testdata
+construction — the docs that went through the embedding pipeline).
+BM25 statistics are computed over that restriction on BOTH engines
+(bm25_oracle's ``table_sql`` hook), so lexical ranks are
+subset-native, not global ranks filtered after the fact.
+
+Scale shape (100 TB): the lexical side is the existing one-pass BM25
+scan (stats by 1-row broadcast attach, top-k TakeOrderedAndProject);
+the vector side broadcasts the single query vector through the
+existing dot-product expression; fusion joins two ≤K-row lists —
+driver-free and shuffle-trivial no matter the corpus size. Swapping
+the brute vector scan for the IVF/LSH bucket probe (ann_lsh_plans)
+changes no fusion code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..operators.fulltext import bm25_scan_topk
+from ..sources.tables import load_table, spread
+from .core import REGISTRY
+from .fulltext_plans import QUERY, bm25_oracle
+from .similarity_plans import _duck_cos
+
+K_LIST = 20  # depth of each ranked list entering the fusion
+TOP_FUSED = 10
+QUERY_VEC_ID = 0  # the fixed query vector (excluded from results)
+
+_EMBEDDED_DOCS = (
+    "(SELECT d.* FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id"
+    f" WHERE d.doc_id <> {QUERY_VEC_ID})"
+)
+
+_ORACLE = f"""
+WITH lexall AS (
+  {bm25_oracle(QUERY, top_k=K_LIST, table_sql=_EMBEDDED_DOCS)}
+), lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+  FROM lexall
+), vecall AS (
+  SELECT c.vec_id AS doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY {_duck_cos('q', 'c')} DESC, c.vec_id ASC
+         ) AS vec_rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id = {QUERY_VEC_ID}
+), vec AS (
+  SELECT doc_id, vec_rank FROM vecall WHERE vec_rank <= {K_LIST}
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+       CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+       CAST(CASE WHEN l.lex_rank IS NULL THEN 0
+                 ELSE {K_LIST + 1} - l.lex_rank END
+          + CASE WHEN v.vec_rank IS NULL THEN 0
+                 ELSE {K_LIST + 1} - v.vec_rank END AS BIGINT)
+         AS fused_score
+FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+ORDER BY fused_score DESC, doc_id ASC
+LIMIT {TOP_FUSED}
+"""
+
+
+@REGISTRY.add(
+    "doc_hybrid_retrieval",
+    _ORACLE,
+    doc="Hybrid lexical+vector retrieval with Borda rank fusion (the "
+    "integer-exact sibling of reciprocal-rank fusion): BM25 top-20 "
+    "over the embedded-doc subset (stats computed over the "
+    "restriction, not filtered global ranks) fused with cosine "
+    "top-20 for a fixed query vector; (K+1)-rank points per list, "
+    "summed as BIGINT, top-10 by fused score with doc_id "
+    "tie-break. Both ranked lists are <=K rows, so the fusion join "
+    "is driver-free and trivially broadcast at any corpus size; the "
+    "brute vector scan swaps for the IVF/LSH bucket probe with no "
+    "fusion change.",
+    tags=("retrieval", "hybrid", "fulltext", "similarity"),
+)
+def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    restricted = docs.join(
+        F.broadcast(
+            emb.select(F.col("vec_id").alias("doc_id")).filter(
+                F.col("doc_id") != QUERY_VEC_ID
+            )
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    lexall = bm25_scan_topk(restricted, QUERY, K_LIST)
+    lex = lexall.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+
+    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            V.cosine(F.col("qvec"), F.col("embedding")).alias("cos"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
+            .alias("vec_rank"),
+        )
+        .filter(F.col("vec_rank") <= K_LIST)
+    )
+
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lex_rank"), F.lit(0))
+            .cast("long")
+            .alias("lex_rank"),
+            F.coalesce(F.col("vec_rank"), F.lit(0))
+            .cast("long")
+            .alias("vec_rank"),
+            (
+                F.when(
+                    F.col("lex_rank").isNull(), F.lit(0)
+                ).otherwise(F.lit(K_LIST + 1) - F.col("lex_rank"))
+                + F.when(
+                    F.col("vec_rank").isNull(), F.lit(0)
+                ).otherwise(F.lit(K_LIST + 1) - F.col("vec_rank"))
+            )
+            .cast("long")
+            .alias("fused_score"),
+        )
+        .orderBy(F.desc("fused_score"), F.asc("doc_id"))
+        .limit(TOP_FUSED)
+    )
+    return fused

@@ -74,6 +74,10 @@ BNLJ_BY_DESIGN = {
     # corpus-size normalizer (1 aggregated row) broadcast onto the
     # per-doc typicality scores
     "doc_char_trigram_typicality": "scalar-stats 1-row broadcast attach",
+    # two 1-row attaches: the BM25 corpus stats (as in the fulltext
+    # entries) and the single query VECTOR broadcast onto the
+    # embedding scan
+    "doc_hybrid_retrieval": "scalar-stats 1-row broadcast attach",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
