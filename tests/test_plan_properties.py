@@ -103,3 +103,37 @@ def test_lsh_verify_stage_broadcasts_candidates(spark, sf_dir):
     # broadcast — never a shuffled join of the full shingle table
     plan = _plan(spark, sf_dir, "minhash_lsh_candidates")
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_gates_gram_stream_never_shuffles(spark, sf_dir):
+    """Round-6 replan guard: the only exchanges are the explicit
+    doc_id repartition and the tiny per-source rollup — the exploded
+    gram stream must not appear on a shuffle boundary, and the
+    repartition must carry an explicit partition count (a bare
+    repartition("doc_id") gets AQE-coalesced to one partition and
+    serializes the heavy per-gram compute)."""
+    plan = _plan(spark, sf_dir, "doc_repetition_gates")
+    assert plan.count("Exchange") == 2
+    assert "REPARTITION_BY_NUM" in plan  # explicit count, not BY_COL
+
+
+def test_typicality_scans_and_broadcast_df(spark, sf_dir):
+    """The trigram DF table must come back as a BROADCAST join (it is
+    charset-bounded), and corpus data is scanned exactly twice plus
+    one footer-only count scan."""
+    plan = _plan(spark, sf_dir, "doc_char_trigram_typicality")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 3
+
+
+def test_hybrid_fusion_lists_stay_tiny(spark, sf_dir):
+    """Hybrid retrieval: the lexical side keeps the one-pass BM25
+    shape (TakeOrderedAndProject top-k). The fusion itself is the
+    ONLY sort-merge join (Spark cannot broadcast a full-outer join)
+    and both its inputs are rank-limited to <=K rows, so the sort is
+    over <=2K rows regardless of corpus size; every corpus-sized join
+    stays broadcast."""
+    plan = _plan(spark, sf_dir, "doc_hybrid_retrieval")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("SortMergeJoin") == 1  # the <=2K-row fusion only
+    assert "FullOuter" in plan
