@@ -141,6 +141,7 @@ def all_plans() -> Registry:
     # lexical+vector retrieval with Borda rank fusion
     from . import classifier_plans  # noqa: F401
     from . import hybrid_plans  # noqa: F401
+    from . import lm_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row
