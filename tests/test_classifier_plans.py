@@ -92,3 +92,47 @@ def test_typicality_score_values(spark):
         spark, "doc_char_trigram_typicality", pdf
     )
     assert got == want == {("s", 3, 1, 2)}
+
+
+# -- property: engine parity under fuzzed corpora --------------------------
+
+import os as _os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+HYPO_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_HYPO_EXAMPLES", "0")) or 10
+
+_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "bz", "the", " ", "  ", "\t", "é", "0"]),
+        max_size=20,
+    ).map("".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_texts)
+@settings(max_examples=HYPO_EXAMPLES, deadline=None)
+def _check_linear_gate_parity(texts):
+    spark = _check_linear_gate_parity.spark
+    pdf = pd.DataFrame(
+        [
+            (i, t, "en", f"s{i % 2}", len(t))
+            for i, t in enumerate(texts)
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got, want = _run_engine_parallel(spark, "doc_quality_linear_gate", pdf)
+    assert got == want
+
+
+def test_linear_gate_parity_property(spark):
+    """Fuzzed engine parity for the fixed-point linear gate: random
+    whitespace-heavy/unicode/empty docs must score identically on
+    Spark and DuckDB (tokenizer edge cases + integral-division
+    parity). Spark fixture rides in on an attribute; @given doesn't
+    mix with pytest fixtures."""
+    _check_linear_gate_parity.spark = spark
+    _check_linear_gate_parity()

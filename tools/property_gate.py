@@ -28,6 +28,9 @@ PROPERTY_TESTS = [
     "tests/test_plan_properties.py",
     # funnel: chained-min-ts construction vs the sequential-scan model
     "tests/test_temporal.py::test_funnel_matches_sequential_model",
+    # classifier gate: fuzzed Spark==DuckDB parity (tokenizer edges +
+    # integral division)
+    "tests/test_classifier_plans.py::test_linear_gate_parity_property",
 ]
 
 
