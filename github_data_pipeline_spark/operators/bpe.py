@@ -224,6 +224,7 @@ def learn_bpe(
     min_freq: int = 2,
     batch_candidates: int = 64,
     stats: dict | None = None,
+    scratch_dir: str | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right, freq), ...].
 
@@ -243,49 +244,56 @@ def learn_bpe(
     ``batch_candidates=1`` degenerates to the classic one-at-a-time
     loop; ``stats["rounds"]`` reports the driver round-trips used.
 
-    .. warning:: **Single-user session assumption.** Training sets
-       session-wide confs for its duration (AQE off, shuffle
-       partitions shrunk to the vocabulary size) and restores them in
-       a ``finally``. Any query running CONCURRENTLY on the same
-       SparkSession executes under these confs; the restore does not
-       protect concurrent use. Run training on a dedicated
-       SparkSession (``SparkSession.newSession()`` shares the
-       SparkContext but isolates ``spark.conf``) if other work shares
-       the JVM — the merge list itself is conf-independent either way.
+    **Session isolation.** The merge loop needs training-specific
+    confs (AQE off — its stage-by-stage materialization turns each
+    sub-second vocabulary query into several driver jobs, measured
+    1.4 s/round at sf0.1 for a 60-row vocab — and shuffle parallelism
+    shrunk to the vocabulary size). Those confs run on a DEDICATED
+    ``spark.newSession()`` (same SparkContext/executors, isolated
+    ``spark.conf``), so queries running concurrently on the caller's
+    session are never affected (pinned by
+    tests/test_bpe.py::test_learn_bpe_never_touches_caller_confs).
+    The word-count corpus scan itself runs on the caller's session
+    under its normal confs; the resulting vocabulary table (tiny:
+    distinct words, not tokens) crosses to the training session
+    through a scratch parquet handoff — which also roots the training
+    lineage at a file instead of the corpus, so per-round cache
+    cycling can never fall back to a corpus rescan.  ``scratch_dir``
+    must be executor-visible storage on a real cluster (defaults to a
+    local tempdir, correct for local[*]).
     """
+    import shutil
+    import tempfile
+
     window = max(1, batch_candidates)
-    vocab = word_counts(docs, text_col).withColumn(
-        "syms", _chars(F.col("word"))
+    spark = docs.sparkSession
+    vocab0 = (
+        word_counts(docs, text_col)
+        .withColumn("syms", _chars(F.col("word")))
+        .select("syms", "count")
     )
-    vocab = vocab.select("syms", "count").cache()
+    scratch = tempfile.mkdtemp(prefix="bpe_vocab_", dir=scratch_dir)
+    vocab_path = f"{scratch}/vocab.parquet"
+    # one corpus scan, caller confs (AQE on is right for the big scan)
+    vocab0.write.mode("overwrite").parquet(vocab_path)
+
+    train = spark.newSession()
+    rounds = 0
+    vocab = train.read.parquet(vocab_path)
+    n_words = vocab.count()
     # Size the per-round parallelism to the VOCABULARY, not the corpus:
     # distinct words are orders of magnitude fewer than tokens, so the
     # per-round aggregations would otherwise burn a full
     # shuffle-partition count of near-empty tasks per merge round —
-    # round latency, not data, dominates training time. The count also
-    # materializes the cache before the loop.
-    n_words = vocab.count()  # materializes the cache: one corpus scan
+    # round latency, not data, dominates training time.
     parts = max(1, min(int(n_words // 200_000) + 1,
                        vocab.rdd.getNumPartitions()))
+    train.conf.set("spark.sql.adaptive.enabled", "false")
+    train.conf.set("spark.sql.shuffle.partitions", str(parts))
     if parts < vocab.rdd.getNumPartitions():
-        compact = vocab.coalesce(parts).cache()
-        compact.count()  # reads the cached partitions, not the corpus
-        vocab.unpersist()
-        vocab = compact
-    # The loop runs dozens of sub-second queries over the (tiny,
-    # cached) vocabulary; AQE's stage-by-stage materialization turns
-    # each into several driver jobs and dominates training latency
-    # (measured 1.4 s/round at sf0.1 for a 60-row vocab). Train with
-    # AQE off and vocabulary-sized shuffle parallelism, restoring the
-    # session conf afterwards — the merge list is conf-independent.
-    spark = docs.sparkSession
-    saved = {
-        k: spark.conf.get(k, None)
-        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
-    }
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    rounds = 0
+        vocab = vocab.coalesce(parts)
+    vocab = vocab.cache()
+    vocab.count()  # materialize from the scratch file
     try:
         merges: list[tuple[str, str, int]] = []
         while len(merges) < n_merges:
@@ -319,10 +327,11 @@ def learn_bpe(
             # materialize the child from the STILL-CACHED parent before
             # dropping it — cache() is lazy, and unpersisting first
             # forces the next round's aggregation to recompute the
-            # whole lineage back to the corpus (one full corpus scan
-            # per merge round; caught by an accumulator probe in
-            # round-5 review). The count is one sub-second job over
-            # the vocabulary-sized, coalesced cache.
+            # lineage back to the scratch file (one re-read + rebuild
+            # per merge round; the corpus-rescan variant of this was
+            # caught by an accumulator probe in round-5 review). The
+            # count is one sub-second job over the vocabulary-sized,
+            # coalesced cache.
             new_vocab.count()
             vocab.unpersist()
             vocab = new_vocab
@@ -330,12 +339,8 @@ def learn_bpe(
     finally:
         if stats is not None:
             stats["rounds"] = rounds
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
         vocab.unpersist()
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 # -- applying learned merges (the corpus-side path) ------------------------

@@ -302,10 +302,42 @@ def all_plans() -> Registry:
     REGISTRY.demote("events_type_pivot")
     REGISTRY.demote("events_gap_fill_hourly")
     REGISTRY.demote("doc_quality_by_source")
-    # round-6 NEW query registered inside the window-group
-    # repetition_plans module: park it in the tail with the other r6
-    # additions (rotation candidate for round 7) so it does not push a
-    # this-round rotation target past the verdict window.
-    REGISTRY.demote("doc_gates_unpivot_long")
+    # round-7 swap: the five round-6 tail entries that have never held
+    # a driver-scored row (doc_quality_linear_gate,
+    # doc_char_trigram_typicality, doc_hybrid_retrieval,
+    # lm_bigram_counts, doc_gates_unpivot_long — cell-exact under the
+    # local checker and CORRECTNESS_TAIL.json, but the driver window is
+    # the hard signal) take window slots this round. Five entries
+    # rotate out, each fully green in CORRECTNESS_r06.json with its
+    # operator class still covered in-window:
+    # - kmeans_cluster_sizes: deterministic Lloyd clustering ≡
+    #   ann_recall's IVF family (same operators/clustering.py
+    #   centroids, stays); centroid fixed-point agg pinned by
+    #   tests/test_clustering.py.
+    # - embedding_quantization_report: map-side vector transform ≡ the
+    #   ann family's functions/vectors.py machinery (ann_lsh_topk +
+    #   ann_recall stay); error bounds pinned by
+    #   tests/test_quantization.py.
+    # - bpe_encoded_profile: BPE encode ≡ bpe_learned_merges (the
+    #   trainer whose merge table feeds the encoder, stays); encode
+    #   parity pinned by tests/test_bpe.py.
+    # - events_funnel_steps: sequential conditional aggregation ≡
+    #   events_range_attribution + stream_user_ledger (stay); the
+    #   batch==stream funnel parity stays pinned by
+    #   tests/test_temporal.py + tests/test_stateful_catalog.py.
+    # - neardup_editdist_pairs: thresholded edit-distance verify over
+    #   routed candidates ≡ minhash_lsh_candidates +
+    #   neardup_cluster_keepers (the routing stays); early-abandon
+    #   levenshtein pinned by tests/test_scd2_editdist.py.
+    # doc_gates_unpivot_long needs no demote gymnastics: its r6 parking
+    # demote is simply dropped, so it sits at its natural
+    # repetition_plans registration slot inside the window.
+    # All five demoted entries stay cell-exact under the local checker
+    # (CORRECTNESS_TAIL.json).
+    REGISTRY.demote("kmeans_cluster_sizes")
+    REGISTRY.demote("embedding_quantization_report")
+    REGISTRY.demote("bpe_encoded_profile")
+    REGISTRY.demote("events_funnel_steps")
+    REGISTRY.demote("neardup_editdist_pairs")
 
     return REGISTRY

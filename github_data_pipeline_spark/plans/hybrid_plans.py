@@ -17,7 +17,9 @@ subset-native, not global ranks filtered after the fact.
 Scale shape (100 TB): the lexical side is the existing one-pass BM25
 scan (stats by 1-row broadcast attach, top-k TakeOrderedAndProject);
 the vector side broadcasts the single query vector through the
-existing dot-product expression; fusion joins two ≤K-row lists —
+existing dot-product expression and pre-limits to K via its own
+TakeOrderedAndProject before ranks are assigned (the rank window
+sorts ≤K rows, never the corpus); fusion joins two ≤K-row lists —
 driver-free and shuffle-trivial no matter the corpus size. Swapping
 the brute vector scan for the IVF/LSH bucket probe (ann_lsh_plans)
 changes no fusion code.
@@ -38,10 +40,22 @@ from .similarity_plans import _duck_cos
 K_LIST = 20  # depth of each ranked list entering the fusion
 TOP_FUSED = 10
 QUERY_VEC_ID = 0  # the fixed query vector (excluded from results)
+# Corpus slice: embedded docs with doc_id % SLICE_MOD == SLICE_REM.
+# The fixture's embeddings are random, so against the FULL 500-doc
+# embedded set the lexical and vector top-20 lists almost never
+# intersect and the Borda both-lists sum branch goes oracle-vacuous.
+# Restricting both lists to this slice (exactly 20 docs at the
+# sf0.001/sf0.01 oracle scales) makes the vector list cover the slice,
+# so EVERY lexical hit lands in both lists — the overlap branch is
+# provably exercised on each oracle run (pinned by
+# tests/test_hybrid.py::test_oracle_slice_overlap_nonvacuous).
+SLICE_MOD = 25
+SLICE_REM = 1
 
 _EMBEDDED_DOCS = (
     "(SELECT d.* FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id"
-    f" WHERE d.doc_id <> {QUERY_VEC_ID})"
+    f" WHERE d.doc_id <> {QUERY_VEC_ID}"
+    f" AND d.doc_id % {SLICE_MOD} = {SLICE_REM})"
 )
 
 _ORACLE = f"""
@@ -58,6 +72,7 @@ WITH lexall AS (
          ) AS vec_rank
   FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
   WHERE q.vec_id = {QUERY_VEC_ID}
+    AND c.vec_id % {SLICE_MOD} = {SLICE_REM}
 ), vec AS (
   SELECT doc_id, vec_rank FROM vecall WHERE vec_rank <= {K_LIST}
 )
@@ -80,14 +95,16 @@ LIMIT {TOP_FUSED}
     _ORACLE,
     doc="Hybrid lexical+vector retrieval with Borda rank fusion (the "
     "integer-exact sibling of reciprocal-rank fusion): BM25 top-20 "
-    "over the embedded-doc subset (stats computed over the "
-    "restriction, not filtered global ranks) fused with cosine "
-    "top-20 for a fixed query vector; (K+1)-rank points per list, "
-    "summed as BIGINT, top-10 by fused score with doc_id "
-    "tie-break. Both ranked lists are <=K rows, so the fusion join "
-    "is driver-free and trivially broadcast at any corpus size; the "
-    "brute vector scan swaps for the IVF/LSH bucket probe with no "
-    "fusion change.",
+    "over an embedded-doc slice (stats computed over the "
+    "restriction, not filtered global ranks; the slice keeps the "
+    "both-lists sum branch oracle-non-vacuous — see SLICE_MOD) "
+    "fused with cosine top-20 for a fixed query vector; (K+1)-rank "
+    "points per list, summed as BIGINT, top-10 by fused score with "
+    "doc_id tie-break. Both sides pre-limit to K via "
+    "TakeOrderedAndProject before ranking, so the rank windows and "
+    "the fusion join all run over <=K rows — driver-free at any "
+    "corpus size; the brute vector scan swaps for the IVF/LSH "
+    "bucket probe with no fusion change.",
     tags=("retrieval", "hybrid", "fulltext", "similarity"),
 )
 def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,7 +114,8 @@ def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted = docs.join(
         F.broadcast(
             emb.select(F.col("vec_id").alias("doc_id")).filter(
-                F.col("doc_id") != QUERY_VEC_ID
+                (F.col("doc_id") != QUERY_VEC_ID)
+                & (F.col("doc_id") % SLICE_MOD == SLICE_REM)
             )
         ),
         "doc_id",
@@ -114,20 +132,29 @@ def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec")
     )
-    vec = (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    # top-K by cosine FIRST (orderBy+limit lowers to
+    # TakeOrderedAndProject — per-partition heaps, no global sort),
+    # so the rank window runs over <=K rows instead of dragging every
+    # embedding into a single unpartitioned-Window task; this mirrors
+    # the lexical side's bm25_scan_topk shape
+    vec_topk = (
+        emb.filter(
+            (F.col("vec_id") != QUERY_VEC_ID)
+            & (F.col("vec_id") % SLICE_MOD == SLICE_REM)
+        )
         .crossJoin(F.broadcast(qvec))
         .select(
             F.col("vec_id").alias("doc_id"),
             V.cosine(F.col("qvec"), F.col("embedding")).alias("cos"),
         )
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
-            .alias("vec_rank"),
-        )
-        .filter(F.col("vec_rank") <= K_LIST)
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(K_LIST)
+    )
+    vec = vec_topk.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
+        .alias("vec_rank"),
     )
 
     fused = (

@@ -104,3 +104,139 @@ def lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(TOP_N)
     )
+
+
+# Interpolated Kneser-Ney with absolute discount D = 3/4 (the
+# Chen-Goodman standard value), all arithmetic integer fixed-point at
+# scale 1e9 so both engines produce bit-identical BIGINTs:
+#
+#   P_KN(w|v) = max(c(v,w) - D, 0)/c(v) + lambda(v) * P_cont(w)
+#   lambda(v) = D * N1+(v,*) / c(v)
+#   P_cont(w) = N1+(*,w) / N1+(*,*)
+#
+# Staged divisions keep every intermediate under 2^63 (a single-
+# denominator rendering would need ~1e20): each stage is the same
+# truncating integer division on both engines (Spark `div` == DuckDB
+# `//` for non-negatives), so parity is exact BY CONSTRUCTION even
+# though the fixed-point value rounds twice.
+KN_SCALE = 1_000_000_000
+KN_D_NUM, KN_D_DEN = 3, 4  # discount D = 0.75
+
+
+@REGISTRY.add(
+    "lm_kn_bigram_probs",
+    f"""
+    WITH toks AS (
+      SELECT {_TOKS} AS w FROM documents
+    ), bi AS (
+      SELECT w[i] AS left_tok, w[i+1] AS right_tok
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+    ), counts AS (
+      SELECT left_tok, right_tok, COUNT(*) AS c
+      FROM bi GROUP BY 1, 2
+    ), lstats AS (
+      SELECT left_tok, CAST(SUM(c) AS BIGINT) AS left_count,
+             COUNT(*) AS left_distinct
+      FROM counts GROUP BY 1
+    ), rcont AS (
+      SELECT right_tok, COUNT(*) AS rc FROM counts GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*) AS n_types FROM counts
+    ), scored AS (
+      SELECT co.left_tok, co.right_tok,
+             CAST(co.c AS BIGINT) AS bigram_count,
+             l.left_count,
+             (GREATEST({KN_D_DEN} * co.c - {KN_D_NUM}, 0) * {KN_SCALE})
+               // ({KN_D_DEN} * l.left_count) AS term1_e9,
+             ({KN_D_NUM} * l.left_distinct * {KN_SCALE})
+               // ({KN_D_DEN} * l.left_count) AS lambda_e9,
+             (r.rc * {KN_SCALE}) // t.n_types AS pcont_e9
+      FROM counts co
+      JOIN lstats l USING (left_tok)
+      JOIN rcont r USING (right_tok), tot t
+    )
+    SELECT left_tok, right_tok, bigram_count, left_count,
+           CAST(term1_e9 + (lambda_e9 * pcont_e9) // {KN_SCALE}
+                AS BIGINT) AS p_kn_e9
+    FROM scored
+    ORDER BY p_kn_e9 DESC, left_tok ASC, right_tok ASC
+    LIMIT {TOP_N}
+    """,
+    doc="Interpolated Kneser-Ney bigram probabilities (D = 0.75) on "
+    "top of the lm_bigram_counts statistics: discounted ML term plus "
+    "back-off weight times continuation probability, all in scale-1e9 "
+    "integer fixed-point with staged truncating divisions so the "
+    "BIGINT output is engine-exact. One corpus scan feeds the bigram "
+    "count table; left-context totals, continuation counts, and the "
+    "type total all derive from that grouped table (no rescan); the "
+    "two vocab-sized stat tables broadcast back onto it and the type "
+    "total is a 1-row broadcast attach. Top-50 by probability with "
+    "deterministic tie-breaks.",
+    tags=("text", "lm", "ngram", "kneser-ney"),
+)
+def lm_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents").select("text"))
+    toks = T.tokens(F.lower(F.col("text")))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("left_tok"),
+                F.element_at(toks, i + F.lit(1)).alias("right_tok"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<left_tok:string,right_tok:string>>"
+    ))
+    counts = (
+        d.select(F.explode(bigrams).alias("b"))
+        .select("b.left_tok", "b.right_tok")
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lstats = counts.groupBy("left_tok").agg(
+        F.sum("c").cast("long").alias("left_count"),
+        F.count(F.lit(1)).cast("long").alias("left_distinct"),
+    )
+    rcont = counts.groupBy("right_tok").agg(
+        F.count(F.lit(1)).cast("long").alias("rc")
+    )
+    tot = counts.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+
+    scored = (
+        counts.join(F.broadcast(lstats), "left_tok")
+        .join(F.broadcast(rcont), "right_tok")
+        .crossJoin(F.broadcast(tot))  # 1-row type-total attach
+        .select(
+            "left_tok",
+            "right_tok",
+            F.col("c").alias("bigram_count"),
+            "left_count",
+            F.expr(
+                f"(GREATEST({KN_D_DEN} * c - {KN_D_NUM}, 0L)"
+                f" * {KN_SCALE}L) div ({KN_D_DEN} * left_count)"
+            ).alias("term1_e9"),
+            F.expr(
+                f"({KN_D_NUM} * left_distinct * {KN_SCALE}L)"
+                f" div ({KN_D_DEN} * left_count)"
+            ).alias("lambda_e9"),
+            F.expr(f"(rc * {KN_SCALE}L) div n_types").alias("pcont_e9"),
+        )
+    )
+    return (
+        scored.select(
+            "left_tok",
+            "right_tok",
+            "bigram_count",
+            "left_count",
+            (
+                F.col("term1_e9")
+                + F.expr(f"(lambda_e9 * pcont_e9) div {KN_SCALE}L")
+            )
+            .cast("long")
+            .alias("p_kn_e9"),
+        )
+        .orderBy(F.desc("p_kn_e9"), F.asc("left_tok"), F.asc("right_tok"))
+        .limit(TOP_N)
+    )

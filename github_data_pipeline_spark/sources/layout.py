@@ -68,10 +68,45 @@ def compact_parquet(
     returns the new file count.
 
     File count is sized from the CURRENT on-disk bytes (cheap listing,
-    no data job). The rewrite goes through a temp directory + atomic
-    rename so a failed compaction never destroys the input. Coalesce,
-    not repartition: shrinking file count needs no shuffle.
+    no data job). The rewrite goes through a temp directory + a
+    two-rename swap so a failed compaction never destroys the input.
+    Coalesce, not repartition: shrinking file count needs no shuffle.
+
+    **Flat directories only.** A Hive-partitioned tree (``key=value``
+    subdirectories) would silently flatten — partition columns become
+    data columns and every downstream partition prune is lost — so
+    partitioned inputs are refused; compact each leaf partition
+    directory instead.
+
+    **Crash recovery.** The two renames cannot be one atomic op, so a
+    crash between them leaves no directory at ``path`` with the data
+    intact in ``<path>.__compact_old__``; the next call (or a manual
+    ``mv``) restores it before compacting. Each rename is atomic per
+    directory on a POSIX fs; on an object store this whole commit is
+    the table-format metadata pointer swap (Delta/Iceberg).
     """
+    import shutil
+
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    bak = path.rstrip("/") + ".__compact_old__"
+    if os.path.isdir(bak) and not os.path.isdir(path):
+        # a previous compaction crashed mid-swap: the original is
+        # intact under the backup name — restore and carry on
+        os.rename(bak, path)
+    shutil.rmtree(tmp, ignore_errors=True)  # stale temp from a crash
+    partition_dirs = [
+        d
+        for d in glob.glob(os.path.join(path, "*=*"))
+        if os.path.isdir(d)
+    ]
+    if partition_dirs:
+        raise ValueError(
+            f"compact_parquet: {path!r} is Hive-partitioned "
+            f"(e.g. {os.path.basename(partition_dirs[0])!r}); "
+            "compacting would flatten partition columns into data "
+            "columns and lose pruning — compact each leaf partition "
+            "directory instead"
+        )
     files = [
         f
         for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
@@ -85,18 +120,11 @@ def compact_parquet(
         return 0  # nothing to compact; never run a job on an empty dir
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, -(-total // target_file_bytes))  # ceil
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    bak = path.rstrip("/") + ".__compact_old__"
     spark.read.parquet(path).coalesce(int(n)).write.mode("overwrite").parquet(
         tmp
     )
-    # commit: swap directories (rename is atomic per directory on a
-    # POSIX fs; on an object store this step is the table-format
-    # commit — Delta/Iceberg do it with a metadata pointer instead)
     os.rename(path, bak)
     os.rename(tmp, path)
-    import shutil
-
     shutil.rmtree(bak)
     return int(n)
 
@@ -165,6 +193,11 @@ def write_events_zordered(
         F.min(F.col("ts").cast("long")),
         F.max(F.col("ts").cast("long")),
     ).collect()[0]
+    if lo_u is None or lo_t is None:
+        # empty input: min/max aggregate to NULL — write an empty (but
+        # schema-bearing) directory instead of raising on None math
+        events.write.mode("overwrite").parquet(out_dir)
+        return
     span_u = max(1, hi_u - lo_u)
     span_t = max(1, hi_t - lo_t)
     nu = ((F.col("user_id") - lo_u) * 65535 / span_u).cast("long")

@@ -140,13 +140,27 @@ def bulk_index(
     send_batch: Callable[[list[tuple[str, str]]], int],
     batch_size: int = 500,
     dry_run: bool = False,
+    distributed: bool = False,
 ) -> tuple[int, int]:
     """ES-bulk-shaped sink: (doc-id, json-doc) batches through
     ``send_batch`` (returns #ok), with ok/fail accounting
     (client.py:54-102). The real ES writer is the elasticsearch-hadoop
     connector (`es.mapping.id`); this path exists for parity tests and
-    air-gapped runs — batches stream through toLocalIterator, bounding
-    driver memory at one batch.
+    air-gapped runs.
+
+    Two transports, identical accounting:
+
+    * ``distributed=False`` — batches stream through toLocalIterator,
+      bounding driver memory at one batch. Single-stream throughput;
+      exact byte-for-byte parity with the reference's driver-side
+      indexer loop (``src/indexing/indexer.py:115-178``).
+    * ``distributed=True`` — the scale path: every partition ships its
+      own batches from the executor that holds it (``send_batch`` must
+      be picklable and thread/process-safe, like a per-worker ES
+      client). Per-partition (ok, fail) counts come back through a
+      1-row-per-partition Arrow stage and fold in a 2-long aggregate —
+      no document ever crosses to the driver. At 1000 executors this
+      is 1000 concurrent bulk streams instead of one.
 
     ``dry_run=True`` mirrors the reference CLI's ``--dry-run``
     (``src/indexing/indexer.py:158-160``): count the docs that *would*
@@ -157,6 +171,8 @@ def bulk_index(
     docs = df.select(
         F.col(id_col).alias("_id"), F.to_json(F.struct(*df.columns)).alias("_doc")
     )
+    if distributed:
+        return _bulk_index_partitions(docs, send_batch, batch_size)
     ok = fail = 0
     batch: list[tuple[str, str]] = []
     for row in docs.toLocalIterator():
@@ -171,3 +187,42 @@ def bulk_index(
         ok += n
         fail += len(batch) - n
     return ok, fail
+
+
+def _bulk_index_partitions(
+    docs: DataFrame,
+    send_batch: Callable[[list[tuple[str, str]]], int],
+    batch_size: int,
+) -> tuple[int, int]:
+    """Executor-side transport for :func:`bulk_index`: one
+    ``mapInPandas`` stage whose workers batch their partition's rows
+    (batches span Arrow-chunk boundaries, so batch sizes match the
+    driver path within each partition), send them, and emit a single
+    (ok, fail) row; a sum aggregate folds the accounting."""
+    import pandas as pd
+
+    def _send_partition(chunks):
+        ok = fail = 0
+        batch: list[tuple[str, str]] = []
+
+        def flush():
+            nonlocal ok, fail, batch
+            if batch:
+                n = send_batch(batch)
+                ok += n
+                fail += len(batch) - n
+                batch = []
+
+        for pdf in chunks:
+            for _id, _doc in zip(pdf["_id"], pdf["_doc"]):
+                batch.append((_id, _doc))
+                if len(batch) >= batch_size:
+                    flush()
+        flush()
+        yield pd.DataFrame({"ok": [ok], "fail": [fail]})
+
+    counts = docs.mapInPandas(_send_partition, "ok long, fail long")
+    row = counts.agg(
+        F.sum("ok").alias("ok"), F.sum("fail").alias("fail")
+    ).collect()[0]
+    return int(row["ok"] or 0), int(row["fail"] or 0)

@@ -92,14 +92,24 @@ def make_funnel_update(horizon_hours: int):
     improves (ordered batches ⇒ later events are later), so set
     stages are simply kept.
 
-    Exactness across micro-batches requires event-time-ordered batch
-    boundaries (each batch's events at-or-after the previous batch's —
-    the file-source-per-time-slice layout, or any watermark-disciplined
-    upstream). Within a batch, arrival order is free: the fold sorts.
-    The availableNow catch-up drain is the degenerate single ordered
-    batch. Parity with the oracle-checked batch funnel is pinned for
-    both the single-batch and the time-sliced multi-batch layout in
-    tests/test_streaming_curation.py.
+    Exactness across micro-batches requires STRICTLY event-time-ordered
+    batch boundaries: every event in batch k+1 must be strictly later
+    than every event in batch k — no timestamp may straddle a
+    boundary. At-or-after is NOT enough: a purchase at ts == t2
+    delivered one batch before the click that sets t2 is gone by the
+    time the fold learns t2 (state only keeps the three stage
+    timestamps), while the batch twin — which sees all events at once
+    — counts it via the ``>= t2`` bound. The file-source-per-time-slice
+    layout satisfies the strict form by cutting slices BETWEEN
+    distinct timestamps (equal-ts events always share a slice); a
+    watermark-disciplined upstream satisfies it by emitting whole
+    event-time windows. Within a batch, arrival order is free: the
+    min-reductions are order-blind. The availableNow catch-up drain is
+    the degenerate single ordered batch. Parity with the oracle-checked
+    batch funnel is pinned for both the single-batch and the
+    time-sliced multi-batch layout in tests/test_streaming_curation.py;
+    the boundary-straddle counterexample that motivates the strict
+    form is pinned in test_funnel_boundary_timestamp_contract.
     """
     horizon_us = horizon_hours * 3600 * 1_000_000
 

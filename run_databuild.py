@@ -191,6 +191,11 @@ def incremental_update(spark, sf_dir: str, out: str, new_pred) -> dict:
     clusters can re-key survivors OUT of train (the no-leakage
     invariant demands it). Those docs are detected and the shard
     store is rewritten only then (reported as ``shards_rebuilt``).
+    The mirror case — old val/test survivors re-keyed INTO train with
+    ``moved_out == 0`` — does NOT force a rebuild: the appended slice
+    is every train doc not previously in train (new docs plus
+    movers), and ``manifest_covers_train`` is recomputed from the
+    written manifest so a missed doc can never pass silently.
 
     New-batch near-dup edges come from the corpus pair artifact here;
     in a live pipeline the incremental LSH index
@@ -296,13 +301,16 @@ def incremental_update(spark, sf_dir: str, out: str, new_pred) -> dict:
     )
 
     train = updated.filter(F.col("split") == "train")
-    # max id + 1, not row count: an empty shard has no manifest row
-    n_shards = 1 + max(
+    # max id + 1, not row count: an empty shard has no manifest row.
+    # An EMPTY manifest (zero-doc prior build) degenerates to the
+    # configured default — max() over no rows is a ValueError.
+    manifest_shard_ids = [
         r["shard"]
         for r in spark.read.parquet(
             os.path.join(out, "manifest.parquet")
         ).collect()
-    )
+    ]
+    n_shards = 1 + max(manifest_shard_ids) if manifest_shard_ids else 4
     # docs whose re-keying moved them OUT of train: the append-only
     # shard path cannot express a removal
     old_train_ids = old_assigned.filter(
@@ -311,15 +319,23 @@ def incremental_update(spark, sf_dir: str, out: str, new_pred) -> dict:
     moved_out = old_train_ids.join(
         train.select("doc_id"), "doc_id", "left_anti"
     ).count()
+    # ...and OLD docs whose re-keying moved them INTO train (a new
+    # edge chain merging two old clusters re-keys the losing cluster;
+    # if the winning key hashes to train, val/test survivors flow in
+    # with moved_out == 0). The append path CAN express an addition,
+    # so these don't force a rebuild — they just must be part of the
+    # appended slice. Appending every train doc not previously in
+    # train (rather than only the batch's new docs) covers both.
+    to_append = train.join(old_train_ids, "doc_id", "left_anti")
+    moved_in = to_append.join(
+        F.broadcast(new_ids), "doc_id", "left_anti"
+    ).count()
     if moved_out:
         write_shards(train, os.path.join(out, "shards"), n_shards)
         manifest = shard_manifest(assign_shards(train, n_shards))
         rebuilt = True
     else:
-        new_train = train.join(
-            F.broadcast(new_ids), "doc_id", "left_semi"
-        )
-        assigned_new = assign_shards(new_train, n_shards)
+        assigned_new = assign_shards(to_append, n_shards)
         (
             assigned_new.repartition(n_shards, "shard")
             .sortWithinPartitions("shard", "order_key")
@@ -354,13 +370,21 @@ def incremental_update(spark, sf_dir: str, out: str, new_pred) -> dict:
     packs.write.mode("overwrite").parquet(os.path.join(out, "packs.parquet"))
 
     n_final = updated.count()
+    n_train = train.count()
+    # the invariant that would expose a silently-missed train doc:
+    # whatever path ran, the written manifest must account for exactly
+    # the docs splits/ says are train
+    manifest_docs = int(manifest.agg(F.sum("docs")).collect()[0][0] or 0)
     report = {
         "sf_dir": sf_dir,
         "final_docs": n_final,
         "new_docs_ingested": new_clean.count(),
-        "train_docs": train.count(),
+        "train_docs": n_train,
         "moved_out_of_train": moved_out,
+        "moved_into_train": moved_in,
         "shards_rebuilt": rebuilt,
+        "manifest_docs": manifest_docs,
+        "manifest_covers_train": manifest_docs == n_train,
         "n_shards": n_shards,
     }
     with open(os.path.join(out, "build_report.json"), "w") as f:

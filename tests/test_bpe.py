@@ -97,6 +97,44 @@ def test_classic_example(spark):
     assert (merges[0][0], merges[0][1]) == ("l", "o")
 
 
+def test_learn_bpe_never_touches_caller_confs(spark):
+    """Training runs on a dedicated spark.newSession(): a thread
+    polling the CALLER session's confs throughout the whole run must
+    never observe the training overrides (AQE off, shrunk shuffle
+    partitions), so queries running concurrently on the caller's
+    session are safe — the last open r6 ADVICE item."""
+    import threading
+    import time
+
+    texts = ["low low low lower lower", "newest newest widest lowest"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    before = {k: spark.conf.get(k, None) for k in keys}
+    seen: dict[str, set] = {k: set() for k in keys}
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            for k in keys:
+                seen[k].add(spark.conf.get(k, None))
+            time.sleep(0.005)
+
+    t = threading.Thread(target=poll, daemon=True)
+    t.start()
+    try:
+        merges = bpe.learn_bpe(docs, n_merges=4)
+    finally:
+        stop.set()
+        t.join(timeout=5)
+    # same merges as ever, and no observation of a mutated conf
+    assert merges == ref_learn_bpe(texts, 4)
+    for k in keys:
+        assert seen[k] == {before[k]}, f"caller conf {k} mutated: {seen[k]}"
+        assert spark.conf.get(k, None) == before[k]
+
+
 def test_merge_fold_leftmost_first(spark):
     df = spark.createDataFrame(
         [(["a", "a", "a"],), (["a", "b", "a", "b"],), ([],)], ["syms"]

@@ -168,6 +168,135 @@ def test_incremental_build_equals_full_rebuild(spark, sf_dir, tmp_path):
     assert re_derived == want
 
 
+SYN_TEXTS = {
+    1: "the old lighthouse keeper walked along the rocky shore every "
+    "morning because he believed the sea would always tell him what "
+    "kind of day was coming for the village",
+    2: "a small bakery on the corner of the market square opened before "
+    "dawn and the smell of fresh bread drifted through the quiet "
+    "streets while most people were still asleep in their homes",
+    3: "scientists who study glaciers have found that the ice keeps a "
+    "record of the air from centuries ago and this record helps them "
+    "understand how the climate of the planet has changed",
+    4: "the orchestra rehearsed the difficult passage many times until "
+    "every musician could play it from memory and the conductor was "
+    "finally satisfied with the balance between the strings and brass",
+    5: "during the long winter the farmers repaired their tools and "
+    "planned which fields they would plant in spring because good "
+    "preparation was the only thing that kept the harvest reliable",
+    6: "the library at the end of our street keeps a shelf of maps "
+    "from the last century and children often spend whole afternoons "
+    "tracing the old roads that no longer appear on modern maps",
+    7: "when the ferry crossed the narrow strait the passengers could "
+    "see dolphins swimming beside the hull and the captain slowed "
+    "the engines so that everyone had time to watch them play",
+    8: "an engineer inspected the bridge after the storm and wrote a "
+    "careful report about which cables needed to be replaced before "
+    "heavy trucks could be allowed to cross the river again",
+}
+
+
+def _write_syn_documents(spark, out_dir):
+    rows = [
+        (i, t, "en", f"src{i % 3}", len(t)) for i, t in SYN_TEXTS.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def test_incremental_moved_into_train_appends(
+    spark, tmp_path, monkeypatch
+):
+    """The moved-IN case the append path must not silently drop: a
+    new-batch edge chain merges two OLD clusters, the winning key
+    hashes to train, and the losing cluster's docs flow INTO train
+    with ``moved_out == 0``. The appended slice must carry those old
+    movers (not just the batch's new docs) and the merged manifest
+    must still cover train exactly.
+
+    Synthetic 8-doc corpus (md5-bucket facts pinned by construction):
+    doc 1 buckets to train, doc 4 to test. Base edges: (4,5) — cluster
+    {4,5} keyed 4 -> test. Batch doc 7 brings edges (1,7) and (4,7),
+    merging {1} and {4,5} under key 1 -> docs 4 and 5 move test ->
+    train while no old train doc moves out."""
+    from run_databuild import build, incremental_update
+    from github_data_pipeline_spark.plans import dedup_plans
+
+    syn_dir = str(tmp_path / "syn")
+    os.makedirs(syn_dir)
+    _write_syn_documents(spark, syn_dir)
+
+    edges = spark.createDataFrame(
+        [(4, 5), (1, 7), (4, 7)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(
+        dedup_plans, "verified_pair_artifact", lambda *_a, **_k: edges
+    )
+
+    out = str(tmp_path / "inc")
+    base = build(
+        spark, syn_dir, out, n_shards=2, doc_filter=F.col("doc_id") <= 6
+    )
+    # every synthetic doc must survive the funnel, or the scenario is
+    # silently weaker than designed
+    assert base["final_docs"] == 6
+    base_splits = {
+        r["doc_id"]: r["split"]
+        for r in spark.read.parquet(os.path.join(out, "splits")).collect()
+    }
+    assert base_splits[1] == "train"
+    assert base_splits[4] == "test" and base_splits[5] == "test"
+
+    report = incremental_update(spark, syn_dir, out, F.col("doc_id") >= 7)
+    assert report["moved_out_of_train"] == 0
+    assert report["shards_rebuilt"] is False
+    assert report["moved_into_train"] == 2  # docs 4 and 5
+    assert report["manifest_covers_train"]
+
+    updated = {
+        r["doc_id"]: r["split"]
+        for r in spark.read.parquet(os.path.join(out, "splits")).collect()
+    }
+    assert updated[4] == "train" and updated[5] == "train"
+    # the shard FILES must contain the movers — this is exactly what
+    # the append-only-new-docs bug lost
+    shard_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "shards"))
+        .select("doc_id")
+        .collect()
+    }
+    train_ids = {d for d, s in updated.items() if s == "train"}
+    assert {4, 5} <= shard_ids
+    assert shard_ids == train_ids
+    # ...and the merged old ⊎ delta manifest equals one recomputed
+    # from the shard files
+    shards = spark.read.parquet(os.path.join(out, "shards"))
+    content32 = F.conv(
+        F.substring(F.md5(F.col("text")), 1, 8), 16, 10
+    ).cast("long")
+    re_derived = {
+        (r["shard"], r["docs"], r["content_checksum"])
+        for r in shards.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(content32).alias("content_checksum"),
+        )
+        .collect()
+    }
+    want = {
+        (r["shard"], r["docs"], r["content_checksum"])
+        for r in spark.read.parquet(
+            os.path.join(out, "manifest.parquet")
+        ).collect()
+    }
+    assert re_derived == want
+
+
 def test_incremental_append_path_merges_manifest(spark, sf_dir, tmp_path):
     """A batch that changes no old doc (no new benchmark slice, no
     cross-batch keeper change) must take the cheap path: shards

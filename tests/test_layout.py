@@ -73,6 +73,63 @@ def test_compaction_row_identical(spark, sf_dir, tmp_path):
     assert not os.path.exists(path + ".__compact_old__")
 
 
+def test_compaction_refuses_partitioned_input(spark, sf_dir, tmp_path):
+    """Compacting a Hive-partitioned tree would flatten the partition
+    columns into data columns and silently lose pruning — refused."""
+    import pytest
+
+    from github_data_pipeline_spark.sources.layout import (
+        write_events_partitioned,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(50)
+    path = str(tmp_path / "parted")
+    write_events_partitioned(events, path)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_parquet(spark, path)
+    # ...but a leaf partition directory compacts fine
+    leaf = sorted(glob.glob(os.path.join(path, "dt=*")))[0]
+    rows_before = spark.read.parquet(leaf).count()
+    assert compact_parquet(spark, leaf) == 1
+    assert spark.read.parquet(leaf).count() == rows_before
+
+
+def test_compaction_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
+    """A crash between the two swap renames leaves the data stranded
+    under .__compact_old__ with nothing at the path; the next call
+    must restore and complete, row-identical."""
+    events = load_table(spark, sf_dir, "events").limit(100)
+    path = str(tmp_path / "crashy")
+    events.repartition(5).write.parquet(path)
+    rows = {r["event_id"] for r in spark.read.parquet(path).collect()}
+    # simulate the mid-swap crash state: original renamed away, tmp
+    # half-written garbage left behind
+    os.rename(path, path + ".__compact_old__")
+    os.makedirs(path + ".__compact_tmp__")
+    n = compact_parquet(spark, path, target_file_bytes=1024 * 1024)
+    assert n == 1
+    got = {r["event_id"] for r in spark.read.parquet(path).collect()}
+    assert got == rows
+    assert not os.path.exists(path + ".__compact_old__")
+    assert not os.path.exists(path + ".__compact_tmp__")
+
+
+def test_zorder_empty_input_writes_empty_dir(spark, sf_dir, tmp_path):
+    """min/max over zero rows aggregates to NULL; the z-order writer
+    must land an empty schema-bearing directory, not raise on None
+    arithmetic (r6 ADVICE)."""
+    from github_data_pipeline_spark.sources.layout import (
+        write_events_zordered,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(F.lit(False))
+    out = str(tmp_path / "zempty")
+    write_events_zordered(events, out, files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 0
+    assert "event_id" in back.columns
+
+
 def test_clustered_write_disjoint_ranges(spark, sf_dir, tmp_path):
     """Range clustering must yield pairwise-disjoint per-file ts
     ranges (the footer-stats property every engine's file skipping

@@ -134,6 +134,9 @@ def test_hybrid_fusion_lists_stay_tiny(spark, sf_dir):
     over <=2K rows regardless of corpus size; every corpus-sized join
     stays broadcast."""
     plan = _plan(spark, sf_dir, "doc_hybrid_retrieval")
-    assert "TakeOrderedAndProject" in plan
+    # BOTH sides pre-limit before ranking: the lexical BM25 top-k AND
+    # the vector cosine top-k (r7 fix — the rank window previously
+    # dragged every embedding into one unpartitioned-Window task)
+    assert plan.count("TakeOrderedAndProject") >= 2
     assert plan.count("SortMergeJoin") == 1  # the <=2K-row fusion only
     assert "FullOuter" in plan

@@ -52,7 +52,6 @@ def test_driver_window_invariants():
         "neardup_cluster_keepers",
         "decontam_overlap",
         "budget_sample_counts",
-        "embedding_quantization_report",
         "doc_fulltext_porter",
         "leakage_safe_splits",
         # round-5 additions (first window slots this round)
@@ -67,18 +66,22 @@ def test_driver_window_invariants():
         "doc_length_percentiles",
         "events_value_outliers",
         "scd2_order_priority_history",
-        # round-6 rotation: the three r5 tail entries that had never
+        # round-7 rotation: the five r6 tail entries that had never
         # held a driver-scored row (demoted to make room:
-        # events_type_pivot, events_gap_fill_hourly,
-        # doc_quality_by_source — all r05-green, classes covered
-        # in-window; see plans/core.py round-6 swap comment)
-        "bpe_encoded_profile",
-        "events_funnel_steps",
-        "neardup_editdist_pairs",
+        # kmeans_cluster_sizes, embedding_quantization_report,
+        # bpe_encoded_profile, events_funnel_steps,
+        # neardup_editdist_pairs — all r06-green, classes covered
+        # in-window; see plans/core.py round-7 swap comment)
+        "doc_quality_linear_gate",
+        "doc_char_trigram_typicality",
+        "doc_hybrid_retrieval",
+        "lm_bigram_counts",
+        "doc_gates_unpivot_long",
     ):
         assert q in window, f"{q} fell out of the driver window"
-    # every demoted entry still has an oracle or is rows-only by
-    # documented design (bpe trainer, approx sketches)
-    by_design = {"bpe_learned_merges", "approx_lineitem_stats"}
+    # every demoted entry must carry an oracle (approx_lineitem_stats
+    # graduated in r7: its sketch guarantees are now oracle-pinned
+    # verdict flags, so NO registry entry is rows-only anymore)
+    by_design: set[str] = set()
     for n in names[50:]:
         assert reg[n].oracle is not None or n in by_design

@@ -64,6 +64,52 @@ def test_bulk_index_accounting(spark):
     assert (ok, fail) == (6, 1)
 
 
+def test_bulk_index_distributed_parity(spark, tmp_path):
+    """The executor-side transport (distributed=True) must batch each
+    partition independently on its own worker and fold back EXACTLY
+    the accounting the driver path produces for the same documents and
+    the same deterministic failure rule."""
+    df = spark.createDataFrame(
+        [("o/a", n, "open") for n in range(23)], SCHEMA
+    ).withColumn("_key", key_issue("repo_name", "number"))
+
+    # deterministic rule both transports see: issue numbers ending in 2
+    # fail to index
+    def n_ok(batch):
+        return sum(0 if _id.rstrip()[-1] == "2" else 1 for _id, _ in batch)
+
+    ok_d, fail_d = bulk_index(df, "_key", n_ok, batch_size=4)
+    assert (ok_d, fail_d) == (20, 3)  # numbers 2, 12, 22 fail
+
+    # the mock transport records every batch as a file so the test can
+    # observe executor-side behavior from the driver
+    spool = tmp_path / "batches"
+    spool.mkdir()
+
+    def send(batch):
+        import os as _os
+        import uuid as _uuid
+
+        p = spool / f"{_os.getpid()}-{_uuid.uuid4().hex}.txt"
+        p.write_text("\n".join(_id for _id, _doc in batch))
+        return n_ok(batch)
+
+    got = bulk_index(
+        df.repartition(4), "_key", send, batch_size=4, distributed=True
+    )
+    assert got == (ok_d, fail_d)
+
+    files = list(spool.iterdir())
+    batches = [f.read_text().splitlines() for f in files]
+    # per-partition batching: no batch overflows, every doc sent
+    # exactly once, and 4 partitions of 23 rows cannot fit in the
+    # 6 batches a single stream would use
+    assert all(len(b) <= 4 for b in batches)
+    sent = [i for b in batches for i in b]
+    assert len(sent) == 23 and len(set(sent)) == 23
+    assert len(batches) > 6
+
+
 def test_stable_ids_deterministic(spark):
     df = spark.createDataFrame([("o/a", 7, "open")], SCHEMA)
     k1 = df.select(key_issue("repo_name", "number").alias("k")).collect()[0]["k"]

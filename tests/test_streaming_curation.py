@@ -145,3 +145,48 @@ def test_funnel_stream_multibatch_time_sliced(spark, tmp_path):
     for r in out:
         last[r["user_id"]] = r["steps_reached"]
     assert last == {1: 3, 2: 3, 3: 1}
+
+
+def test_funnel_boundary_timestamp_contract(spark, tmp_path):
+    """The strictly-after boundary contract is LOAD-BEARING, not
+    pedantry: a purchase at ts == t2 delivered one micro-batch before
+    the click that sets t2 is missed by the fold (state keeps only the
+    stage timestamps), while the same events in one batch — or sliced
+    strictly between distinct timestamps — count 3 steps. This pins
+    the documented counterexample from streaming/stateful.py."""
+    import datetime as dt
+
+    from github_data_pipeline_spark.streaming.stateful import funnel_stream
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t60 = base + dt.timedelta(minutes=60)
+    view = (1, base, 1, "view", 0.0, "{}")
+    purchase = (2, t60, 1, "purchase", 0.0, "{}")
+    click = (3, t60, 1, "click", 0.0, "{}")
+
+    def drain(slices, name):
+        src = tmp_path / name
+        for rows in slices:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = run_available_now(
+            funnel_stream(stream), f"funnel_{name}", output_mode="update"
+        )
+        return {r["user_id"]: r["steps_reached"] for r in out}
+
+    # VIOLATING slicing: ts-60 straddles the boundary (at-or-after but
+    # not strictly-after) -> the purchase is lost, 2 steps
+    assert drain([[view, purchase], [click]], "straddle") == {1: 2}
+    # CONFORMING slicing (equal-ts events share a slice) -> 3 steps,
+    # equal to the batch twin's >= t2 tie semantics
+    assert drain([[view], [purchase, click]], "strict") == {1: 3}

@@ -78,6 +78,9 @@ BNLJ_BY_DESIGN = {
     # entries) and the single query VECTOR broadcast onto the
     # embedding scan
     "doc_hybrid_retrieval": "scalar-stats 1-row broadcast attach",
+    # the bigram type total (1 aggregated row) broadcast onto the
+    # bigram count table for the continuation-probability denominator
+    "lm_kn_bigram_probs": "scalar-stats 1-row broadcast attach",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
