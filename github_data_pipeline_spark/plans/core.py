@@ -142,6 +142,12 @@ def all_plans() -> Registry:
     from . import classifier_plans  # noqa: F401
     from . import hybrid_plans  # noqa: F401
     from . import lm_plans  # noqa: F401
+    # round-7 additions (tail, rotation candidates for round 8):
+    # winnowing fingerprints + shared-fingerprint overlap pairs
+    # (MOSS-style), per-doc KN-LM typicality scoring (registered in
+    # lm_plans), and product-quantization ADC ANN
+    from . import winnow_plans  # noqa: F401
+    from . import pq_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row

@@ -240,3 +240,146 @@ def lm_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("p_kn_e9"), F.asc("left_tok"), F.asc("right_tok"))
         .limit(TOP_N)
     )
+
+
+# Per-document LM typicality — the classic CCNet/Wenzek-style "score
+# every document against a LM trained on the corpus itself" curation
+# signal, here with the interpolated-KN bigram model above. A doc's
+# score is the mean KN probability of its bigrams (scale-1e9 fixed
+# point; mean, not product, so the statistic stays integer-exact —
+# the log-space perplexity variant is float-hostile across engines).
+# Low mean = the doc's token transitions are atypical for the corpus.
+N_ATYPICAL = 50
+LM_MIN_BIGRAMS = 5  # too-short docs make the mean meaningless
+
+
+@REGISTRY.add(
+    "lm_doc_typicality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents
+    ), docbi AS (
+      SELECT doc_id, w[i] AS left_tok, w[i+1] AS right_tok,
+             COUNT(*) AS dc
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+      GROUP BY 1, 2, 3
+    ), counts AS (
+      SELECT left_tok, right_tok, CAST(SUM(dc) AS BIGINT) AS c
+      FROM docbi GROUP BY 1, 2
+    ), lstats AS (
+      SELECT left_tok, CAST(SUM(c) AS BIGINT) AS left_count,
+             COUNT(*) AS left_distinct
+      FROM counts GROUP BY 1
+    ), rcont AS (
+      SELECT right_tok, COUNT(*) AS rc FROM counts GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*) AS n_types FROM counts
+    ), model AS (
+      SELECT co.left_tok, co.right_tok,
+             (GREATEST({KN_D_DEN} * co.c - {KN_D_NUM}, 0) * {KN_SCALE})
+               // ({KN_D_DEN} * l.left_count)
+             + ((({KN_D_NUM} * l.left_distinct * {KN_SCALE})
+                 // ({KN_D_DEN} * l.left_count))
+                * ((r.rc * {KN_SCALE}) // t.n_types)) // {KN_SCALE}
+               AS p_kn_e9
+      FROM counts co
+      JOIN lstats l USING (left_tok)
+      JOIN rcont r USING (right_tok), tot t
+    ), scored AS (
+      SELECT d.doc_id,
+             CAST(SUM(d.dc) AS BIGINT) AS n_bigrams,
+             SUM(d.dc * m.p_kn_e9) AS p_sum
+      FROM docbi d JOIN model m USING (left_tok, right_tok)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(p_sum // n_bigrams AS BIGINT) AS mean_pkn_e9
+    FROM scored
+    WHERE n_bigrams >= {LM_MIN_BIGRAMS}
+    ORDER BY mean_pkn_e9 ASC, doc_id ASC
+    LIMIT {N_ATYPICAL}
+    """,
+    doc="Per-document LM typicality (CCNet-style curation signal): "
+    "every doc scored against the corpus-trained interpolated-KN "
+    "bigram model; score = mean KN bigram probability in scale-1e9 "
+    "fixed point (integer-exact across engines, unlike log-space "
+    "perplexity), lowest-50 = the curation-reject candidates. ONE "
+    "corpus scan: the per-(doc, bigram) count table feeds BOTH the "
+    "global model statistics (a second aggregation over the grouped "
+    "table, no rescan) and the scoring join; the model is keyed by "
+    "the distinct-bigram vocabulary, so the scoring join shuffles "
+    "the grouped doc-bigram table, never the raw token stream. "
+    f"Docs with < {LM_MIN_BIGRAMS} bigrams are excluded.",
+    tags=("text", "lm", "quality", "kneser-ney"),
+)
+def lm_doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    toks = T.tokens(F.lower(F.col("text")))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("left_tok"),
+                F.element_at(toks, i + F.lit(1)).alias("right_tok"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<left_tok:string,right_tok:string>>")
+    )
+    docbi = (
+        d.select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", "b.left_tok", "b.right_tok")
+        .groupBy("doc_id", "left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("dc"))
+    )
+    counts = docbi.groupBy("left_tok", "right_tok").agg(
+        F.sum("dc").cast("long").alias("c")
+    )
+    lstats = counts.groupBy("left_tok").agg(
+        F.sum("c").cast("long").alias("left_count"),
+        F.count(F.lit(1)).cast("long").alias("left_distinct"),
+    )
+    rcont = counts.groupBy("right_tok").agg(
+        F.count(F.lit(1)).cast("long").alias("rc")
+    )
+    tot = counts.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    model = (
+        counts.join(F.broadcast(lstats), "left_tok")
+        .join(F.broadcast(rcont), "right_tok")
+        .crossJoin(F.broadcast(tot))  # 1-row type-total attach
+        .select(
+            "left_tok",
+            "right_tok",
+            (
+                F.expr(
+                    f"(GREATEST({KN_D_DEN} * c - {KN_D_NUM}, 0L)"
+                    f" * {KN_SCALE}L) div ({KN_D_DEN} * left_count)"
+                )
+                + F.expr(
+                    f"((({KN_D_NUM} * left_distinct * {KN_SCALE}L)"
+                    f" div ({KN_D_DEN} * left_count))"
+                    f" * ((rc * {KN_SCALE}L) div n_types))"
+                    f" div {KN_SCALE}L"
+                )
+            ).alias("p_kn_e9"),
+        )
+    )
+    return (
+        docbi.join(model, ["left_tok", "right_tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dc").cast("long").alias("n_bigrams"),
+            F.sum(F.col("dc") * F.col("p_kn_e9")).alias("p_sum"),
+        )
+        .filter(F.col("n_bigrams") >= LM_MIN_BIGRAMS)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("p_sum div n_bigrams").cast("long").alias("mean_pkn_e9"),
+        )
+        .orderBy(F.asc("mean_pkn_e9"), F.asc("doc_id"))
+        .limit(N_ATYPICAL)
+    )

@@ -81,6 +81,8 @@ BNLJ_BY_DESIGN = {
     # the bigram type total (1 aggregated row) broadcast onto the
     # bigram count table for the continuation-probability denominator
     "lm_kn_bigram_probs": "scalar-stats 1-row broadcast attach",
+    # same 1-row type-total attach feeding the per-doc scoring join
+    "lm_doc_typicality": "scalar-stats 1-row broadcast attach",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
