@@ -171,3 +171,136 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy(F.asc("query_id"), F.asc("rank"))
     )
+
+
+@_add(
+    "ann_ivfpq_topk",
+    f"""
+    WITH fixed AS (
+      SELECT vec_id, label, {_FIXED_DUCK} AS v FROM embeddings
+    ), sub AS (
+      SELECT vec_id, label, m,
+             v[CAST(m * {PQ_SUBDIM} + 1 AS INTEGER)
+               : CAST((m + 1) * {PQ_SUBDIM} AS INTEGER)] AS s
+      FROM fixed, UNNEST(generate_series(0, {PQ_M - 1})) AS u(m)
+    ), cb AS (
+      SELECT vec_id AS code_id, m, s FROM sub
+      WHERE vec_id >= {CB_LO} AND vec_id < {CB_HI}
+    ), dist AS (
+      SELECT t.vec_id, t.label, t.m, c.code_id, {_SUBD} AS d
+      FROM sub t JOIN cb c USING (m)
+    ), codes AS (
+      SELECT vec_id, ANY_VALUE(label) AS label, m,
+             CAST(MIN(d * {_KEYMUL} + code_id) % {_KEYMUL} AS BIGINT)
+               AS code_id
+      FROM dist WHERE vec_id >= {N_QUERIES} GROUP BY vec_id, m
+    ), qdist AS (
+      SELECT vec_id AS query_id, label AS qlabel, m, code_id, d
+      FROM dist WHERE vec_id < {N_QUERIES}
+    ), adc AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(q.d) AS BIGINT) AS adc
+      FROM codes c
+      JOIN qdist q ON q.m = c.m AND q.code_id = c.code_id
+                  AND q.qlabel = c.label
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY adc ASC, neighbor_id ASC
+             ) AS rank
+      FROM adc
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id ASC, rank ASC
+    """,
+    doc="IVF + PQ — the production billion-vector ANN shape (FAISS "
+    "IVFADC): the coarse quantizer (label = IVF cell, the "
+    "ann_topk/ann_lsh family's cell machinery) restricts each query "
+    "to its own cell, then PQ codes rank the cell's members by "
+    "Asymmetric Distance Computation. The cell restriction is an "
+    "extra equality in the ADC join key — the lookup becomes "
+    "(cell, subspace, code), so the probe touches only the query's "
+    "cell and cost scales with cell size, not corpus size; encode "
+    "and distance-table stages are identical to ann_pq_adc_topk "
+    "(broadcast-only, integer-exact).",
+    tags=("similarity", "ann", "pq", "ivf"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    fixed = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * PQ_SCALE).cast("long"),
+        ).alias("v"),
+    )
+    sub = fixed.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        F.col("v").alias("v"),
+    ).select(
+        "vec_id",
+        "label",
+        "m",
+        F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("s"),
+    )
+    cb = (
+        sub.filter((F.col("vec_id") >= CB_LO) & (F.col("vec_id") < CB_HI))
+        .select(F.col("vec_id").alias("code_id"), "m", F.col("s").alias("cs"))
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("s"), F.col("cs"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "label", "m", "code_id", d.alias("d"))
+    )
+    codes = (
+        dist.filter(F.col("vec_id") >= N_QUERIES)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.any_value("label").alias("label"),
+            (F.min(F.col("d") * _KEYMUL + F.col("code_id")) % _KEYMUL)
+            .cast("long")
+            .alias("code_id"),
+        )
+    )
+    qdist = dist.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        "m",
+        "code_id",
+        "d",
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qdist),
+            [
+                codes.m == qdist.m,
+                codes.code_id == qdist.code_id,
+                codes.label == qdist.qlabel,
+            ],
+        )
+        .groupBy("query_id", codes.vec_id.alias("neighbor_id"))
+        .agg(F.sum("d").cast("long").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        adc.select(
+            "query_id",
+            F.row_number().over(w).cast("long").alias("rank"),
+            "neighbor_id",
+            "adc",
+        )
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy(F.asc("query_id"), F.asc("rank"))
+    )

@@ -93,6 +93,16 @@ TARGETS = (
     # its broadcast must NOT grow with the corpus
     "doc_quality_linear_gate",
     "doc_char_trigram_typicality",
+    # round-7 additions: winnowing is per-doc array work + the
+    # jaccard-shaped posting pair join (df-capped); PQ encode/ADC is
+    # broadcast-only; typicality's model join is keyed by the
+    # distinct-bigram vocabulary, which grows sub-linearly in a
+    # replicated corpus — the scoring join is the growth to watch
+    "doc_winnow_fingerprints",
+    "winnow_shared_fp_pairs",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "lm_doc_typicality",
 )
 
 # the dedup family is what a hot band stresses; decontam rides along
@@ -108,6 +118,9 @@ HOTBAND_TARGETS = (
     "decontam_overlap",
     "neardup_cluster_keepers",
     "leakage_safe_splits",
+    # boilerplate docs share fingerprints at corpus-wide df: the
+    # WIN_DF_CAP posting prune is what keeps the pair stage linear
+    "winnow_shared_fp_pairs",
 )
 
 # grouped/stateful per-user work is what a hot key stresses;
