@@ -16,10 +16,10 @@ in the relational plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .core import REGISTRY
 
 _add = REGISTRY.add
@@ -97,7 +97,12 @@ def stream_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_RSD = 0.02  # requested relative standard deviation
 HLL_TOL_PCT = 10  # accept |est - exact| <= 10% of exact (5x the rsd)
 PA_ACCURACY = 10_000  # percentile_approx: rank error <= n / accuracy
-PA_BOUND_EPS = 5e-4  # verdict bounds at q -+ 5x the guaranteed eps
+# verdict slack: the estimate's exact RANK must land within
+# 5 x (n / accuracy) of q*n. Rank-based (one conditional-count pass),
+# not value-based — value bounds would need a percentile_disc sort
+# buffer per bound (9 full-column sorts in one aggregate; measured
+# 36 s at sf0.1 before this was replanned to counts).
+PA_TOL_MUL = 5
 
 
 @_add(
@@ -107,14 +112,14 @@ PA_BOUND_EPS = 5e-4  # verdict bounds at q -+ 5x the guaranteed eps
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
            CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY
-                CAST(ROUND(l_extendedprice * 100) AS BIGINT))
-                AS BIGINT) AS p50_cents,
+                CAST(ROUND(l_extendedprice) AS BIGINT))
+                AS BIGINT) AS p50_dollars,
            CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY
-                CAST(ROUND(l_extendedprice * 100) AS BIGINT))
-                AS BIGINT) AS p95_cents,
+                CAST(ROUND(l_extendedprice) AS BIGINT))
+                AS BIGINT) AS p95_dollars,
            CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY
-                CAST(ROUND(l_extendedprice * 100) AS BIGINT))
-                AS BIGINT) AS p99_cents,
+                CAST(ROUND(l_extendedprice) AS BIGINT))
+                AS BIGINT) AS p99_dollars,
            CAST(1 AS BIGINT) AS hll_orders_ok,
            CAST(1 AS BIGINT) AS hll_parts_ok,
            CAST(1 AS BIGINT) AS p50_ok,
@@ -125,56 +130,149 @@ PA_BOUND_EPS = 5e-4  # verdict bounds at q -+ 5x the guaranteed eps
     doc="Approximate aggregates for the 100 TB path, BOUNDS-CHECKED "
     "against exact values: HLL++ distinct counts (rsd 0.02, envelope "
     f"{HLL_TOL_PCT}% = 5x rsd) and percentile_approx quantile "
-    f"sketches (accuracy {PA_ACCURACY}; the estimate must fall "
-    "between percentile_disc(q -+ 5/accuracy), i.e. within 5x the "
-    "guaranteed rank error). The *_ok flags carry the verdicts; the "
-    "oracle pins them to 1, so an out-of-envelope estimate fails the "
-    "cell-exact gate. HLL is hash-order-independent and the GK rank "
-    "guarantee holds under any merge order, so the flags are stable "
-    "across partitionings even though the raw estimates are not — "
-    "which is exactly why the flags, not the estimates, are emitted. "
-    "The exact columns double as the audit trail (they shuffle the "
-    "full column; the sketches are the mergeable O(k) product path — "
-    "kmv_sketch_stats in plans/sketch_plans.py is the engine-neutral "
-    "twin).",
+    f"sketches (accuracy {PA_ACCURACY}): the estimate's exact RANK, "
+    "measured by a conditional-count second pass, must land within "
+    f"{PA_TOL_MUL}x the guaranteed n/accuracy of q*n — rank error is "
+    "the quantity GK actually bounds, and counting is one cheap scan "
+    "where value-bounds would cost a full-column sort buffer per "
+    "bound. The *_ok flags carry the verdicts; the oracle pins them "
+    "to 1, so an out-of-envelope estimate fails the cell-exact gate. "
+    "HLL is hash-order-independent and the GK rank guarantee holds "
+    "under any merge order, so the flags are stable across "
+    "partitionings even though the raw estimates are not — which is "
+    "exactly why the flags, not the estimates, are emitted. The "
+    "exact columns double as the audit trail; the sketches are the "
+    "mergeable O(k) product path — kmv_sketch_stats "
+    "(plans/sketch_plans.py) is the engine-neutral twin.",
     tags=("approx", "agg"),
 )
 def approx_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    li = li.select("l_orderkey", "l_partkey", cents.alias("cents"))
-
-    def disc(q: float) -> F.Column:
-        return F.expr(
-            f"percentile_disc({q!r}) WITHIN GROUP (ORDER BY cents)"
-        ).cast("long")
-
-    def p_ok(q: float) -> F.Column:
-        pa = F.percentile_approx("cents", q, PA_ACCURACY)
-        return (
-            pa.between(disc(q - PA_BOUND_EPS), disc(q + PA_BOUND_EPS))
-            .cast("long")
+    # spread: the scan arrives in a handful of file splits, and the
+    # base aggregate below is EXPAND-heavy (two DISTINCT columns fan
+    # every row out 3x) — one cheap shuffle of the 3 narrow columns
+    # buys full-core parallelism for every consumer
+    li = spread(
+        li.select(
+            "l_orderkey",
+            "l_partkey",
+            cents.alias("cents"),
+            F.round(F.col("l_extendedprice")).cast("long").alias("dollars"),
         )
+    )
 
-    def hll_ok(col: str, exact: F.Column) -> F.Column:
-        est = F.approx_count_distinct(col, HLL_RSD)
-        return (
-            (F.abs(est - exact) * 100 <= exact * HLL_TOL_PCT).cast("long")
-        )
+    # percentile_disc(q) over raw rows funnels the WHOLE column through
+    # one final-merge sort buffer per aggregate (measured 6+ s each at
+    # sf0.1). The exact-percentile audit columns come instead from a
+    # weighted value histogram over DOLLAR-rounded prices: the dollar
+    # domain is bounded by the price range (~100k values here, never
+    # the corpus — cents would be ~1 distinct value per row), so the
+    # groupBy collapses map-side and the cumulative window runs over a
+    # domain-sized table; percentile_disc(q) == the smallest value
+    # whose cumulative count reaches ceil(q * n) — integer arithmetic,
+    # engine-exact.
+    qs = ((0.5, 1, 2), (0.95, 19, 20), (0.99, 99, 100))
+    hist = li.groupBy("dollars").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("dollars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "dollars",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    pcts = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"((n * {num}) + {den} - 1) div {den}"),
+                    F.col("dollars"),
+                )
+            ).alias(f"p{int(q * 100)}_dollars")
+            for q, num, den in qs
+        ]
+    )
 
-    return li.agg(
+    # THREE separate 1-row aggregates instead of one: combining the
+    # two DISTINCT columns with the sketch buffers in a single agg
+    # makes Spark EXPAND every row 3x with every sketch buffer riding
+    # along (measured 9-18 s at sf0.1); split, each agg is a cheap
+    # partial-aggregated pass over the reused spread exchange, and the
+    # three 1-row results attach by broadcast.
+    exact = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        disc(0.5).alias("p50_cents"),
-        disc(0.95).alias("p95_cents"),
-        disc(0.99).alias("p99_cents"),
-        hll_ok("l_orderkey", F.countDistinct("l_orderkey")).alias(
-            "hll_orders_ok"
-        ),
-        hll_ok("l_partkey", F.countDistinct("l_partkey")).alias(
-            "hll_parts_ok"
-        ),
+    )
+    hll = li.agg(
+        F.approx_count_distinct("l_orderkey", HLL_RSD).alias("hll_orders"),
+        F.approx_count_distinct("l_partkey", HLL_RSD).alias("hll_parts"),
+    )
+    pas = li.agg(
+        *[
+            F.percentile_approx("cents", q, PA_ACCURACY).alias(
+                f"pa{int(q * 100)}"
+            )
+            for q, _n, _d in qs
+        ]
+    )
+    base = exact.crossJoin(F.broadcast(hll)).crossJoin(F.broadcast(pas))
+
+    # rank interval of each estimate (values repeat, so the estimate
+    # occupies ranks (#cents < pa, #cents <= pa]) — map-side
+    # conditional counts over the row stream, no sort
+    ranks = li.crossJoin(F.broadcast(base)).agg(
+        *[
+            agg
+            for q, _n, _d in qs
+            for agg in (
+                F.sum(
+                    (F.col("cents") <= F.col(f"pa{int(q * 100)}")).cast(
+                        "long"
+                    )
+                ).alias(f"hi{int(q * 100)}"),
+                F.sum(
+                    (F.col("cents") < F.col(f"pa{int(q * 100)}")).cast(
+                        "long"
+                    )
+                ).alias(f"lo{int(q * 100)}"),
+            )
+        ]
+    )
+
+    def p_ok(q: float) -> F.Column:
+        # GK guarantee: some rank in (lo, hi] lies within tol of q*n —
+        # the interval [lo+1, hi] must intersect [q*n - tol, q*n + tol]
+        p = int(q * 100)
+        tol = F.lit(float(PA_TOL_MUL)) * F.col("n_rows") / PA_ACCURACY
+        target = F.lit(q) * F.col("n_rows")
+        return (
+            (F.col(f"hi{p}") >= target - tol)
+            & (F.col(f"lo{p}") + 1 <= target + tol)
+        ).cast("long")
+
+    return base.crossJoin(F.broadcast(ranks)).crossJoin(
+        F.broadcast(pcts)
+    ).select(
+        "n_rows",
+        "exact_orders",
+        "exact_parts",
+        "p50_dollars",
+        "p95_dollars",
+        "p99_dollars",
+        (
+            (F.abs(F.col("hll_orders") - F.col("exact_orders")) * 100
+             <= F.col("exact_orders") * HLL_TOL_PCT).cast("long")
+        ).alias("hll_orders_ok"),
+        (
+            (F.abs(F.col("hll_parts") - F.col("exact_parts")) * 100
+             <= F.col("exact_parts") * HLL_TOL_PCT).cast("long")
+        ).alias("hll_parts_ok"),
         p_ok(0.5).alias("p50_ok"),
         p_ok(0.95).alias("p95_ok"),
         p_ok(0.99).alias("p99_ok"),

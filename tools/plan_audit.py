@@ -44,6 +44,9 @@ BNLJ_BY_DESIGN = {
     # 1-row x 1-row scalar-aggregate attach: both sides are single-row
     # aggregates, the "join" moves one row.
     "orders_profile": "scalar-aggregate 1x1 cross join",
+    # two of the same: base-agg row broadcast onto the scan for the
+    # rank-counting pass, then the two 1-row aggregates joined 1x1
+    "approx_lineitem_stats": "scalar-aggregate 1-row broadcast attach",
     # brute-force ANN IS corpus x broadcast(query set): the corpus is
     # scanned exactly once and every comparison is against a broadcast
     # side bounded by N_QUERIES; the IVF variant in the same plan
