@@ -9,9 +9,13 @@ import pandas as pd
 import pytest
 
 from github_data_pipeline_spark.plans import all_plans
-from github_data_pipeline_spark.plans import lm_plans
 
+# canonical registration order FIRST, then the direct module import
+# (importing lm_plans ahead of all_plans() would re-seat the driver
+# window; see test_driver_window_invariants)
 REG = all_plans()
+
+from github_data_pipeline_spark.plans import lm_plans  # noqa: E402
 
 
 def _run_both(spark, name, pdf):

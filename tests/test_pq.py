@@ -10,9 +10,13 @@ import pandas as pd
 import pytest
 
 from github_data_pipeline_spark.plans import all_plans
-from github_data_pipeline_spark.plans import pq_plans
 
+# canonical registration order FIRST, then the direct module import
+# (importing pq_plans ahead of all_plans() would re-seat the driver
+# window; see test_driver_window_invariants)
 REG = all_plans()
+
+from github_data_pipeline_spark.plans import pq_plans  # noqa: E402
 DIM = pq_plans.PQ_M * pq_plans.PQ_SUBDIM
 
 

@@ -18,7 +18,15 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from github_data_pipeline_spark.plans.winnow_plans import (
+# lock the CANONICAL registry order before touching any plan module
+# directly: a direct module import at collection time would register
+# its queries ahead of the window-group modules and silently reorder
+# the driver window (pinned by test_driver_window_invariants)
+from github_data_pipeline_spark.plans import all_plans
+
+all_plans()
+
+from github_data_pipeline_spark.plans.winnow_plans import (  # noqa: E402
     WIN_GUARANTEE,
     WIN_K,
     WIN_W,
