@@ -102,7 +102,9 @@ TARGETS = (
     "winnow_shared_fp_pairs",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    "ann_pq_recall",
     "lm_doc_typicality",
+    "source_shingle_overlap",
 )
 
 # the dedup family is what a hot band stresses; decontam rides along
