@@ -150,6 +150,7 @@ def all_plans() -> Registry:
     from . import pq_plans  # noqa: F401
     from . import source_overlap_plans  # noqa: F401
     from . import cohort_plans  # noqa: F401
+    from . import skew_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row
