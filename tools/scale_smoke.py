@@ -405,6 +405,10 @@ def main() -> int:
             "funnel_stream_drain",
             "events_range_attribution",
             "events_gap_fill_hourly",
+            # cohort triangle: distinct-user cardinality IS the mode's
+            # growth axis (first-touch table and matrix both scale
+            # with users)
+            "events_retention_cohorts",
         ),
     }[args.skew]
     if args.only:
