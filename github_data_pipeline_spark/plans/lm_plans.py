@@ -383,3 +383,197 @@ def lm_doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("mean_pkn_e9"), F.asc("doc_id"))
         .limit(N_ATYPICAL)
     )
+
+
+# Full three-level interpolated Kneser-Ney (Chen & Goodman 1999,
+# eq. 18) — the recursion the bigram query above is the base case of:
+#
+#   P3(w|u,v) = max(c(uvw) - D, 0)/c(uv)   + D*N1+(uv.)/c(uv)   * P2(w|v)
+#   P2(w|v)   = max(N1+(.vw) - D, 0)/N1+(.v.) + D*N1+(v..)/N1+(.v.) * P1(w)
+#   P1(w)     = N1+(.w) / N1+(..)
+#
+# where N1+(.vw) counts DISTINCT u preceding (v,w) — the continuation
+# statistic that replaces raw counts below the top level — N1+(.v.)
+# sums those over w, N1+(v..) counts distinct (v,w) types, and the
+# unigram level comes from bigram types. Every statistic derives from
+# the trigram count table plus the bigram count table; the corpus is
+# scanned twice (once per explode order), never more.
+#
+# Same integer discipline as the bigram query: D = 3/4 folded into
+# 4x-scaled numerators/denominators, scale-1e9 fixed point, staged
+# truncating divisions (Spark `div` == DuckDB `//` on non-negatives)
+# so the BIGINT output is engine-exact by construction.
+
+
+@REGISTRY.add(
+    "lm_kn_trigram_probs",
+    f"""
+    WITH toks AS (
+      SELECT {_TOKS} AS w FROM documents
+    ), tri AS (
+      SELECT w[i] AS u, w[i+1] AS v, w[i+2] AS t, COUNT(*) AS c3
+      FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS x(i)
+      GROUP BY 1, 2, 3
+    ), bi AS (
+      SELECT w[i] AS v, w[i+1] AS t, COUNT(*) AS c2
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS x(i)
+      GROUP BY 1, 2
+    ), ctx AS (
+      SELECT u, v, CAST(SUM(c3) AS BIGINT) AS cuv,
+             COUNT(*) AS n1p_uv
+      FROM tri GROUP BY 1, 2
+    ), cont_vw AS (
+      SELECT v, t, COUNT(*) AS n1p_vw FROM tri GROUP BY 1, 2
+    ), cont_v AS (
+      SELECT v, CAST(SUM(n1p_vw) AS BIGINT) AS n1p_v_,
+             COUNT(*) AS n1p_v__types
+      FROM cont_vw GROUP BY 1
+    ), uni AS (
+      SELECT t, COUNT(*) AS n1p_w FROM bi GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*) AS n_bi_types FROM bi
+    ), p1 AS (
+      SELECT t, (n1p_w * {KN_SCALE}) // n_bi_types AS p1_e9
+      FROM uni, tot
+    ), p2 AS (
+      SELECT cw.v, cw.t,
+             (GREATEST({KN_D_DEN} * cw.n1p_vw - {KN_D_NUM}, 0)
+               * {KN_SCALE}) // ({KN_D_DEN} * cv.n1p_v_)
+             + ((({KN_D_NUM} * cv.n1p_v__types * {KN_SCALE})
+                 // ({KN_D_DEN} * cv.n1p_v_)) * p1.p1_e9) // {KN_SCALE}
+               AS p2_e9
+      FROM cont_vw cw
+      JOIN cont_v cv USING (v)
+      JOIN p1 ON p1.t = cw.t
+    )
+    SELECT tri.u, tri.v, tri.t AS w,
+           CAST(tri.c3 AS BIGINT) AS trigram_count,
+           ctx.cuv AS context_count,
+           CAST((GREATEST({KN_D_DEN} * tri.c3 - {KN_D_NUM}, 0)
+                  * {KN_SCALE}) // ({KN_D_DEN} * ctx.cuv)
+                + ((({KN_D_NUM} * ctx.n1p_uv * {KN_SCALE})
+                    // ({KN_D_DEN} * ctx.cuv)) * p2.p2_e9) // {KN_SCALE}
+                AS BIGINT) AS p_kn3_e9
+    FROM tri
+    JOIN ctx ON ctx.u = tri.u AND ctx.v = tri.v
+    JOIN p2 ON p2.v = tri.v AND p2.t = tri.t
+    ORDER BY p_kn3_e9 DESC, tri.u ASC, tri.v ASC, w ASC
+    LIMIT {TOP_N}
+    """,
+    doc="Full interpolated Kneser-Ney TRIGRAM probabilities — the "
+    "three-level Chen-Goodman recursion with D = 0.75 at every "
+    "level: discounted trigram ML backed off through a continuation-"
+    "count bigram level (distinct-predecessor counts replace raw "
+    "counts below the top, the defining KN move) down to the "
+    "continuation unigram. Every statistic derives from the trigram "
+    "and bigram COUNT TABLES (two corpus scans total, one per "
+    "explode order; all higher aggregations are vocabulary-sized). "
+    "Scale-1e9 integer fixed point with staged truncating divisions "
+    "keeps three levels of interpolation engine-exact. Top-50 with "
+    "full deterministic tie-breaks.",
+    tags=("text", "lm", "ngram", "kneser-ney"),
+)
+def lm_kn_trigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents").select("text"))
+    toks = T.tokens(F.lower(F.col("text")))
+
+    def ngrams(n: int):
+        fields = ["u", "v", "t"][3 - n :]
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.struct(
+                    *[
+                        F.element_at(toks, i + F.lit(k)).alias(fields[k])
+                        for k in range(n)
+                    ]
+                ),
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<"
+                + ",".join(f"{f}:string" for f in fields)
+                + ">>"
+            )
+        )
+
+    tri = (
+        d.select(F.explode(ngrams(3)).alias("g"))
+        .select("g.u", "g.v", "g.t")
+        .groupBy("u", "v", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+    )
+    bi = (
+        d.select(F.explode(ngrams(2)).alias("g"))
+        .select("g.v", "g.t")
+        .groupBy("v", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    ctx = tri.groupBy("u", "v").agg(
+        F.sum("c3").cast("long").alias("cuv"),
+        F.count(F.lit(1)).cast("long").alias("n1p_uv"),
+    )
+    cont_vw = tri.groupBy("v", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_vw")
+    )
+    cont_v = cont_vw.groupBy("v").agg(
+        F.sum("n1p_vw").cast("long").alias("n1p_v_"),
+        F.count(F.lit(1)).cast("long").alias("n1p_v__types"),
+    )
+    uni = bi.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n1p_w"))
+    tot = bi.agg(F.count(F.lit(1)).cast("long").alias("n_bi_types"))
+    p1 = uni.crossJoin(F.broadcast(tot)).select(
+        "t", F.expr(f"(n1p_w * {KN_SCALE}L) div n_bi_types").alias("p1_e9")
+    )
+    p2 = (
+        cont_vw.join(F.broadcast(cont_v), "v")
+        .join(F.broadcast(p1), "t")
+        .select(
+            "v",
+            "t",
+            (
+                F.expr(
+                    f"(GREATEST({KN_D_DEN} * n1p_vw - {KN_D_NUM}, 0L)"
+                    f" * {KN_SCALE}L) div ({KN_D_DEN} * n1p_v_)"
+                )
+                + F.expr(
+                    f"((({KN_D_NUM} * n1p_v__types * {KN_SCALE}L)"
+                    f" div ({KN_D_DEN} * n1p_v_)) * p1_e9)"
+                    f" div {KN_SCALE}L"
+                )
+            ).alias("p2_e9"),
+        )
+    )
+    # ctx is (u,v)-keyed and p2 is (v,t)-keyed — both scale with the
+    # CONTEXT vocabulary (can be corpus-large), so they shuffle-join
+    # rather than broadcast; only the 1-dim vocab tables (cont_v, p1,
+    # the type total) broadcast above
+    return (
+        tri.join(ctx, ["u", "v"])
+        .join(p2, ["v", "t"])
+        .select(
+            "u",
+            "v",
+            F.col("t").alias("w"),
+            F.col("c3").alias("trigram_count"),
+            F.col("cuv").alias("context_count"),
+            (
+                F.expr(
+                    f"(GREATEST({KN_D_DEN} * c3 - {KN_D_NUM}, 0L)"
+                    f" * {KN_SCALE}L) div ({KN_D_DEN} * cuv)"
+                )
+                + F.expr(
+                    f"((({KN_D_NUM} * n1p_uv * {KN_SCALE}L)"
+                    f" div ({KN_D_DEN} * cuv)) * p2_e9)"
+                    f" div {KN_SCALE}L"
+                )
+            )
+            .cast("long")
+            .alias("p_kn3_e9"),
+        )
+        .orderBy(
+            F.desc("p_kn3_e9"), F.asc("u"), F.asc("v"), F.asc("w")
+        )
+        .limit(TOP_N)
+    )

@@ -84,6 +84,8 @@ BNLJ_BY_DESIGN = {
     # the bigram type total (1 aggregated row) broadcast onto the
     # bigram count table for the continuation-probability denominator
     "lm_kn_bigram_probs": "scalar-stats 1-row broadcast attach",
+    # same 1-row bigram-type-total attach feeding the unigram level
+    "lm_kn_trigram_probs": "scalar-stats 1-row broadcast attach",
     # the exact-L2 ground-truth side is the deliberate ann-family
     # brute force: corpus x broadcast(N_QUERIES query vectors), one
     # corpus scan, O(corpus) not O(corpus^2)
