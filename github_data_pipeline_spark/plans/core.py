@@ -174,7 +174,10 @@ def all_plans() -> Registry:
     REGISTRY.demote("orders_per_customer_histogram")
     REGISTRY.demote("orders_rollup")
     REGISTRY.demote("customers_above_nation_avg")
-    REGISTRY.demote("approx_lineitem_stats")
+    # (approx_lineitem_stats was demoted here in r3 as rows-only; its
+    # r7 oracle upgrade — exact values + within-envelope verdict flags
+    # pinned to 1 — un-parks it into the window at its natural
+    # streaming_plans slot, see the round-8 swap below)
     # (bpe_learned_merges was demoted here in r3 as rows-only; its r5
     # oracle upgrade — the unrolled replace-identity CTE — un-parks it
     # into the window, see the round-5 swap below)
@@ -348,5 +351,64 @@ def all_plans() -> Registry:
     REGISTRY.demote("bpe_encoded_profile")
     REGISTRY.demote("events_funnel_steps")
     REGISTRY.demote("neardup_editdist_pairs")
+    # round-8 swap: the twelve entries that have never held a
+    # driver-scored row — the eleven round-7 tail additions
+    # (lm_kn_bigram_probs, lm_doc_typicality, lm_kn_trigram_probs,
+    # doc_winnow_fingerprints, winnow_shared_fp_pairs, ann_pq_adc_topk,
+    # ann_ivfpq_topk, ann_pq_recall, source_shingle_overlap,
+    # events_retention_cohorts, salted_priority_revenue) plus the
+    # re-planned, newly oracle-backed approx_lineitem_stats (un-parked
+    # above) — take window slots this round. Twelve entries rotate
+    # out, each fully green in CORRECTNESS_r07.json (and most since
+    # r04/r05) with its operator class still covered in-window:
+    # - substring_dup_spans: cross-doc fingerprint postings + pair
+    #   generation ≡ winnow_shared_fp_pairs (rotating in — winnowing
+    #   IS the fingerprint approach to substring overlap) plus
+    #   exact_dedup/minhash (stay); the incremental mode stays pinned
+    #   by tests/test_substring_dedup.py.
+    # - doc_chunk_windows: zero-shuffle per-doc array-expr codegen ≡
+    #   doc_winnow_fingerprints (rotating in, same per-doc array
+    #   machinery at higher intensity); boundaries pinned by tests.
+    # - ann_lsh_topk: bucket-probe ANN ≡ ann_recall (stays — measures
+    #   brute/IVF/LSH against exact ground truth in one query) plus
+    #   ann_pq_adc_topk/ann_ivfpq_topk rotating in.
+    # - events_trailing_hour_window: RANGE-frame window ≡ the §2.5
+    #   window family anchored by top_orders_per_customer +
+    #   events_range_attribution (both stay).
+    # - doc_length_percentiles: exact percentile_disc ≡
+    #   approx_lineitem_stats rotating in (dollar-domain weighted
+    #   histogram computes the same exact percentiles at scale).
+    # - events_value_outliers: envelope/outlier gating ≡
+    #   approx_lineitem_stats' rank-based envelope flags rotating in.
+    # - decontam_overlap: benchmark n-gram overlap ≡
+    #   source_shingle_overlap rotating in (same shingle-posting
+    #   machinery, pairwise instead of one-vs-benchmark).
+    # - budget_sample_counts: deterministic md5-rate sampling ≡
+    #   mixture_alpha_sampling (stays, same operators/budget.py path).
+    # - doc_fulltext_porter: porter analyzer ≡ doc_fulltext_search
+    #   (stays — BM25 over the same analyzer chain); the three-engine
+    #   porter parity stays pinned by tests/test_porter.py.
+    # - leakage_safe_splits: cluster-keyed md5 splits ≡
+    #   incremental_split_update (stays — the strictly stronger
+    #   incremental==full equivalence proof over the same operator).
+    # - kmv_sketch_stats: KMV distinct sketch ≡ approx_lineitem_stats
+    #   rotating in (sketch aggregates with oracle-pinned envelopes).
+    # - doc_repetition_gates: Gopher repetition gates ≡
+    #   doc_gates_unpivot_long (stays — the same gate columns
+    #   reshaped long) + doc_quality_linear_gate (stays).
+    # All twelve stay cell-exact under the local checker
+    # (CORRECTNESS_TAIL.json).
+    REGISTRY.demote("substring_dup_spans")
+    REGISTRY.demote("doc_chunk_windows")
+    REGISTRY.demote("ann_lsh_topk")
+    REGISTRY.demote("events_trailing_hour_window")
+    REGISTRY.demote("doc_length_percentiles")
+    REGISTRY.demote("events_value_outliers")
+    REGISTRY.demote("decontam_overlap")
+    REGISTRY.demote("budget_sample_counts")
+    REGISTRY.demote("doc_fulltext_porter")
+    REGISTRY.demote("leakage_safe_splits")
+    REGISTRY.demote("kmv_sketch_stats")
+    REGISTRY.demote("doc_repetition_gates")
 
     return REGISTRY

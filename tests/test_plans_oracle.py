@@ -48,35 +48,42 @@ def test_driver_window_invariants():
     rows_only = [n for n in window if reg[n].oracle is None]
     assert rows_only == []
     for q in (
-        # round-4 additions that must stay scored
+        # long-standing anchors that must stay scored
         "neardup_cluster_keepers",
-        "decontam_overlap",
-        "budget_sample_counts",
-        "doc_fulltext_porter",
-        "leakage_safe_splits",
-        # round-5 additions (first window slots this round)
         "incremental_split_update",
-        "kmv_sketch_stats",
-        "doc_repetition_gates",
         "events_item_pagerank",
         "mixture_alpha_sampling",
         "bpe_learned_merges",
         "events_range_attribution",
-        "events_trailing_hour_window",
-        "doc_length_percentiles",
-        "events_value_outliers",
         "scd2_order_priority_history",
-        # round-7 rotation: the five r6 tail entries that had never
-        # held a driver-scored row (demoted to make room:
-        # kmeans_cluster_sizes, embedding_quantization_report,
-        # bpe_encoded_profile, events_funnel_steps,
-        # neardup_editdist_pairs — all r06-green, classes covered
-        # in-window; see plans/core.py round-7 swap comment)
+        # round-7 rotation survivors (first scored in r07)
         "doc_quality_linear_gate",
         "doc_char_trigram_typicality",
         "doc_hybrid_retrieval",
         "lm_bigram_counts",
         "doc_gates_unpivot_long",
+        # round-8 rotation: the twelve entries that had never held a
+        # driver-scored row — the eleven r7 tail additions plus the
+        # newly oracle-backed approx_lineitem_stats (demoted to make
+        # room: substring_dup_spans, doc_chunk_windows, ann_lsh_topk,
+        # events_trailing_hour_window, doc_length_percentiles,
+        # events_value_outliers, decontam_overlap,
+        # budget_sample_counts, doc_fulltext_porter,
+        # leakage_safe_splits, kmv_sketch_stats, doc_repetition_gates
+        # — all r07-green, classes covered in-window; see
+        # plans/core.py round-8 swap comment)
+        "lm_kn_bigram_probs",
+        "lm_doc_typicality",
+        "lm_kn_trigram_probs",
+        "doc_winnow_fingerprints",
+        "winnow_shared_fp_pairs",
+        "ann_pq_adc_topk",
+        "ann_ivfpq_topk",
+        "ann_pq_recall",
+        "source_shingle_overlap",
+        "events_retention_cohorts",
+        "salted_priority_revenue",
+        "approx_lineitem_stats",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry must carry an oracle (approx_lineitem_stats
