@@ -41,6 +41,11 @@ from ..functions.lsh import (
     bucket_col,
     duck_bucket_masked,
 )
+from ..operators.hints import (
+    BROADCAST_MAX_HEAVY_ROWS,
+    broadcast_if_bounded,
+    parquet_num_rows,
+)
 from ..sources.tables import load_table, spread
 from .core import REGISTRY
 
@@ -247,11 +252,17 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("grams_b")
     )
     union_size = F.col("grams_a") + F.col("grams_b") - F.col("shared")
-    # per-doc size tables are |docs| rows — broadcast, don't shuffle the
-    # (much larger) pair table twice
+    # The per-doc size tables are |docs| rows — UNBOUNDED at the 100-TB
+    # design point, so the broadcast hint is size-gated on the parquet
+    # footer row count (a true upper bound on |sizes|, read without a
+    # Spark job). Under the bound: broadcast, so the (much larger) pair
+    # table never shuffles. Over it: both joins are keyed on doc_a /
+    # doc_b, so the planner degrades to a shuffled join that scales,
+    # and AQE re-broadcasts at runtime if the actual size allows.
+    n_docs = parquet_num_rows(sf_dir, "documents")
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(broadcast_if_bounded(sa, n_docs), "doc_a")
+        .join(broadcast_if_bounded(sb, n_docs), "doc_b")
         .filter(F.col("shared") * 5 >= union_size * 4)
         .select(
             "doc_a",
@@ -376,6 +387,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two id sets pruning the verify sides) free instead of each
     # re-running the bucket grouping
     cands = lsh_candidates_capped(bands).localCheckpoint()
+    # ...but "tiny fraction" still grows LINEARLY with the corpus, so
+    # every downstream broadcast hint is size-gated on the exact
+    # candidate count (cheap — cands is already materialized). Over the
+    # bound, all five joins below carry doc-id equi-keys and degrade to
+    # shuffled joins that scale; AQE re-broadcasts at runtime if small.
+    n_cands = cands.count()
     # verify stage: the signature and shingle-array lookups become
     # map-side joins that move only candidate docs' data
     sa = sigs.alias("sa")
@@ -394,14 +411,14 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids_a = cands.select(F.col("doc_a").alias("doc_id")).distinct()
     ids_b = cands.select(F.col("doc_b").alias("doc_id")).distinct()
     ga = (
-        d.join(F.broadcast(ids_a), "doc_id")
+        d.join(broadcast_if_bounded(ids_a, n_cands), "doc_id")
         .select(
             F.col("doc_id").alias("doc_a"),
             F.array_distinct(T.word_ngrams(T.tokens("text"), 3)).alias("ga"),
         )
     )
     gb = (
-        d.join(F.broadcast(ids_b), "doc_id")
+        d.join(broadcast_if_bounded(ids_b, n_cands), "doc_id")
         .select(
             F.col("doc_id").alias("doc_b"),
             F.array_distinct(T.word_ngrams(T.tokens("text"), 3)).alias("gb"),
@@ -409,11 +426,13 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shared = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     union_size = F.size("ga") + F.size("gb") - shared
+    # ga/gb rows are bounded by n_cands but carry the distinct-3-gram
+    # ARRAYS (~KBs/row) — gate them on the tighter heavy-row bound.
     return (
-        sa.join(F.broadcast(cands), F.col("sa.doc_id") == F.col("doc_a"))
+        sa.join(broadcast_if_bounded(cands, n_cands), F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .join(F.broadcast(ga), "doc_a")
-        .join(F.broadcast(gb), "doc_b")
+        .join(broadcast_if_bounded(ga, n_cands, BROADCAST_MAX_HEAVY_ROWS), "doc_a")
+        .join(broadcast_if_bounded(gb, n_cands, BROADCAST_MAX_HEAVY_ROWS), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -61,8 +61,9 @@ _TOKS = (
     "tokenize + one explode; the count table aggregates with "
     "map-side combine (key space = bigram vocabulary << stream), the "
     "continuation count derives from the grouped table with no "
-    "second corpus scan, and the tiny continuation table broadcasts "
-    "back onto it.",
+    "second corpus scan, and the vocabulary-sized continuation table "
+    "joins back keyed on right_tok (no forced broadcast — AQE "
+    "broadcasts it at runtime when it is actually small).",
     tags=("text", "lm", "ngram"),
 )
 def lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,8 +90,13 @@ def lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = counts.groupBy("right_tok").agg(
         F.count(F.lit(1)).alias("right_continuation")
     )
+    # cont is vocabulary-sized — sub-linear in the corpus but UNBOUNDED,
+    # so no forced broadcast hint (the trigram query's judgment call,
+    # lm_kn_trigram_probs): the join is keyed on right_tok, the planner
+    # shuffle-joins it at scale, and AQE converts to a runtime broadcast
+    # when the vocabulary is actually small (it is at every tested SF).
     return (
-        counts.join(F.broadcast(cont), "right_tok")
+        counts.join(cont, "right_tok")
         .select(
             "left_tok",
             "right_tok",
@@ -204,9 +210,14 @@ def lm_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = counts.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
 
+    # lstats/rcont are vocabulary-sized — sub-linear but UNBOUNDED, so
+    # no forced broadcast hints (same judgment as lm_kn_trigram_probs):
+    # both joins are vocab-keyed shuffle joins at scale; AQE converts
+    # them to runtime broadcasts at tested SFs. Only the 1-row total
+    # keeps its hint (bounded by construction).
     scored = (
-        counts.join(F.broadcast(lstats), "left_tok")
-        .join(F.broadcast(rcont), "right_tok")
+        counts.join(lstats, "left_tok")
+        .join(rcont, "right_tok")
         .crossJoin(F.broadcast(tot))  # 1-row type-total attach
         .select(
             "left_tok",
@@ -346,9 +357,12 @@ def lm_doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("rc")
     )
     tot = counts.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    # vocab-sized stat tables: no forced broadcast hints (see the
+    # lm_kn_bigram_probs note — keyed shuffle joins at scale, AQE
+    # runtime broadcast at tested SFs); only the 1-row total is hinted.
     model = (
-        counts.join(F.broadcast(lstats), "left_tok")
-        .join(F.broadcast(rcont), "right_tok")
+        counts.join(lstats, "left_tok")
+        .join(rcont, "right_tok")
         .crossJoin(F.broadcast(tot))  # 1-row type-total attach
         .select(
             "left_tok",

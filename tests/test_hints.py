@@ -1,0 +1,79 @@
+"""Size-gated broadcast hints (operators/hints.py).
+
+The r7 verdict's one systematic 100-TB nit was forced ``F.broadcast``
+hints on corpus-derived tables: a forced hint bypasses Spark's size
+check and OOMs at scale instead of degrading to a shuffle join. These
+tests pin the gate in both directions and the no-job footer count the
+callers use as their cheap upper bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from github_data_pipeline_spark.operators.hints import (
+    BROADCAST_MAX_HEAVY_ROWS,
+    BROADCAST_MAX_ROWS,
+    broadcast_if_bounded,
+    parquet_num_rows,
+)
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_under_bound_applies_hint(spark):
+    dim = spark.range(10).withColumnRenamed("id", "k")
+    fact = spark.range(100).withColumnRenamed("id", "k")
+    joined = fact.join(broadcast_if_bounded(dim, bound_rows=10), "k")
+    assert "strategy=broadcast" in _analyzed(joined)
+
+
+def test_over_bound_leaves_frame_unhinted(spark):
+    dim = spark.range(10).withColumnRenamed("id", "k")
+    fact = spark.range(100).withColumnRenamed("id", "k")
+    joined = fact.join(
+        broadcast_if_bounded(dim, bound_rows=BROADCAST_MAX_ROWS + 1), "k"
+    )
+    assert "strategy=broadcast" not in _analyzed(joined)
+    # ...and the un-hinted frame is the SAME frame (no plan surgery)
+    assert joined.count() == 10
+
+
+def test_heavy_bound_is_tighter():
+    assert BROADCAST_MAX_HEAVY_ROWS < BROADCAST_MAX_ROWS
+
+
+def test_parquet_num_rows_matches_spark_count(spark, sf_dir):
+    from github_data_pipeline_spark.sources.tables import load_table
+
+    n_footer = parquet_num_rows(sf_dir, "documents")
+    n_spark = load_table(spark, sf_dir, "documents").count()
+    assert n_footer == n_spark > 0
+
+
+def test_gated_sites_still_broadcast_at_test_sf(spark, sf_dir):
+    """The three gated dedup joins must still plan as broadcast at
+    test SFs (the gate flips strategy only at 100-TB cardinalities):
+    jaccard keeps exactly its two size-table BHJs and the minhash
+    verify stage keeps its candidate-routing BHJs."""
+    from github_data_pipeline_spark.plans import all_plans
+
+    reg = all_plans()
+    jac = reg["neardup_jaccard_pairs"].builder(spark, sf_dir)
+    assert (
+        jac._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        .count("BroadcastHashJoin")
+        == 2
+    )
+    mh = reg["minhash_lsh_candidates"].builder(spark, sf_dir)
+    plan = mh._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastHashJoin" in plan
