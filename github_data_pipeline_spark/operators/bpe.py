@@ -217,6 +217,24 @@ def _safe_merge_prefix(
     return accepted
 
 
+# One cached training session per SparkContext (module-level: one
+# Python process drives one context). newSession() registers the
+# session in the JVM's session registry for the application's
+# lifetime, so a fresh one per learn_bpe call is a leak — reuse
+# instead, re-applying the training confs on every call.
+_TRAIN_SESSION = None
+
+
+def _training_session(spark):
+    global _TRAIN_SESSION
+    if (
+        _TRAIN_SESSION is None
+        or _TRAIN_SESSION.sparkContext is not spark.sparkContext
+    ):
+        _TRAIN_SESSION = spark.newSession()
+    return _TRAIN_SESSION
+
+
 def learn_bpe(
     docs: DataFrame,
     n_merges: int = 32,
@@ -253,6 +271,12 @@ def learn_bpe(
     ``spark.conf``), so queries running concurrently on the caller's
     session are never affected (pinned by
     tests/test_bpe.py::test_learn_bpe_never_touches_caller_confs).
+    The training session is CACHED per SparkContext and reused across
+    calls — Spark has no lightweight "close one session" API short of
+    stopping the shared context, so creating one per call would
+    accumulate conf-pinned sessions in the JVM registry for the life
+    of the application (r7 ADVICE). Both training confs are re-applied
+    on every call, so reuse never leaks a previous call's sizing.
     The word-count corpus scan itself runs on the caller's session
     under its normal confs; the resulting vocabulary table (tiny:
     distinct words, not tokens) crosses to the training session
@@ -277,7 +301,7 @@ def learn_bpe(
     # one corpus scan, caller confs (AQE on is right for the big scan)
     vocab0.write.mode("overwrite").parquet(vocab_path)
 
-    train = spark.newSession()
+    train = _training_session(spark)
     rounds = 0
     vocab = train.read.parquet(vocab_path)
     n_words = vocab.count()

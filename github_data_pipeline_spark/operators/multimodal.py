@@ -167,10 +167,23 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     A JPEG payload without PIL is the one unservable case and raises
     ValueError (entropy decoding needs a real codec); both real
     branches are tested in tests/test_multimodal_ops.py.
+
+    A payload that merely LOOKS like a PNG (magic bytes followed by
+    truncated or corrupt chunk data) must not kill the enclosing
+    mapInPandas stage with an undocumented struct.error/zlib.error —
+    at 100 TB one hostile document would otherwise fail the job. The
+    stdlib parse is wrapped: any parse failure falls back to the
+    deterministic fake, the same degradation path every non-image
+    payload takes (r7 ADVICE).
     """
     payload = bytes(payload)
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
-        return _decode_pil(payload) if _HAVE_PIL else _decode_png_stdlib(payload)
+        if _HAVE_PIL:
+            return _decode_pil(payload)
+        try:
+            return _decode_png_stdlib(payload)
+        except Exception:
+            pass  # corrupt/truncated pseudo-PNG -> deterministic fake
     if payload[: len(_JPEG_MAGIC)] == _JPEG_MAGIC:
         if _HAVE_PIL:
             return _decode_pil(payload)

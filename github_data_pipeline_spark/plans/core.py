@@ -398,6 +398,16 @@ def all_plans() -> Registry:
     #   reshaped long) + doc_quality_linear_gate (stays).
     # All twelve stay cell-exact under the local checker
     # (CORRECTNESS_TAIL.json).
+    # ...and the r8-new doc_hybrid_overlap_slice (registered inside the
+    # window group right after doc_hybrid_retrieval — the r7 ADVICE
+    # split of the capability query from the overlap-proof oracle)
+    # takes one more slot so it is driver-scored immediately;
+    # gh_commit_first_lines rotates out (green since r03): the
+    # first-line scalar stays exercised in-window by the linker
+    # queries' sentence-scoped keyword extraction over the same commit
+    # fixtures, and the scalar itself is pinned by unit/property tests
+    # (tests/test_refs_property.py).
+    REGISTRY.demote("gh_commit_first_lines")
     REGISTRY.demote("substring_dup_spans")
     REGISTRY.demote("doc_chunk_windows")
     REGISTRY.demote("ann_lsh_topk")

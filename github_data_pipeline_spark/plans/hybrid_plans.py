@@ -14,15 +14,31 @@ BM25 statistics are computed over that restriction on BOTH engines
 (bm25_oracle's ``table_sql`` hook), so lexical ranks are
 subset-native, not global ranks filtered after the fact.
 
-Scale shape (100 TB): the lexical side is the existing one-pass BM25
-scan (stats by 1-row broadcast attach, top-k TakeOrderedAndProject);
-the vector side broadcasts the single query vector through the
-existing dot-product expression and pre-limits to K via its own
-TakeOrderedAndProject before ranks are assigned (the rank window
-sorts ≤K rows, never the corpus); fusion joins two ≤K-row lists —
-driver-free and shuffle-trivial no matter the corpus size. Swapping
-the brute vector scan for the IVF/LSH bucket probe (ann_lsh_plans)
-changes no fusion code.
+TWO registry entries share one parameterized plan (r7 ADVICE — the r7
+build restricted the shipped query itself to a fixed corpus slice,
+which made the oracle's both-lists branch non-vacuous but silently
+weakened the capability entry):
+
+* ``doc_hybrid_retrieval`` — the capability entry: whole-corpus
+  fusion, no slice. On the random-embedding fixture the two top-20
+  lists rarely intersect, so the oracle's both-lists sum branch may
+  be vacuous HERE — which is why the second entry exists.
+* ``doc_hybrid_overlap_slice`` — the overlap-proof entry: both lists
+  restricted to ``doc_id % SLICE_MOD == SLICE_REM`` (exactly 20 docs
+  at the oracle scales), so the vector top-K covers the slice and
+  every lexical hit lands in BOTH lists — the Borda sum branch is
+  provably exercised on each oracle run (pinned by
+  tests/test_hybrid.py::test_oracle_slice_overlap_nonvacuous).
+
+Scale shape (100 TB, identical for both entries): the lexical side is
+the existing one-pass BM25 scan (stats by 1-row broadcast attach,
+top-k TakeOrderedAndProject); the vector side broadcasts the single
+query vector through the existing dot-product expression and
+pre-limits to K via its own TakeOrderedAndProject before ranks are
+assigned (the rank window sorts ≤K rows, never the corpus); fusion
+joins two ≤K-row lists — driver-free and shuffle-trivial no matter
+the corpus size. Swapping the brute vector scan for the IVF/LSH
+bucket probe (ann_lsh_plans) changes no fusion code.
 """
 
 from __future__ import annotations
@@ -40,27 +56,26 @@ from .similarity_plans import _duck_cos
 K_LIST = 20  # depth of each ranked list entering the fusion
 TOP_FUSED = 10
 QUERY_VEC_ID = 0  # the fixed query vector (excluded from results)
-# Corpus slice: embedded docs with doc_id % SLICE_MOD == SLICE_REM.
-# The fixture's embeddings are random, so against the FULL 500-doc
-# embedded set the lexical and vector top-20 lists almost never
-# intersect and the Borda both-lists sum branch goes oracle-vacuous.
-# Restricting both lists to this slice (exactly 20 docs at the
-# sf0.001/sf0.01 oracle scales) makes the vector list cover the slice,
-# so EVERY lexical hit lands in both lists — the overlap branch is
-# provably exercised on each oracle run (pinned by
-# tests/test_hybrid.py::test_oracle_slice_overlap_nonvacuous).
+# Overlap-proof slice: embedded docs with doc_id % SLICE_MOD ==
+# SLICE_REM (see the module docstring).
 SLICE_MOD = 25
 SLICE_REM = 1
 
-_EMBEDDED_DOCS = (
-    "(SELECT d.* FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id"
-    f" WHERE d.doc_id <> {QUERY_VEC_ID}"
-    f" AND d.doc_id % {SLICE_MOD} = {SLICE_REM})"
-)
 
-_ORACLE = f"""
+def _oracle(slice_mod: int | None, slice_rem: int) -> str:
+    slice_doc = (
+        f" AND d.doc_id % {slice_mod} = {slice_rem}" if slice_mod else ""
+    )
+    slice_vec = (
+        f" AND c.vec_id % {slice_mod} = {slice_rem}" if slice_mod else ""
+    )
+    embedded_docs = (
+        "(SELECT d.* FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id"
+        f" WHERE d.doc_id <> {QUERY_VEC_ID}{slice_doc})"
+    )
+    return f"""
 WITH lexall AS (
-  {bm25_oracle(QUERY, top_k=K_LIST, table_sql=_EMBEDDED_DOCS)}
+  {bm25_oracle(QUERY, top_k=K_LIST, table_sql=embedded_docs)}
 ), lex AS (
   SELECT doc_id,
          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
@@ -71,8 +86,7 @@ WITH lexall AS (
            ORDER BY {_duck_cos('q', 'c')} DESC, c.vec_id ASC
          ) AS vec_rank
   FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-  WHERE q.vec_id = {QUERY_VEC_ID}
-    AND c.vec_id % {SLICE_MOD} = {SLICE_REM}
+  WHERE q.vec_id = {QUERY_VEC_ID}{slice_vec}
 ), vec AS (
   SELECT doc_id, vec_rank FROM vecall WHERE vec_rank <= {K_LIST}
 )
@@ -90,33 +104,24 @@ LIMIT {TOP_FUSED}
 """
 
 
-@REGISTRY.add(
-    "doc_hybrid_retrieval",
-    _ORACLE,
-    doc="Hybrid lexical+vector retrieval with Borda rank fusion (the "
-    "integer-exact sibling of reciprocal-rank fusion): BM25 top-20 "
-    "over an embedded-doc slice (stats computed over the "
-    "restriction, not filtered global ranks; the slice keeps the "
-    "both-lists sum branch oracle-non-vacuous — see SLICE_MOD) "
-    "fused with cosine top-20 for a fixed query vector; (K+1)-rank "
-    "points per list, summed as BIGINT, top-10 by fused score with "
-    "doc_id tie-break. Both sides pre-limit to K via "
-    "TakeOrderedAndProject before ranking, so the rank windows and "
-    "the fusion join all run over <=K rows — driver-free at any "
-    "corpus size; the brute vector scan swaps for the IVF/LSH "
-    "bucket probe with no fusion change.",
-    tags=("retrieval", "hybrid", "fulltext", "similarity"),
-)
-def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hybrid(
+    spark: SparkSession,
+    sf_dir: str,
+    slice_mod: int | None,
+    slice_rem: int,
+) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     emb = load_table(spark, sf_dir, "embeddings")
 
+    doc_pred = F.col("doc_id") != QUERY_VEC_ID
+    vec_pred = F.col("vec_id") != QUERY_VEC_ID
+    if slice_mod:
+        doc_pred = doc_pred & (F.col("doc_id") % slice_mod == slice_rem)
+        vec_pred = vec_pred & (F.col("vec_id") % slice_mod == slice_rem)
+
     restricted = docs.join(
         F.broadcast(
-            emb.select(F.col("vec_id").alias("doc_id")).filter(
-                (F.col("doc_id") != QUERY_VEC_ID)
-                & (F.col("doc_id") % SLICE_MOD == SLICE_REM)
-            )
+            emb.select(F.col("vec_id").alias("doc_id")).filter(doc_pred)
         ),
         "doc_id",
         "left_semi",
@@ -138,10 +143,7 @@ def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding into a single unpartitioned-Window task; this mirrors
     # the lexical side's bm25_scan_topk shape
     vec_topk = (
-        emb.filter(
-            (F.col("vec_id") != QUERY_VEC_ID)
-            & (F.col("vec_id") % SLICE_MOD == SLICE_REM)
-        )
+        emb.filter(vec_pred)
         .crossJoin(F.broadcast(qvec))
         .select(
             F.col("vec_id").alias("doc_id"),
@@ -182,3 +184,42 @@ def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_FUSED)
     )
     return fused
+
+
+@REGISTRY.add(
+    "doc_hybrid_retrieval",
+    _oracle(None, 0),
+    doc="Hybrid lexical+vector retrieval with Borda rank fusion (the "
+    "integer-exact sibling of reciprocal-rank fusion) over the WHOLE "
+    "embedded corpus: BM25 top-20 (stats computed over the embedded "
+    "restriction, not filtered global ranks) fused with cosine "
+    "top-20 for a fixed query vector; (K+1)-rank points per list, "
+    "summed as BIGINT, top-10 by fused score with doc_id tie-break. "
+    "Both sides pre-limit to K via TakeOrderedAndProject before "
+    "ranking, so the rank windows and the fusion join all run over "
+    "<=K rows — driver-free at any corpus size; the brute vector "
+    "scan swaps for the IVF/LSH bucket probe with no fusion change. "
+    "On the random-embedding fixture the two lists rarely intersect; "
+    "the both-lists sum branch is oracle-proven by the companion "
+    "slice entry below.",
+    tags=("retrieval", "hybrid", "fulltext", "similarity"),
+)
+def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hybrid(spark, sf_dir, None, 0)
+
+
+@REGISTRY.add(
+    "doc_hybrid_overlap_slice",
+    _oracle(SLICE_MOD, SLICE_REM),
+    doc="The same Borda fusion plan restricted to the doc_id % 25 == 1 "
+    "corpus slice (20 docs at the oracle scales): the vector top-20 "
+    "covers the slice, so every lexical hit lands in BOTH ranked "
+    "lists and the oracle provably exercises the both-lists sum "
+    "branch on every run — the overlap-proof companion to the "
+    "whole-corpus doc_hybrid_retrieval entry (r7 ADVICE: the "
+    "capability query and the branch-coverage oracle are separate "
+    "entries, not one compromised query).",
+    tags=("retrieval", "hybrid", "fulltext", "similarity"),
+)
+def doc_hybrid_overlap_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hybrid(spark, sf_dir, SLICE_MOD, SLICE_REM)

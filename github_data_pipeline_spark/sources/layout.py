@@ -81,7 +81,10 @@ def compact_parquet(
     **Crash recovery.** The two renames cannot be one atomic op, so a
     crash between them leaves no directory at ``path`` with the data
     intact in ``<path>.__compact_old__``; the next call (or a manual
-    ``mv``) restores it before compacting. Each rename is atomic per
+    ``mv``) restores it before compacting. A crash *after* the swap
+    committed but before the backup rmtree leaves BOTH directories —
+    ``path`` already holds the compacted data, so the next call
+    removes the stale backup and proceeds. Each rename is atomic per
     directory on a POSIX fs; on an object store this whole commit is
     the table-format metadata pointer swap (Delta/Iceberg).
     """
@@ -93,6 +96,14 @@ def compact_parquet(
         # a previous compaction crashed mid-swap: the original is
         # intact under the backup name — restore and carry on
         os.rename(bak, path)
+    elif os.path.isdir(bak):
+        # both path and bak exist: a previous compaction crashed AFTER
+        # the swap committed (rename(tmp, path) succeeded) but before
+        # the backup was removed — path already holds the compacted
+        # data, so the stale backup is garbage. Without this cleanup
+        # every subsequent compaction dies at os.rename(path, bak)
+        # with ENOTEMPTY/EEXIST until someone removes it by hand.
+        shutil.rmtree(bak)
     shutil.rmtree(tmp, ignore_errors=True)  # stale temp from a crash
     partition_dirs = [
         d

@@ -16,6 +16,7 @@ only the partitions containing changed keys (with Delta available,
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -134,6 +135,31 @@ def write_json_artifact(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def _send_with_retry(
+    send_batch: Callable[[list[tuple[str, str]]], int],
+    batch: list[tuple[str, str]],
+    max_retries: int,
+    backoff_s: float,
+    sleep: Callable[[float], None],
+) -> int:
+    """One batch through ``send_batch`` with exponential backoff on
+    TRANSPORT errors (exceptions). ``send_batch`` returning ``n < len``
+    is per-document rejection — terminal by contract, never retried
+    (retrying would double-index the accepted documents). A batch that
+    still raises after ``max_retries`` attempts is accounted as fully
+    failed rather than raised, mirroring the reference's
+    terminal-status accounting (``src/indexing/client.py:54-102``) so
+    one dead shard cannot kill a 1000-partition stage."""
+    for attempt in range(max_retries + 1):
+        try:
+            return send_batch(batch)
+        except Exception:
+            if attempt == max_retries:
+                return 0
+            sleep(backoff_s * (2**attempt))
+    return 0  # unreachable
+
+
 def bulk_index(
     df: DataFrame,
     id_col: str,
@@ -141,6 +167,9 @@ def bulk_index(
     batch_size: int = 500,
     dry_run: bool = False,
     distributed: bool = False,
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
+    sleep: Callable[[float], None] | None = None,
 ) -> tuple[int, int]:
     """ES-bulk-shaped sink: (doc-id, json-doc) batches through
     ``send_batch`` (returns #ok), with ok/fail accounting
@@ -148,12 +177,18 @@ def bulk_index(
     connector (`es.mapping.id`); this path exists for parity tests and
     air-gapped runs.
 
-    Two transports, identical accounting:
+    Two transports, identical accounting (including the retry policy —
+    a transport exception from ``send_batch`` is retried up to
+    ``max_retries`` times with exponential backoff ``backoff_s * 2^n``,
+    then the batch is accounted as failed; per-document rejections,
+    ``send_batch`` returning fewer than the batch, are terminal and
+    never retried):
 
     * ``distributed=False`` — batches stream through toLocalIterator,
       bounding driver memory at one batch. Single-stream throughput;
       exact byte-for-byte parity with the reference's driver-side
-      indexer loop (``src/indexing/indexer.py:115-178``).
+      indexer loop (``src/indexing/indexer.py:115-178``). This path is
+      effectively-once: one stream, no task retries.
     * ``distributed=True`` — the scale path: every partition ships its
       own batches from the executor that holds it (``send_batch`` must
       be picklable and thread/process-safe, like a per-worker ES
@@ -162,28 +197,40 @@ def bulk_index(
       no document ever crosses to the driver. At 1000 executors this
       is 1000 concurrent bulk streams instead of one.
 
+      **Delivery contract: at-least-once.** A failed/retried or
+      speculatively-executed task re-runs its whole partition and
+      calls ``send_batch`` again, double-sending documents and
+      inflating the folded ok/fail counts. ``send_batch`` MUST
+      therefore be idempotent keyed by ``_id`` (the ES bulk ``index``
+      op is: same ``_id`` overwrites, so the sink converges even
+      though the counts can over-report under task retry). Disable
+      ``spark.speculation`` for this stage if exact counts matter.
+
     ``dry_run=True`` mirrors the reference CLI's ``--dry-run``
     (``src/indexing/indexer.py:158-160``): count the docs that *would*
     index without touching the sink — here a distributed count, not a
     driver-side parse loop — returned as (ok, 0)."""
     if dry_run:
         return int(df.count()), 0
+    sleep_fn = sleep if sleep is not None else time.sleep
     docs = df.select(
         F.col(id_col).alias("_id"), F.to_json(F.struct(*df.columns)).alias("_doc")
     )
     if distributed:
-        return _bulk_index_partitions(docs, send_batch, batch_size)
+        return _bulk_index_partitions(
+            docs, send_batch, batch_size, max_retries, backoff_s, sleep_fn
+        )
     ok = fail = 0
     batch: list[tuple[str, str]] = []
     for row in docs.toLocalIterator():
         batch.append((row["_id"], row["_doc"]))
         if len(batch) >= batch_size:
-            n = send_batch(batch)
+            n = _send_with_retry(send_batch, batch, max_retries, backoff_s, sleep_fn)
             ok += n
             fail += len(batch) - n
             batch = []
     if batch:
-        n = send_batch(batch)
+        n = _send_with_retry(send_batch, batch, max_retries, backoff_s, sleep_fn)
         ok += n
         fail += len(batch) - n
     return ok, fail
@@ -193,12 +240,18 @@ def _bulk_index_partitions(
     docs: DataFrame,
     send_batch: Callable[[list[tuple[str, str]]], int],
     batch_size: int,
+    max_retries: int,
+    backoff_s: float,
+    sleep: Callable[[float], None],
 ) -> tuple[int, int]:
     """Executor-side transport for :func:`bulk_index`: one
     ``mapInPandas`` stage whose workers batch their partition's rows
     (batches span Arrow-chunk boundaries, so batch sizes match the
-    driver path within each partition), send them, and emit a single
-    (ok, fail) row; a sum aggregate folds the accounting."""
+    driver path within each partition), send them with the same
+    retry-with-backoff policy as the driver path, and emit a single
+    (ok, fail) row; a sum aggregate folds the accounting. Delivery is
+    at-least-once under task retry/speculation — see
+    :func:`bulk_index`."""
     import pandas as pd
 
     def _send_partition(chunks):
@@ -208,7 +261,9 @@ def _bulk_index_partitions(
         def flush():
             nonlocal ok, fail, batch
             if batch:
-                n = send_batch(batch)
+                n = _send_with_retry(
+                    send_batch, batch, max_retries, backoff_s, sleep
+                )
                 ok += n
                 fail += len(batch) - n
                 batch = []

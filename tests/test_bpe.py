@@ -135,6 +135,24 @@ def test_learn_bpe_never_touches_caller_confs(spark):
         assert spark.conf.get(k, None) == before[k]
 
 
+def test_learn_bpe_reuses_one_training_session(spark):
+    """Repeated training calls in one JVM must NOT accumulate
+    conf-pinned sessions in the registry (r7 ADVICE): the dedicated
+    training session is cached per SparkContext and reused, and the
+    results stay identical across reuses."""
+    texts = ["low low low lower lower", "newest newest widest lowest"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    m1 = bpe.learn_bpe(docs, n_merges=3)
+    sess1 = bpe._TRAIN_SESSION
+    m2 = bpe.learn_bpe(docs, n_merges=3)
+    sess2 = bpe._TRAIN_SESSION
+    assert sess1 is sess2 and sess1 is not spark
+    assert sess1.sparkContext is spark.sparkContext
+    assert m1 == m2 == ref_learn_bpe(texts, 3)
+
+
 def test_merge_fold_leftmost_first(spark):
     df = spark.createDataFrame(
         [(["a", "a", "a"],), (["a", "b", "a", "b"],), ([],)], ["syms"]

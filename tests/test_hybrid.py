@@ -78,6 +78,23 @@ def test_oracle_slice_overlap_nonvacuous(spark, sf_dir):
     from github_data_pipeline_spark.plans import all_plans
 
     reg = all_plans()
-    rows = reg["doc_hybrid_retrieval"].builder(spark, sf_dir).collect()
+    rows = reg["doc_hybrid_overlap_slice"].builder(spark, sf_dir).collect()
     both = [r for r in rows if r["lex_rank"] > 0 and r["vec_rank"] > 0]
     assert len(both) >= 1, "overlap branch vacuous on fixture data"
+
+
+def test_capability_entry_is_whole_corpus(spark, sf_dir):
+    """doc_hybrid_retrieval must fuse over the WHOLE embedded corpus
+    (r7 ADVICE: no silent slice in the capability entry): its vector
+    list may contain doc_ids off the overlap slice."""
+    from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.plans import hybrid_plans as hp
+
+    reg = all_plans()
+    rows = reg["doc_hybrid_retrieval"].builder(spark, sf_dir).collect()
+    off_slice = [
+        r
+        for r in rows
+        if r["doc_id"] % hp.SLICE_MOD != hp.SLICE_REM
+    ]
+    assert off_slice, "capability entry is slice-restricted again"

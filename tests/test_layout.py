@@ -114,6 +114,31 @@ def test_compaction_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
     assert not os.path.exists(path + ".__compact_tmp__")
 
 
+def test_compaction_recovers_from_post_commit_crash(spark, sf_dir, tmp_path):
+    """A crash AFTER rename(tmp, path) committed but BEFORE the backup
+    rmtree leaves BOTH path (the compacted data) and .__compact_old__
+    on disk. The stale backup must be cleaned up at the next call —
+    not left to fail every subsequent rename(path, bak) with
+    ENOTEMPTY — and the surviving data is the committed (new) copy
+    (r7 ADVICE)."""
+    events = load_table(spark, sf_dir, "events").limit(100)
+    path = str(tmp_path / "postcommit")
+    events.repartition(5).write.parquet(path)
+    rows = {r["event_id"] for r in spark.read.parquet(path).collect()}
+    # simulate: swap committed (path holds good data), stale backup
+    # holding the PRE-compaction copy still present
+    bak = path + ".__compact_old__"
+    os.makedirs(bak)
+    with open(os.path.join(bak, "stale"), "w") as fh:
+        fh.write("pre-compaction leftovers")
+    n = compact_parquet(spark, path, target_file_bytes=1024 * 1024)
+    assert n == 1
+    got = {r["event_id"] for r in spark.read.parquet(path).collect()}
+    assert got == rows
+    assert not os.path.exists(bak)
+    assert not os.path.exists(path + ".__compact_tmp__")
+
+
 def test_zorder_empty_input_writes_empty_dir(spark, sf_dir, tmp_path):
     """min/max over zero rows aggregates to NULL; the z-order writer
     must land an empty schema-bearing directory, not raise on None

@@ -193,6 +193,33 @@ def test_decode_jpeg_without_codec_raises_cleanly():
         mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
+def test_decode_corrupt_pseudo_png_falls_back_to_fake():
+    """A payload carrying the PNG magic but truncated/corrupt chunk
+    data must NOT escape as struct.error/zlib.error (which would kill
+    the whole mapInPandas stage) — it degrades to the deterministic
+    fake like any non-image payload (r7 ADVICE)."""
+    from github_data_pipeline_spark.operators import multimodal as mm
+
+    if mm._HAVE_PIL:
+        pytest.skip("PIL present: corrupt payloads route to the PIL branch")
+    for hostile in (
+        mm._PNG_MAGIC,  # magic only: truncated before IHDR
+        mm._PNG_MAGIC + b"\x00\x00\x00\x0d",  # length with no chunk body
+        make_png([[(1, 2, 3)]])[:-20],  # valid header, truncated IDAT
+        mm._PNG_MAGIC
+        + b"\x00\x00\x00\x0dIHDR"
+        + b"\x00\x00\x00\x01\x00\x00\x00\x01\x08\x02\x00\x00\x00"
+        + b"\x00" * 4
+        + b"\x00\x00\x00\x04IDAT"
+        + b"garb"  # not zlib data
+        + b"\x00" * 4,
+    ):
+        got = mm.decode_image(hostile)
+        n = len(hostile)
+        assert (got["width"], got["height"]) == (16 + n % 17, 16 + n % 13)
+        assert got["n_bytes"] == n
+
+
 def test_extract_features_mixed_real_and_fake_payloads(spark):
     """The Arrow stage handles real PNG payloads and fake payloads in
     the SAME batch — the graceful-degradation contract end-to-end."""

@@ -84,6 +84,10 @@ def test_driver_window_invariants():
         "events_retention_cohorts",
         "salted_priority_revenue",
         "approx_lineitem_stats",
+        # round-8 new entry (overlap-proof companion to the restored
+        # whole-corpus doc_hybrid_retrieval; gh_commit_first_lines
+        # demoted to make room)
+        "doc_hybrid_overlap_slice",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry must carry an oracle (approx_lineitem_stats

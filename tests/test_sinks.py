@@ -110,6 +110,104 @@ def test_bulk_index_distributed_parity(spark, tmp_path):
     assert len(batches) > 6
 
 
+def test_bulk_index_retries_transport_errors_with_backoff(spark):
+    """A transport EXCEPTION is retried with exponential backoff; once
+    it clears, the batch's accounting is as if it never failed."""
+    df = spark.createDataFrame(
+        [("o/a", n, "open") for n in range(7)], SCHEMA
+    ).withColumn("_key", key_issue("repo_name", "number"))
+    attempts: dict[int, int] = {}
+    sleeps: list[float] = []
+    batch_no = [0]
+
+    def flaky(batch):
+        i = batch_no[0]
+        attempts[i] = attempts.get(i, 0) + 1
+        if attempts[i] <= 2:  # first two attempts of every batch die
+            raise ConnectionError("transport down")
+        batch_no[0] += 1
+        return len(batch)
+
+    ok, fail = bulk_index(
+        df, "_key", flaky, batch_size=3, backoff_s=0.25, sleep=sleeps.append
+    )
+    assert (ok, fail) == (7, 0)
+    assert all(n == 3 for n in attempts.values())  # 2 failures + 1 ok
+    # exponential: 0.25, 0.5 per batch, three batches (3+3+1 docs)
+    assert sleeps == [0.25, 0.5] * 3
+
+
+def test_bulk_index_terminal_transport_failure_accounts_not_raises(spark):
+    """A batch that still raises after max_retries is counted as fully
+    failed — one dead shard must not kill the stage."""
+    df = spark.createDataFrame(
+        [("o/a", n, "open") for n in range(5)], SCHEMA
+    ).withColumn("_key", key_issue("repo_name", "number"))
+    calls = []
+
+    def dead(batch):
+        calls.append(len(batch))
+        raise ConnectionError("still down")
+
+    ok, fail = bulk_index(
+        df, "_key", dead, batch_size=5, max_retries=2, sleep=lambda s: None
+    )
+    assert (ok, fail) == (0, 5)
+    assert len(calls) == 3  # initial + 2 retries, then give up
+
+
+def test_bulk_index_doc_rejections_never_retried(spark):
+    """send_batch returning n < len(batch) is per-document rejection —
+    terminal by contract; retrying would double-index the accepted
+    documents."""
+    df = spark.createDataFrame(
+        [("o/a", n, "open") for n in range(4)], SCHEMA
+    ).withColumn("_key", key_issue("repo_name", "number"))
+    calls = []
+
+    def rejecting(batch):
+        calls.append(len(batch))
+        return len(batch) - 1
+
+    ok, fail = bulk_index(df, "_key", rejecting, batch_size=4, sleep=lambda s: None)
+    assert (ok, fail) == (3, 1)
+    assert calls == [4]  # exactly one attempt
+
+
+def test_bulk_index_distributed_retries_on_executors(spark, tmp_path):
+    """The executor-side transport applies the same retry policy: a
+    transport that dies once per distinct batch (shared marker files
+    make the flakiness deterministic across worker processes) must
+    still fold exact accounting."""
+    df = spark.createDataFrame(
+        [("o/a", n, "open") for n in range(23)], SCHEMA
+    ).withColumn("_key", key_issue("repo_name", "number"))
+    markers = tmp_path / "markers"
+    markers.mkdir()
+
+    def flaky(batch):
+        import hashlib as _hl
+
+        sig = _hl.md5("|".join(_id for _id, _ in batch).encode()).hexdigest()
+        marker = markers / sig
+        if not marker.exists():
+            marker.write_text("seen")
+            raise ConnectionError("first attempt for this batch dies")
+        return len(batch)
+
+    ok, fail = bulk_index(
+        df.repartition(4),
+        "_key",
+        flaky,
+        batch_size=4,
+        distributed=True,
+        backoff_s=0.0,
+        sleep=lambda s: None,
+    )
+    assert (ok, fail) == (23, 0)
+    assert len(list(markers.iterdir())) >= 6  # every batch failed once
+
+
 def test_stable_ids_deterministic(spark):
     df = spark.createDataFrame([("o/a", 7, "open")], SCHEMA)
     k1 = df.select(key_issue("repo_name", "number").alias("k")).collect()[0]["k"]

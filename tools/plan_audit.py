@@ -81,6 +81,9 @@ BNLJ_BY_DESIGN = {
     # entries) and the single query VECTOR broadcast onto the
     # embedding scan
     "doc_hybrid_retrieval": "scalar-stats 1-row broadcast attach",
+    # the same parameterized plan restricted to the overlap-proof
+    # corpus slice — identical 1-row attach shape
+    "doc_hybrid_overlap_slice": "scalar-stats 1-row broadcast attach",
     # the bigram type total (1 aggregated row) broadcast onto the
     # bigram count table for the continuation-probability denominator
     "lm_kn_bigram_probs": "scalar-stats 1-row broadcast attach",
