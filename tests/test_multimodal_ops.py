@@ -241,13 +241,40 @@ def test_extract_features_mixed_real_and_fake_payloads(spark):
     assert (rows[2]["width"], rows[2]["height"]) == (16 + n % 17, 16 + n % 13)
 
 
-def test_stdlib_matches_pil_if_available():
-    PIL = pytest.importorskip("PIL")  # noqa: F841
+def test_active_real_decode_branch_asserted():
+    """No environment-dependent skip (r7 verdict ask): whichever real
+    decode branch is active in THIS container is asserted.
+
+    * PIL present — the stdlib decoder must match PIL bit-for-bit on
+      dimensions and to float tolerance on mean_pixel, and
+      decode_image must route PNG payloads to the PIL branch.
+    * PIL absent — decode_image must route PNG payloads to the stdlib
+      branch (result identical to calling _decode_png_stdlib
+      directly), proving real image data decodes for real in a
+      codec-less container instead of falling to the fake.
+    """
     from github_data_pipeline_spark.operators import multimodal as mm
 
     px = [[(10, 200, 30), (255, 0, 128)], [(1, 2, 3), (4, 5, 6)]]
     payload = make_png(px, filters=[0, 2])
-    a = mm._decode_png_stdlib(payload)
-    b = mm._decode_pil(payload)
-    assert (a["width"], a["height"]) == (b["width"], b["height"])
-    assert a["mean_pixel"] == pytest.approx(b["mean_pixel"])
+    stdlib = mm._decode_png_stdlib(payload)
+    routed = mm.decode_image(payload)
+    flat = [s for row in px for p in row for s in p]
+    assert (stdlib["width"], stdlib["height"]) == (2, 2)
+    assert stdlib["mean_pixel"] == pytest.approx(sum(flat) / len(flat))
+    if mm._HAVE_PIL:
+        pil = mm._decode_pil(payload)
+        assert (stdlib["width"], stdlib["height"]) == (
+            pil["width"],
+            pil["height"],
+        )
+        assert stdlib["mean_pixel"] == pytest.approx(pil["mean_pixel"])
+        assert routed == pytest.approx(pil)  # PNG routes to PIL
+    else:
+        # PNG routes to the stdlib branch, NOT the deterministic fake
+        assert routed["width"] == stdlib["width"]
+        assert routed["height"] == stdlib["height"]
+        assert routed["mean_pixel"] == pytest.approx(stdlib["mean_pixel"])
+        n = len(payload)
+        fake_dims = (16 + n % 17, 16 + n % 13)
+        assert (routed["width"], routed["height"]) != fake_dims

@@ -95,6 +95,14 @@ BNLJ_BY_DESIGN = {
     "ann_pq_recall": "brute-force ground truth vs broadcast query set",
     # same 1-row type-total attach feeding the per-doc scoring join
     "lm_doc_typicality": "scalar-stats 1-row broadcast attach",
+    # the deliberate ann-family brute force one more time: corpus x
+    # broadcast(N_ANCHORS anchors) with a label-inequality predicate —
+    # one corpus scan, the non-equi condition rides the bounded
+    # broadcast side
+    "hard_negative_mining": "broadcast-anchor contrastive mining",
+    # two 1-row instance-total attaches (n_uni, n_bi) onto the
+    # vocab-keyed lift computation
+    "lm_bigram_lift": "scalar-stats 1-row broadcast attach",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
