@@ -153,8 +153,11 @@ def all_plans() -> Registry:
     from . import skew_plans  # noqa: F401
     # round-8 additions (tail, rotation candidates for round 9):
     # contrastive hard-negative mining, exact per-stratum sampling
-    # quotas, bigram lift collocations, cross-doc duplicate-gram rate
+    # quotas, bigram lift collocations, cross-doc duplicate-gram rate,
+    # the referential/constraint data-quality audit, and
+    # incremental-rollup-maintenance (merge == full recompute proof)
     from . import mining_plans  # noqa: F401
+    from . import audit_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row

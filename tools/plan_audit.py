@@ -103,6 +103,9 @@ BNLJ_BY_DESIGN = {
     # two 1-row instance-total attaches (n_uni, n_bi) onto the
     # vocab-keyed lift computation
     "lm_bigram_lift": "scalar-stats 1-row broadcast attach",
+    # each audit check is a 1-row violation aggregate cross-joined to
+    # a 1-row table total — seven 1x1 attaches unioned
+    "dq_referential_audit": "scalar-aggregate 1x1 cross join per check",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
