@@ -1,0 +1,80 @@
+"""Second driver-scored streaming entry (round 8): the SLIDING-window
+rollup drained end-to-end and oracle-checked.
+
+``stream_user_ledger`` already pins the custom-stateful path
+(applyInPandasWithState). This entry pins the built-in windowed-
+aggregation path — overlapping 1-hour windows advancing every 15
+minutes, watermarked — by draining the real stream (availableNow into
+a memory sink) and hash-comparing against a DuckDB oracle that
+reconstructs the same window math: every event belongs to exactly
+window/slide = 4 windows whose starts are the event's 15-minute floor
+minus 0..3 slides. Counts and integer-cents sums only (the tumbling
+twin carries approx_count_distinct, whose registers are
+engine-specific — that one stays parity-pinned in tests instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import REGISTRY
+
+_add = REGISTRY.add
+
+_FMT_DUCK = "%Y-%m-%dT%H:%M:%SZ"
+
+
+@_add(
+    "stream_sliding_rollup",
+    f"""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+               - (k * INTERVAL 15 MINUTE) AS ws,
+             event_type, value
+      FROM events, UNNEST([0, 1, 2, 3]) AS u(k)
+    )
+    SELECT strftime(ws, '{_FMT_DUCK}') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM expanded
+    GROUP BY 1, 2
+    ORDER BY window_start ASC, event_type ASC
+    """,
+    doc="Sliding-window streaming rollup drained for real: 1-hour "
+    "windows every 15 minutes (each event in exactly 4 windows), "
+    "watermarked, availableNow into a memory sink; the oracle "
+    "reconstructs the identical window assignment arithmetically "
+    "(15-minute floor minus 0..3 slides) and the counts/integer-cents "
+    "sums must hash-equal — an end-to-end gate on Spark's windowed "
+    "streaming aggregation, complementing stream_user_ledger's "
+    "custom-stateful gate. State at 100 TB is bounded by watermark "
+    "horizon x (window/slide) groups per key, the number the "
+    "streamscale smoke grows.",
+    tags=("streaming", "temporal"),
+)
+def stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import read_events_stream, sliding_rollup_stream
+
+    name = "stream_sliding_rollup_sink"
+    spark.catalog.dropTempView(name)
+    stream = sliding_rollup_stream(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    # one availableNow batch -> one update row per (window, type)
+    return spark.sql(
+        f"""SELECT window_start, event_type, events, value_cents
+            FROM {name}
+            ORDER BY window_start ASC, event_type ASC"""
+    )
