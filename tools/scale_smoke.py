@@ -105,6 +105,14 @@ TARGETS = (
     "ann_pq_recall",
     "lm_doc_typicality",
     "source_shingle_overlap",
+    # round-8 additions: dup-gram rate is the gram-keyed df join (the
+    # vocab-sized table must NEVER broadcast); lift scales with the
+    # bigram vocabulary; hard negatives with the embedding count;
+    # exact strata with the per-source sort
+    "doc_dup_ngram_rate",
+    "lm_bigram_lift",
+    "hard_negative_mining",
+    "stratified_sample_exact",
 )
 
 # the dedup family is what a hot band stresses; decontam rides along
@@ -409,6 +417,10 @@ def main() -> int:
             # growth axis (first-touch table and matrix both scale
             # with users)
             "events_retention_cohorts",
+            # r8: the sliding-window streaming rollup — state grows
+            # with (window/slide) x active window groups; distinct
+            # users per copy is exactly the state-cardinality axis
+            "stream_sliding_rollup",
         ),
     }[args.skew]
     if args.only:
