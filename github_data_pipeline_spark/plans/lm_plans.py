@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..operators.hints import broadcast_if_bounded
 from ..sources.tables import load_table, spread
 from .core import REGISTRY
 
@@ -195,12 +196,22 @@ def lm_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast(
         "array<struct<left_tok:string,right_tok:string>>"
     ))
+    # The bigram count table is vocabulary-sized (sub-linear in the
+    # corpus but UNBOUNDED). Materializing it once (localCheckpoint —
+    # the corpus is scanned and gram-shuffled exactly once, at build)
+    # gives an EXACT cardinality for free, so the broadcast hints on
+    # the derived 1-dim stat tables are size-gated on the real count:
+    # under the bound the joins stay map-side (the fast plan at every
+    # tested SF); over it they degrade to vocab-keyed shuffle joins
+    # that scale, and AQE re-broadcasts at runtime if actually small.
     counts = (
         d.select(F.explode(bigrams).alias("b"))
         .select("b.left_tok", "b.right_tok")
         .groupBy("left_tok", "right_tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
+    n_vocab = counts.count()  # cheap: already materialized
     lstats = counts.groupBy("left_tok").agg(
         F.sum("c").cast("long").alias("left_count"),
         F.count(F.lit(1)).cast("long").alias("left_distinct"),
@@ -210,14 +221,9 @@ def lm_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = counts.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
 
-    # lstats/rcont are vocabulary-sized — sub-linear but UNBOUNDED, so
-    # no forced broadcast hints (same judgment as lm_kn_trigram_probs):
-    # both joins are vocab-keyed shuffle joins at scale; AQE converts
-    # them to runtime broadcasts at tested SFs. Only the 1-row total
-    # keeps its hint (bounded by construction).
     scored = (
-        counts.join(lstats, "left_tok")
-        .join(rcont, "right_tok")
+        counts.join(broadcast_if_bounded(lstats, n_vocab), "left_tok")
+        .join(broadcast_if_bounded(rcont, n_vocab), "right_tok")
         .crossJoin(F.broadcast(tot))  # 1-row type-total attach
         .select(
             "left_tok",
@@ -340,15 +346,26 @@ def lm_doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.array().cast("array<struct<left_tok:string,right_tok:string>>")
     )
+    # The per-doc bigram table is the query's ONE corpus-scale
+    # intermediate (it feeds both the model derivation and the scoring
+    # join). Materializing it once (localCheckpoint) means the corpus
+    # is scanned and gram-shuffled exactly once; everything derived —
+    # counts, stat tables, the model — is vocabulary-sized and cheap
+    # off the materialized copy. At 100 TB this materialization is the
+    # standard persisted feature table a production scorer writes
+    # (swap localCheckpoint for a parquet intermediate); the scoring
+    # join's model side is then size-gated on the EXACT vocab count.
     docbi = (
         d.select("doc_id", F.explode(bigrams).alias("b"))
         .select("doc_id", "b.left_tok", "b.right_tok")
         .groupBy("doc_id", "left_tok", "right_tok")
         .agg(F.count(F.lit(1)).cast("long").alias("dc"))
+        .localCheckpoint()
     )
     counts = docbi.groupBy("left_tok", "right_tok").agg(
         F.sum("dc").cast("long").alias("c")
     )
+    n_vocab = counts.count()
     lstats = counts.groupBy("left_tok").agg(
         F.sum("c").cast("long").alias("left_count"),
         F.count(F.lit(1)).cast("long").alias("left_distinct"),
@@ -357,12 +374,9 @@ def lm_doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("rc")
     )
     tot = counts.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
-    # vocab-sized stat tables: no forced broadcast hints (see the
-    # lm_kn_bigram_probs note — keyed shuffle joins at scale, AQE
-    # runtime broadcast at tested SFs); only the 1-row total is hinted.
     model = (
-        counts.join(lstats, "left_tok")
-        .join(rcont, "right_tok")
+        counts.join(broadcast_if_bounded(lstats, n_vocab), "left_tok")
+        .join(broadcast_if_bounded(rcont, n_vocab), "right_tok")
         .crossJoin(F.broadcast(tot))  # 1-row type-total attach
         .select(
             "left_tok",
@@ -382,7 +396,9 @@ def lm_doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        docbi.join(model, ["left_tok", "right_tok"])
+        # the model rides map-side onto the corpus-scale docbi stream
+        # under the same vocab-count gate (model rows <= n_vocab)
+        docbi.join(broadcast_if_bounded(model, n_vocab), ["left_tok", "right_tok"])
         .groupBy("doc_id")
         .agg(
             F.sum("dc").cast("long").alias("n_bigrams"),
