@@ -222,3 +222,96 @@ def write_events_zordered(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+# --- versioned snapshots (poor man's table format) ------------------------
+
+
+_LATEST = "_LATEST"
+
+
+def list_versions(table_dir: str) -> list[int]:
+    """All version numbers with a COMPLETE snapshot directory present
+    (committed or not — commit state lives in the pointer file)."""
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def latest_version(table_dir: str) -> int | None:
+    """The COMMITTED latest version (pointer file), or None."""
+    try:
+        with open(os.path.join(table_dir, _LATEST)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def write_versioned(df: DataFrame, table_dir: str) -> int:
+    """Append-only snapshot write with an atomic pointer commit — the
+    poor man's table format (Delta/Iceberg snapshot isolation, minus
+    the manifest machinery):
+
+    * each write lands a complete immutable copy under ``v<n>/`` where
+      ``n`` = max existing version dir + 1 (committed or not, so a
+      crashed writer's orphan can never be clobbered);
+    * the commit is one atomic rename of a temp pointer file onto
+      ``_LATEST`` — readers following the pointer either see the old
+      snapshot or the new one, never a half-written directory;
+    * a crash BEFORE the pointer rename leaves an orphan ``v<n>/`` that
+      readers ignore (the pointer still names the previous version) and
+      ``vacuum_versions`` removes.
+
+    Atomic-rename commit is sound on a POSIX fs / HDFS; on an object
+    store this pointer is exactly what a real table format replaces
+    with its transaction log. Returns the committed version number."""
+    os.makedirs(table_dir, exist_ok=True)
+    versions = list_versions(table_dir)
+    v = (versions[-1] + 1) if versions else 1
+    vdir = os.path.join(table_dir, f"v{v}")
+    df.write.mode("overwrite").parquet(vdir)
+    tmp = os.path.join(table_dir, f".{_LATEST}.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, os.path.join(table_dir, _LATEST))  # atomic commit
+    return v
+
+
+def read_version(spark, table_dir: str, version: int | None = None) -> DataFrame:
+    """Snapshot read: the committed latest (pointer) by default, or an
+    explicit ``version`` for time travel. Reading never blocks on (or
+    observes) an in-flight write — the pointer flips atomically."""
+    v = latest_version(table_dir) if version is None else int(version)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {table_dir!r}")
+    vdir = os.path.join(table_dir, f"v{v}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(f"version {v} missing under {table_dir!r}")
+    return spark.read.parquet(vdir)
+
+
+def vacuum_versions(table_dir: str, keep: int = 1) -> list[int]:
+    """Remove all snapshot dirs except the committed latest ``keep``
+    versions (and never the pointer's target, whatever ``keep`` says).
+    Orphans from crashed writers — version dirs NEWER than the pointer
+    — are removed too: they were never committed. Returns the removed
+    version numbers."""
+    import shutil
+
+    committed = latest_version(table_dir)
+    if committed is None:
+        return []
+    removed = []
+    keep_set = set(
+        v for v in list_versions(table_dir) if v <= committed
+    )
+    keep_set = set(sorted(keep_set)[-max(1, keep):]) | {committed}
+    for v in list_versions(table_dir):
+        if v not in keep_set:
+            shutil.rmtree(os.path.join(table_dir, f"v{v}"))
+            removed.append(v)
+    return removed

@@ -133,3 +133,119 @@ def test_rollup_merge_equals_single_pass(spark):
     # batch (1998), order 12 in the delta batch (2000) — both batches
     # genuinely non-empty in `merged`
     assert merged == [("ALPHA", 1998, 1, 10000), ("BETA", 2000, 1, 3000)]
+
+
+# --- fuzzed audit parity vs a pure-Python reference ---------------------
+
+import os as _os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+HYPO_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_HYPO_EXAMPLES", "0")) or 10
+
+_custkeys = st.lists(
+    st.integers(min_value=1, max_value=6), unique=True, max_size=5
+)
+_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=10, max_value=14),          # o_orderkey (dups allowed)
+        st.sampled_from([1, 2, 3, 99, None]),             # o_custkey (99/None = orphan)
+        st.sampled_from([100.0, 50.5, 0.0, -5.0]),        # o_totalprice
+    ),
+    min_size=1,
+    max_size=8,
+)
+_lines = st.lists(
+    st.tuples(
+        st.integers(min_value=9, max_value=15),           # l_orderkey (9/15 may orphan)
+        st.integers(min_value=1, max_value=3),            # l_linenumber
+        st.sampled_from([0.0, 0.1, 0.6, -0.2, None]),     # l_discount
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _python_audit(custkeys, orders, lines):
+    """Engine-free spec of the seven checks (NULL FK = orphan; NULL
+    discount = no violation; pk-dup = rows minus distinct non-null keys)."""
+    cust = set(custkeys)
+    okeys = {o[0] for o in orders}
+    lkeys = {l[0] for l in lines}
+    return {
+        "lineitem_orphan_orderkey": sum(1 for l in lines if l[0] not in okeys),
+        "lineitem_pk_duplicates": len(lines) - len({(l[0], l[1]) for l in lines}),
+        "lineitem_discount_domain": sum(
+            1 for l in lines if l[2] is not None and (l[2] < 0 or l[2] > 0.5)
+        ),
+        "orders_orphan_custkey": sum(1 for o in orders if o[1] not in cust),
+        "orders_childless": sum(1 for o in orders if o[0] not in lkeys),
+        "orders_nonpositive_price": sum(1 for o in orders if o[2] <= 0),
+        "orders_pk_duplicates": len(orders) - len({o[0] for o in orders}),
+    }
+
+
+@given(custkeys=_custkeys, orders=_orders, lines=_lines)
+@settings(max_examples=HYPO_EXAMPLES, deadline=None)
+def _check_audit_matches_python(custkeys, orders, lines):
+    spark = _check_audit_matches_python.spark
+    d = dt.datetime(1998, 1, 1)
+    sdf = {
+        "customer": spark.createDataFrame(
+            [(k, "n", 0, 1.0, "m") for k in custkeys] or [(0, "n", 0, 1.0, "m")],
+            "c_custkey long, c_name string, c_nationkey long, "
+            "c_acctbal double, c_mktsegment string",
+        ),
+        "orders": spark.createDataFrame(
+            [(k, ck, "O", p, d, "1-U") for k, ck, p in orders],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ),
+        "lineitem": spark.createDataFrame(
+            [
+                (k, 1, 1, ln, 1.0, 1.0, disc, 0.0, "N", "O", d)
+                for k, ln, disc in lines
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber long, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        ),
+        "nation": spark.createDataFrame([(0, "X")], "n_nationkey long, n_name string"),
+    }
+    # the "or [(0,...)]" placeholder above only fires for EMPTY custkeys
+    # (createDataFrame refuses an empty list without data); remove it
+    # from the audited set by filtering it back out
+    if not custkeys:
+        sdf["customer"] = sdf["customer"].filter("c_custkey <> 0")
+    orig = ap.load_table
+    ap.load_table = lambda _s, _d, t: sdf[t]
+    try:
+        got = {
+            r["check_name"]: (r["violations"], r["total"])
+            for r in ap.dq_referential_audit(spark, "x").collect()
+        }
+    finally:
+        ap.load_table = orig
+    want = _python_audit(custkeys, orders, lines)
+    totals = {
+        "lineitem_orphan_orderkey": len(lines),
+        "lineitem_pk_duplicates": len(lines),
+        "lineitem_discount_domain": len(lines),
+        "orders_orphan_custkey": len(orders),
+        "orders_childless": len(orders),
+        "orders_nonpositive_price": len(orders),
+        "orders_pk_duplicates": len(orders),
+    }
+    assert got == {k: (v, totals[k]) for k, v in want.items()}
+
+
+def test_audit_matches_python_property(spark):
+    """Fuzzed audit parity: random small star schemas with NULL FKs,
+    duplicate pks, orphans in both directions, and NULL/out-of-range
+    discounts must produce exactly the counts of the engine-free
+    Python spec (NULL FK counts as orphan — the anti-join semantics;
+    NULL discount is not a domain violation)."""
+    _check_audit_matches_python.spark = spark
+    _check_audit_matches_python()

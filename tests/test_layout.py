@@ -275,3 +275,57 @@ def test_morton_key_matches_python_reference(spark):
     ]
     want = [py_morton(a, b) for a, b in rows]
     assert got == want
+
+
+def test_versioned_snapshots_commit_and_time_travel(spark, sf_dir, tmp_path):
+    """write_versioned lands immutable snapshot dirs and commits via an
+    atomic pointer; readers get the committed latest by default and any
+    prior version explicitly (time travel)."""
+    from github_data_pipeline_spark.sources.layout import (
+        latest_version,
+        list_versions,
+        read_version,
+        write_versioned,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    table = str(tmp_path / "vtab")
+    v1 = write_versioned(events.limit(50), table)
+    v2 = write_versioned(events.limit(80), table)
+    assert (v1, v2) == (1, 2)
+    assert latest_version(table) == 2
+    assert list_versions(table) == [1, 2]
+    assert read_version(spark, table).count() == 80      # pointer
+    assert read_version(spark, table, 1).count() == 50   # time travel
+
+
+def test_versioned_orphan_never_clobbered_and_vacuumed(spark, sf_dir, tmp_path):
+    """A crashed writer leaves an ORPHAN version dir without moving the
+    pointer: readers must keep seeing the committed snapshot, the next
+    writer must NOT reuse (and clobber) the orphan's number, and vacuum
+    removes both the orphan and pruned history — never the pointer's
+    target."""
+    import os
+
+    from github_data_pipeline_spark.sources.layout import (
+        latest_version,
+        list_versions,
+        read_version,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    table = str(tmp_path / "vtab2")
+    write_versioned(events.limit(10), table)  # v1 committed
+    # simulate a crash: v2 directory fully written, pointer NOT moved
+    events.limit(99).write.parquet(os.path.join(table, "v2"))
+    assert latest_version(table) == 1
+    assert read_version(spark, table).count() == 10  # reader unaffected
+    v = write_versioned(events.limit(20), table)     # must skip the orphan
+    assert v == 3 and latest_version(table) == 3
+    assert read_version(spark, table).count() == 20
+    removed = vacuum_versions(table, keep=1)
+    assert sorted(removed) == [1, 2]  # history + orphan gone
+    assert list_versions(table) == [3]
+    assert read_version(spark, table).count() == 20

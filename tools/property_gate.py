@@ -34,6 +34,9 @@ PROPERTY_TESTS = [
     # winnowing: SIGMOD'03 shared-substring guarantee + selection
     # soundness on the pure-Python reference the Spark plan is pinned to
     "tests/test_winnow.py",
+    # dq audit: fuzzed star schemas (NULL FKs, dup pks, two-direction
+    # orphans, NULL/out-of-range domains) vs the engine-free Python spec
+    "tests/test_audit_plans.py::test_audit_matches_python_property",
 ]
 
 
