@@ -78,3 +78,87 @@ def stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM {name}
             ORDER BY window_start ASC, event_type ASC"""
     )
+
+
+# --- streaming sessionization, drained and oracle-checked ----------------
+
+_TS_FMT_DUCK = "%Y-%m-%dT%H:%M:%S.%fZ"
+_TS_FMT_SPARK = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+_GAP_MIN = 30  # streaming/jobs.SESSION_GAP
+
+
+@_add(
+    "stream_sessionization",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL
+             OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= INTERVAL {_GAP_MIN} MINUTE
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+        SUM(is_new) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS seq
+      FROM ordered
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           STRFTIME(MAX(ts) + INTERVAL {_GAP_MIN} MINUTE, '{_TS_FMT_DUCK}')
+             AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM numbered
+    GROUP BY user_id, seq
+    ORDER BY user_id ASC, session_start ASC
+    """,
+    doc="Streaming sessionization drained for real: session_window "
+    f"(gap {_GAP_MIN} min) state per user, availableNow into a memory "
+    "sink; the oracle rebuilds sessions with the lag/cumsum islands "
+    "idiom under session_window's EXACT boundary rule — event windows "
+    "are half-open [ts, ts+gap), so two events exactly gap apart do "
+    "NOT merge (>= gap starts a new session, unlike the batch "
+    "events_sessionization entry's > convention; the two agree "
+    "everywhere except exact-gap ties, and this entry pins the "
+    "streaming engine's rule). session_end = last event + gap, the "
+    "window the state store actually holds. Third streaming gate "
+    "next to the custom-stateful ledger and the sliding rollup.",
+    tags=("streaming", "session"),
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import read_events_stream, session_stream
+
+    name = "stream_sessionization_sink"
+    spark.catalog.dropTempView(name)
+    stream = session_stream(read_events_stream(spark, sf_dir))
+    # session-window aggregation rejects update mode, and append mode
+    # withholds any session not yet past the watermark — on a finite
+    # drain that silently drops the trailing session per user stream
+    # (observed: 945 vs 946). COMPLETE mode emits the full final state,
+    # which is the correct contract for an oracle-compared drain; a
+    # production job uses append + watermark and accepts eviction
+    # semantics (pinned separately by the late-data contract tests).
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    drained = spark.table(name)
+    return drained.select(
+        "user_id",
+        F.date_format("session_start", _TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", _TS_FMT_SPARK).alias("session_end"),
+        "events",
+        "value_cents",
+    ).orderBy(F.asc("user_id"), F.asc("session_start"))
