@@ -95,7 +95,7 @@ _GAP_MIN = 30  # streaming/jobs.SESSION_GAP
         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   IS NULL
              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                  >= INTERVAL {_GAP_MIN} MINUTE
+                  > INTERVAL {_GAP_MIN} MINUTE
              THEN 1 ELSE 0 END AS is_new
       FROM events
     ), numbered AS (
@@ -120,13 +120,14 @@ _GAP_MIN = 30  # streaming/jobs.SESSION_GAP
     doc="Streaming sessionization drained for real: session_window "
     f"(gap {_GAP_MIN} min) state per user, availableNow into a memory "
     "sink; the oracle rebuilds sessions with the lag/cumsum islands "
-    "idiom under session_window's EXACT boundary rule — event windows "
-    "are half-open [ts, ts+gap), so two events exactly gap apart do "
-    "NOT merge (>= gap starts a new session, unlike the batch "
-    "events_sessionization entry's > convention; the two agree "
-    "everywhere except exact-gap ties, and this entry pins the "
-    "streaming engine's rule). session_end = last event + gap, the "
-    "window the state store actually holds. Third streaming gate "
+    "idiom under session_window's EXACT boundary rule — the merge is "
+    "boundary-INCLUSIVE: two events exactly gap apart DO merge (a "
+    "new session starts only when the gap is strictly exceeded; "
+    "empirically pinned by the exact-gap test in "
+    "tests/test_streaming_incremental.py, which caught the half-open "
+    "assumption being wrong). Same > convention as the batch "
+    "events_sessionization entry. session_end = last event + gap, "
+    "the window the state store actually holds. Third streaming gate "
     "next to the custom-stateful ledger and the sliding rollup.",
     tags=("streaming", "session"),
 )

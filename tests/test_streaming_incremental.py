@@ -564,3 +564,50 @@ def test_watermark_drops_too_late_data(spark, tmp_path):
     # post-eviction straggler; the still-open 11:00/12:00 windows
     # correctly emit nothing in this run
     assert emitted == [("2024-03-01T10:00:00Z", 2)]
+
+
+def test_session_window_exact_gap_boundary(spark, tmp_path):
+    """Pin the streaming engine's session boundary rule empirically:
+    the merge is boundary-INCLUSIVE — two events EXACTLY gap apart DO
+    merge into one session; only a strictly larger gap splits. (This
+    test originally encoded the half-open [ts, ts+gap) assumption —
+    exact gap splits — and FAILED: Spark merged the exact-gap pair.
+    The stream_sessionization registry oracle therefore uses the same
+    > convention as the batch islands entry.)"""
+    import os
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    gap = datetime.timedelta(minutes=30)
+    rows = [
+        # user 1: two events exactly 30:00 apart -> ONE session
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + gap, 1, "view", 1.0, "{}"),
+        # user 2: 30:00.000001 apart -> TWO sessions
+        (3, base, 2, "view", 1.0, "{}"),
+        (4, base + gap + datetime.timedelta(microseconds=1), 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "gapevents")
+    os.makedirs(d)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    from github_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+        session_stream,
+    )
+
+    out = run_available_now(
+        session_stream(read_events_stream(spark, d)), "gap_t"
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user[1]) == 1  # exact gap: merged (inclusive bound)
+    assert per_user[1][0]["events"] == 2
+    assert len(per_user[2]) == 2  # one microsecond over: split
