@@ -1,16 +1,24 @@
-"""Second driver-scored streaming entry (round 8): the SLIDING-window
-rollup drained end-to-end and oracle-checked.
+"""Round-8 streaming registry entries: real drains, oracle-checked.
 
 ``stream_user_ledger`` already pins the custom-stateful path
-(applyInPandasWithState). This entry pins the built-in windowed-
-aggregation path — overlapping 1-hour windows advancing every 15
-minutes, watermarked — by draining the real stream (availableNow into
-a memory sink) and hash-comparing against a DuckDB oracle that
-reconstructs the same window math: every event belongs to exactly
-window/slide = 4 windows whose starts are the event's 15-minute floor
-minus 0..3 slides. Counts and integer-cents sums only (the tumbling
-twin carries approx_count_distinct, whose registers are
-engine-specific — that one stays parity-pinned in tests instead).
+(applyInPandasWithState). The three entries here pin the remaining
+built-in stateful operator families end-to-end, each drained with
+availableNow into a memory sink and hash-compared to a DuckDB oracle:
+
+* ``stream_sliding_rollup`` — overlapping windowed aggregation (1 h /
+  15 min); the oracle reconstructs the window assignment
+  arithmetically (every event in window/slide = 4 windows). Counts
+  and integer-cents sums only (the tumbling twin carries
+  approx_count_distinct, whose registers are engine-specific — that
+  one stays parity-pinned in tests instead).
+* ``stream_sessionization`` — session_window state per user; the
+  oracle is the lag/cumsum islands idiom under the engine's
+  boundary-inclusive merge rule (exact-gap pairs MERGE — empirically
+  pinned after the half-open assumption failed).
+* ``stream_watermark_dedup`` — dropDuplicatesWithinWatermark over a
+  doubled delivery of every event file; the oracle is the
+  single-delivery batch aggregate, so the match proves exactly-once
+  retention non-vacuously.
 """
 
 from __future__ import annotations
@@ -163,3 +171,85 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "events",
         "value_cents",
     ).orderBy(F.asc("user_id"), F.asc("session_start"))
+
+
+# --- streaming watermark dedup, made non-vacuous by doubled delivery -----
+
+
+@_add(
+    "stream_watermark_dedup",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+    doc="Streaming exact dedup proved end-to-end and NON-vacuously: "
+    "the builder stages a scratch copy of the events table with every "
+    "file delivered TWICE (the at-least-once redelivery a real "
+    "pipeline sees), streams it through "
+    "dropDuplicatesWithinWatermark(event_id), and folds the drained "
+    "rows per event_type — counts, an event-id checksum, and integer-"
+    "cents sums must equal the batch aggregate over the ORIGINAL "
+    "single-delivery table. Without the dedup the counts would be "
+    "exactly doubled, so the oracle match proves every duplicate was "
+    "dropped and every original retained exactly once. Dedup state "
+    "holds only ids inside the watermark horizon — bounded by arrival "
+    "rate x horizon, not history. Fourth streaming gate.",
+    tags=("streaming", "dedup"),
+)
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.jobs import dedup_stream, read_events_stream
+
+    scratch = tempfile.mkdtemp(prefix="dedup_stream_")
+    try:
+        dest = os.path.join(scratch, "events.parquet")
+        os.makedirs(dest)
+        src = os.path.join(sf_dir, "events.parquet")
+        files = (
+            [src]
+            if os.path.isfile(src)
+            else sorted(glob.glob(os.path.join(src, "*.parquet")))
+        )
+        for i, f in enumerate(files):
+            shutil.copy(f, os.path.join(dest, f"copy0_{i}.parquet"))
+            shutil.copy(f, os.path.join(dest, f"copy1_{i}.parquet"))
+
+        name = "stream_watermark_dedup_sink"
+        spark.catalog.dropTempView(name)
+        stream = dedup_stream(read_events_stream(spark, scratch))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+        # the memory sink holds the deduped rows; fold them batch-side
+        deduped = spark.table(name)
+        return (
+            deduped.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("events"),
+                F.sum("event_id").cast("long").alias("id_sum"),
+                F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+                .cast("long")
+                .alias("value_cents"),
+            )
+            .orderBy(F.asc("event_type"))
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
