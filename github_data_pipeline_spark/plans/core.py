@@ -428,5 +428,49 @@ def all_plans() -> Registry:
     REGISTRY.demote("leakage_safe_splits")
     REGISTRY.demote("kmv_sketch_stats")
     REGISTRY.demote("doc_repetition_gates")
+    # second round-8 swap: the nine queries ADDED this round (mining:
+    # hard_negative_mining, stratified_sample_exact, lm_bigram_lift,
+    # doc_dup_ngram_rate; audit: dq_referential_audit,
+    # rollup_incremental_merge; streaming: stream_sliding_rollup,
+    # stream_sessionization, stream_watermark_dedup — all cell-exact
+    # at sf0.001 AND sf0.01 under the local gate replica) take window
+    # slots so they earn driver rows immediately and round 9 starts
+    # with ZERO rotation backlog. Nine entries rotate out, each green
+    # since r03-r05 with its operator class still covered in-window:
+    # - gh_stable_ids: SHA-1 canonical-JSON keys ≡ unit-pinned vs
+    #   hashlib + the md5 key discipline in stratified_sample_exact /
+    #   sharding (rotating in / tail); 9 gh_* entries stay in-window.
+    # - gh_issue_comments: point-lookup dim join ≡ gh_repo_meta +
+    #   gh_pr_issue_state_join (stay).
+    # - gh_contributions_recompute: recompute-vs-preaggregated agg ≡
+    #   gh_issue_stats + gh_blame_file_summary (stay).
+    # - lang_id_confusion: n-gram text profiling ≡
+    #   doc_quality_linear_gate + doc_char_trigram_typicality (stay,
+    #   same tokenizer/profile machinery); still scale-smoked.
+    # - doc_fulltext_search: one-pass BM25 ≡ doc_hybrid_retrieval
+    #   (stays — the same bm25_scan_topk powers its lexical side).
+    # - train_shard_manifest: md5 order keys / manifests ≡
+    #   stratified_sample_exact rotating in (same deterministic-md5
+    #   selection discipline); e2e databuild tests keep it pinned.
+    # - exact_dedup_reingest: exact dedup ≡ neardup_cluster_keepers
+    #   (stays) + stream_watermark_dedup rotating in (the STREAMING
+    #   twin of this very operator, proved under doubled delivery).
+    # - nation_set_ops: EXCEPT/INTERSECT lower to anti/semi joins ≡
+    #   dq_referential_audit rotating in (orphan checks are the same
+    #   left-anti machinery) + the tail membership-join entries.
+    # - incremental_merge_orders: keyed upsert merge ≡
+    #   incremental_split_update (stays) + rollup_incremental_merge
+    #   rotating in (the additive-IVM face of the same class).
+    # All nine stay cell-exact under the local checker
+    # (CORRECTNESS_TAIL.json).
+    REGISTRY.demote("gh_stable_ids")
+    REGISTRY.demote("gh_issue_comments")
+    REGISTRY.demote("gh_contributions_recompute")
+    REGISTRY.demote("lang_id_confusion")
+    REGISTRY.demote("doc_fulltext_search")
+    REGISTRY.demote("train_shard_manifest")
+    REGISTRY.demote("exact_dedup_reingest")
+    REGISTRY.demote("nation_set_ops")
+    REGISTRY.demote("incremental_merge_orders")
 
     return REGISTRY

@@ -88,6 +88,19 @@ def test_driver_window_invariants():
         # whole-corpus doc_hybrid_retrieval; gh_commit_first_lines
         # demoted to make room)
         "doc_hybrid_overlap_slice",
+        # round-8 second swap: the nine entries added this round take
+        # window slots immediately so round 9 starts with ZERO
+        # rotation backlog (nine r03-r05-green entries demoted with
+        # in-window class coverage; see plans/core.py)
+        "hard_negative_mining",
+        "stratified_sample_exact",
+        "lm_bigram_lift",
+        "doc_dup_ngram_rate",
+        "dq_referential_audit",
+        "rollup_incremental_merge",
+        "stream_sliding_rollup",
+        "stream_sessionization",
+        "stream_watermark_dedup",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry must carry an oracle (approx_lineitem_stats
