@@ -159,6 +159,7 @@ def all_plans() -> Registry:
     from . import mining_plans  # noqa: F401
     from . import audit_plans  # noqa: F401
     from . import stream_rollup_plans  # noqa: F401
+    from . import profile_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row
