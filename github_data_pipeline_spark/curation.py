@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from .functions import text as T
 from .operators.budget import budget_sample
 from .operators.components import connected_components
+from .operators.hints import broadcast_if_bounded
 from .operators.neardup import (
     band_index,
     lsh_candidates,
@@ -77,21 +78,30 @@ def neardup_drop_stage(docs: DataFrame) -> DataFrame:
     only on candidates; verified pairs are then resolved into
     connected components so the keeper is the smallest id of each
     transitive cluster — pairwise drop rules over-drop on chains
-    (A~B, B~C but not A~C would lose C's only survivor B). The
-    anti-join side is |dropped docs| — tiny relative to the corpus,
-    so it broadcasts.
+    (A~B, B~C but not A~C would lose C's only survivor B).
+
+    Both the candidate-pair table and the dropped-id table grow
+    LINEARLY with the corpus (RefinedWeb-class near-dup drop rates are
+    tens of percent — nothing here is "tiny relative to the corpus" at
+    the 100-TB design point), so their broadcast hints are size-gated
+    on exact counts of the already-materialized tables: under the
+    bound the joins stay map-side, over it they degrade to doc_id-keyed
+    shuffle joins that scale (AQE re-broadcasts at runtime if small).
     """
     grams = docs.select(
         "doc_id",
         F.array_distinct(T.word_ngrams(T.tokens("text"), 3)).alias("g"),
     )
-    cands = lsh_candidates(band_index(minhash_signatures_from_arrays(grams)))
+    cands = lsh_candidates(
+        band_index(minhash_signatures_from_arrays(grams))
+    ).localCheckpoint()
+    n_cands = cands.count()
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     shared = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     union = F.size("ga") + F.size("gb") - shared
     verified = (
-        ga.join(F.broadcast(cands), "doc_a")
+        ga.join(broadcast_if_bounded(cands, n_cands), "doc_a")
         .join(gb, "doc_b")
         .filter(shared * JACCARD_KEEP_DEN >= union * JACCARD_KEEP_NUM)
         .select("doc_a", "doc_b")
@@ -100,8 +110,12 @@ def neardup_drop_stage(docs: DataFrame) -> DataFrame:
         connected_components(verified)
         .filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"))
+        .localCheckpoint()
     )
-    return docs.join(F.broadcast(dups), "doc_id", "left_anti")
+    n_dups = dups.count()
+    return docs.join(
+        broadcast_if_bounded(dups, n_dups), "doc_id", "left_anti"
+    )
 
 
 def curate(

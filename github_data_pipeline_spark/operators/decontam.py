@@ -9,11 +9,13 @@ exact shingling the dedup stages use (operators/neardup.doc_shingles),
 so one shingle pass can feed both checks.
 
 Scale shape: benchmarks are small (thousands of docs) next to a 100 TB
-corpus, so the benchmark shingle set BROADCASTS and the overlap join is
-map-side — the corpus shuffles once on (doc_id, bench_id) to count
-hits, carrying only hashed longs, never text. The corpus is never
-collected, and the contaminated set (tiny) broadcasts back as the
-anti-join side.
+corpus, so the benchmark shingle set BROADCASTS (bounded by the
+benchmark contract, not the corpus) and the overlap join is map-side —
+the corpus shuffles once on (doc_id, bench_id) to count hits, carrying
+only hashed longs, never text. The corpus is never collected, and the
+contaminated set broadcasts back as the anti-join side only under a
+size gate on its exact materialized count (worst case it is
+corpus-linear).
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .hints import broadcast_if_bounded
 from .neardup import doc_shingles
 
 
@@ -54,11 +57,22 @@ def decontaminate(
     n: int = 3,
     min_hits: int = 2,
 ) -> DataFrame:
-    """Corpus minus contaminated docs (broadcast anti-join on the tiny
-    contaminated-id set)."""
+    """Corpus minus contaminated docs.
+
+    The contaminated-id set is usually tiny (docs overlapping the
+    bounded benchmark) but is worst-case corpus-linear — a benchmark
+    scraped from the same web slice can contaminate a large corpus
+    fraction — so its anti-join hint is size-gated on the exact count
+    of the materialized set rather than forced; over the bound the
+    doc_id-keyed anti-join degrades to a scalable shuffle."""
     contaminated = (
         contamination_report(corpus, benchmark, n, min_hits)
         .select("doc_id")
         .distinct()
+        .localCheckpoint()
     )
-    return corpus.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    return corpus.join(
+        broadcast_if_bounded(contaminated, contaminated.count()),
+        "doc_id",
+        "left_anti",
+    )

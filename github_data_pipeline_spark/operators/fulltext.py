@@ -264,6 +264,8 @@ def bm25_index_topk(
     dfs = posts.groupBy("term").agg(
         F.count_distinct("doc_id").alias("term_df")
     )
+    # both hints are bounded: dfs has one row per QUERY term (posts is
+    # already filtered to the query's handful of terms), stats is 1 row
     scored = posts.join(F.broadcast(dfs), "term").crossJoin(
         F.broadcast(stats)
     )

@@ -51,6 +51,24 @@ def broadcast_if_bounded(
     return df
 
 
+#: Sentinel row bound meaning "cardinality unknown": always over every
+#: max_rows threshold, so broadcast_if_bounded leaves the frame
+#: un-hinted — the conservative strategy when no cheap bound exists.
+UNBOUNDED = 2**63
+
+
+def parquet_row_bound(sf_dir: str, table: str) -> int:
+    """``parquet_num_rows``, but a table whose parquet footprint cannot
+    be read (unit tests monkeypatch ``load_table`` with in-memory
+    frames and fake directories) yields :data:`UNBOUNDED` instead of
+    raising — an unknown cardinality must disable the hint, never crash
+    the query builder."""
+    try:
+        return parquet_num_rows(sf_dir, table)
+    except OSError:
+        return UNBOUNDED
+
+
 def parquet_num_rows(sf_dir: str, table: str) -> int:
     """Exact row count of a testdata parquet table from file footers —
     pyarrow metadata reads only, no Spark job, so it is safe to call

@@ -168,28 +168,36 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     ValueError (entropy decoding needs a real codec); both real
     branches are tested in tests/test_multimodal_ops.py.
 
-    A payload that merely LOOKS like a PNG (magic bytes followed by
-    truncated or corrupt chunk data) must not kill the enclosing
-    mapInPandas stage with an undocumented struct.error/zlib.error —
-    at 100 TB one hostile document would otherwise fail the job. The
-    stdlib parse is wrapped: any parse failure falls back to the
-    deterministic fake, the same degradation path every non-image
-    payload takes (r7 ADVICE).
+    A payload that merely LOOKS like an image (magic bytes followed by
+    truncated or corrupt data) must not kill the enclosing mapInPandas
+    stage with an undocumented decode error — at 100 TB one hostile
+    document would otherwise fail the job. EVERY real-decode branch is
+    wrapped (the PIL branch too, not just the stdlib one — r8 ADVICE):
+    a PIL failure falls through to the stdlib PNG parse, and any parse
+    failure lands on the deterministic fake, the same degradation path
+    every non-image payload takes.
     """
     payload = bytes(payload)
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         if _HAVE_PIL:
-            return _decode_pil(payload)
+            try:
+                return _decode_pil(payload)
+            except Exception:
+                pass  # corrupt data wearing PNG magic -> stdlib parse
         try:
             return _decode_png_stdlib(payload)
         except Exception:
             pass  # corrupt/truncated pseudo-PNG -> deterministic fake
     if payload[: len(_JPEG_MAGIC)] == _JPEG_MAGIC:
         if _HAVE_PIL:
-            return _decode_pil(payload)
-        raise ValueError(
-            "JPEG payload needs a real codec (PIL not importable here)"
-        )
+            try:
+                return _decode_pil(payload)
+            except Exception:
+                pass  # corrupt data wearing JPEG magic -> fake
+        else:
+            raise ValueError(
+                "JPEG payload needs a real codec (PIL not importable here)"
+            )
     n = len(payload)
     header = payload[:_HEADER_BYTES]
     return {

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 from ..operators.fulltext import bm25_scan_topk
+from ..operators.hints import broadcast_if_bounded, parquet_row_bound
 from ..sources.tables import load_table, spread
 from .core import REGISTRY
 from .fulltext_plans import QUERY, bm25_oracle
@@ -119,9 +120,13 @@ def _hybrid(
         doc_pred = doc_pred & (F.col("doc_id") % slice_mod == slice_rem)
         vec_pred = vec_pred & (F.col("vec_id") % slice_mod == slice_rem)
 
+    # the embedded-id set is SF-linear (one id per embedding row), so
+    # its hint is gated on the parquet footer count: map-side semi-join
+    # at test SFs, doc_id-keyed shuffle semi-join at the 100-TB point
     restricted = docs.join(
-        F.broadcast(
-            emb.select(F.col("vec_id").alias("doc_id")).filter(doc_pred)
+        broadcast_if_bounded(
+            emb.select(F.col("vec_id").alias("doc_id")).filter(doc_pred),
+            parquet_row_bound(sf_dir, "embeddings"),
         ),
         "doc_id",
         "left_semi",

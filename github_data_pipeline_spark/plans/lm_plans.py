@@ -552,6 +552,11 @@ def lm_kn_trigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # every downstream stat table at a vocabulary-sized RDD
         .localCheckpoint()
     )
+    # combined is localCheckpointed, so its count is a free exact bound
+    # on every vocab-derived table below (|V|, |T|, |(v,t)| are all
+    # <= the (u,v,t)-type count); gate the 1-dim broadcasts on it
+    # instead of forcing them — same rule the bigram family applies.
+    n_types = combined.count()
     tri = combined.filter(F.col("u").isNotNull()).withColumnRenamed("c", "c3")
     bi = combined.groupBy("v", "t").agg(F.sum("c").cast("long").alias("c2"))
     ctx = tri.groupBy("u", "v").agg(
@@ -571,8 +576,8 @@ def lm_kn_trigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", F.expr(f"(n1p_w * {KN_SCALE}L) div n_bi_types").alias("p1_e9")
     )
     p2 = (
-        cont_vw.join(F.broadcast(cont_v), "v")
-        .join(F.broadcast(p1), "t")
+        cont_vw.join(broadcast_if_bounded(cont_v, n_types), "v")
+        .join(broadcast_if_bounded(p1, n_types), "t")
         .select(
             "v",
             "t",
@@ -591,8 +596,8 @@ def lm_kn_trigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ctx is (u,v)-keyed and p2 is (v,t)-keyed — both scale with the
     # CONTEXT vocabulary (can be corpus-large), so they shuffle-join
-    # rather than broadcast; only the 1-dim vocab tables (cont_v, p1,
-    # the type total) broadcast above
+    # rather than broadcast; the 1-dim vocab tables (cont_v, p1) are
+    # size-gated on n_types above (the 1-row type total stays forced)
     return (
         tri.join(ctx, ["u", "v"])
         .join(p2, ["v", "t"])

@@ -181,7 +181,8 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a AS left_tok, b AS right_tok,
            CAST(cab AS BIGINT) AS pair_count,
-           CAST((((cab * n_uni * {LIFT_SCALE}) // (ua.cu * ub.cu))
+           CAST((((CAST(cab AS HUGEINT) * n_uni * {LIFT_SCALE})
+                   // (CAST(ua.cu AS HUGEINT) * ub.cu))
                  * n_uni) // n_bi AS BIGINT) AS lift_e6
     FROM bi
     JOIN uni ua ON ua.t = a
@@ -251,9 +252,22 @@ def lm_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").alias("left_tok"),
             F.col("b").alias("right_tok"),
             F.col("cab").alias("pair_count"),
+            # 128-bit staging (DECIMAL(38,0) here, HUGEINT in the
+            # oracle) with the SAME two floor points as the all-BIGINT
+            # form it replaces: cab*n_uni*SCALE reaches ~6e32 at the
+            # 100-TB point (~2.5e13 tokens) and cu_a*cu_b ~6e26 — both
+            # silently wrap (non-ANSI) or error (ANSI) in BIGINT. The
+            # two div quotients stay under 2^63 while
+            # n_uni <= ~4.6e13 (~180 TB of text): the first is
+            # <= SCALE*n_uni/MIN_PAIR (cab <= cu_a, cu_b >= MIN_PAIR),
+            # the second <= twice that (n_bi >= n_uni/2) — past that
+            # bound the *final* lift_e6 of a minimum-count pair
+            # itself exceeds BIGINT, so the staging is not the limit.
             F.expr(
-                f"(((cab * n_uni * {LIFT_SCALE}L) div (cu_a * cu_b))"
-                " * n_uni) div n_bi"
+                f"(CAST((CAST(cab AS DECIMAL(38,0)) * n_uni"
+                f" * {LIFT_SCALE}L)"
+                " div (CAST(cu_a AS DECIMAL(38,0)) * cu_b)"
+                " AS DECIMAL(38,0)) * n_uni) div n_bi"
             )
             .cast("long")
             .alias("lift_e6"),

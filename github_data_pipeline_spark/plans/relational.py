@@ -16,6 +16,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, cents_of, dollars
+from ..operators.hints import broadcast_if_bounded, parquet_row_bound
 from ..sources.tables import load_table
 from .core import REGISTRY
 
@@ -162,17 +163,23 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q18 shape: fact-dim equi-join + grouped agg + HAVING "
     "threshold (large-volume customers over $1.5M lifetime) + "
-    "deterministic top-k. The customer side is broadcast (no fact "
-    "shuffle for the join); the HAVING predicate runs post-aggregation "
+    "deterministic top-k. The customer side is broadcast only under the "
+    "size gate (broadcast_if_bounded on the parquet footer count — "
+    "customer is SF-linear, so at the 100-TB point the join degrades to "
+    "a keyed shuffle); the HAVING predicate runs post-aggregation "
     "on |customers| rows; ORDER+LIMIT lowers to TakeOrderedAndProject "
     "(no global sort).",
     tags=("join", "topk", "having"),
 )
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    # customer grows with SF (~10^9 rows at the 100-TB point): gate the
+    # broadcast on the parquet footer count instead of forcing it, so the
+    # join degrades to a keyed shuffle when the dimension outgrows memory.
     c = _t(spark, sf_dir, "customer")
+    c = broadcast_if_bounded(c, parquet_row_bound(sf_dir, "customer"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count(F.lit(1)).alias("orders"),
@@ -199,21 +206,27 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
     doc="TPC-H Q5 shape: fact->fact->dim->dim join chain. lineitem/orders "
-    "join shuffles on orderkey (both huge); customer and nation are "
-    "broadcast so the fact stream never reshuffles for them.",
+    "join shuffles on orderkey (both huge); nation (25 rows, constant) "
+    "is force-broadcast; customer is SF-linear so its hint is size-gated "
+    "(broadcast at test SFs, keyed shuffle at the 100-TB point).",
     tags=("join", "agg"),
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # customer is SF-linear: size-gate its hint; nation (25 rows) is a
+    # true constant-bounded dimension and keeps the forced broadcast.
+    c = broadcast_if_bounded(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        parquet_row_bound(sf_dir, "customer"),
+    )
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     disc_price_micros = cents_of(
         F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -539,13 +552,20 @@ def incremental_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q3 shape: selective dim filter -> fact join chain -> "
     "grouped revenue -> deterministic top-k. The segment filter prunes "
-    "customers before the broadcast, so the fact scan only keeps "
-    "matching orders.",
+    "customers before the (size-gated) broadcast; the filtered side is "
+    "still SF-linear, so the gate uses the full-table footer count as a "
+    "conservative bound.",
     tags=("join", "topk"),
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
+    # ~1/5 of customer still scales with SF: bound by the full-table
+    # footer count (an over-estimate of the filtered side, which keeps
+    # the gate conservative — never broadcasts what might not fit).
+    c = broadcast_if_bounded(
+        _t(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        ),
+        parquet_row_bound(sf_dir, "customer"),
     )
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -556,7 +576,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = cents_of(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).alias("revenue_micros"))
         .select(

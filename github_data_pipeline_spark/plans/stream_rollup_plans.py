@@ -80,10 +80,20 @@ def stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
     finally:
         q.stop()
-    # one availableNow batch -> one update row per (window, type)
+    # update mode emits one row per (window, type) PER MICRO-BATCH that
+    # touched the key; availableNow usually drains in one batch, but if
+    # the source ever splits the drain (maxFilesPerTrigger, many part
+    # files, future read-limit defaults) a key updated in several
+    # batches leaves several partial rows in the sink. Each re-emit is
+    # cumulative, so `events` strictly grows per key — keep only the
+    # final (max-events) row per key instead of summing duplicates.
     return spark.sql(
-        f"""SELECT window_start, event_type, events, value_cents
-            FROM {name}
+        f"""SELECT window_start, event_type, events, value_cents FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY window_start, event_type
+                ORDER BY events DESC) AS rn
+              FROM {name})
+            WHERE rn = 1
             ORDER BY window_start ASC, event_type ASC"""
     )
 

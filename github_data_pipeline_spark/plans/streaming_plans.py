@@ -82,9 +82,16 @@ def stream_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    # single availableNow batch -> one update row per user == final state
+    # update mode emits per touched key PER MICRO-BATCH; if the drain
+    # ever splits into several batches, a user carries several
+    # cumulative partials in the sink. total_events strictly grows on
+    # re-emit, so the final state per user is the max-events row.
     return spark.sql(
-        f"SELECT user_id, total_events, total_value_cents FROM {name}"
+        f"""SELECT user_id, total_events, total_value_cents FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY total_events DESC) AS rn
+              FROM {name})
+            WHERE rn = 1"""
     )
 
 

@@ -294,13 +294,34 @@ def read_version(spark, table_dir: str, version: int | None = None) -> DataFrame
     return spark.read.parquet(vdir)
 
 
-def vacuum_versions(table_dir: str, keep: int = 1) -> list[int]:
-    """Remove all snapshot dirs except the committed latest ``keep``
+#: Minimum age (seconds, by dir mtime) before an UNCOMMITTED version dir
+#: is treated as a crashed-writer orphan rather than an in-flight write.
+#: A dir newer than the pointer is indistinguishable from a write that
+#: sits between its snapshot landing and its pointer commit — vacuuming
+#: it immediately would let os.replace commit a pointer to a deleted
+#: directory (the Delta VACUUM retention problem, solved the same way:
+#: only reap orphans older than a retention threshold).
+ORPHAN_RETENTION_SECONDS = 24 * 3600
+
+
+def vacuum_versions(
+    table_dir: str,
+    keep: int = 1,
+    orphan_retention_seconds: float = ORPHAN_RETENTION_SECONDS,
+) -> list[int]:
+    """Remove snapshot dirs except the committed latest ``keep``
     versions (and never the pointer's target, whatever ``keep`` says).
-    Orphans from crashed writers — version dirs NEWER than the pointer
-    — are removed too: they were never committed. Returns the removed
-    version numbers."""
+
+    Version dirs NEWER than the pointer are removed only when their
+    mtime is older than ``orphan_retention_seconds``: an old
+    uncommitted dir is a crashed writer's orphan, a fresh one may be an
+    IN-FLIGHT ``write_versioned`` between snapshot write and pointer
+    commit, and deleting it would break that writer's commit. Pass
+    ``orphan_retention_seconds=0`` only when the caller can guarantee
+    no concurrent writer (single-writer maintenance windows). Returns
+    the removed version numbers."""
     import shutil
+    import time
 
     committed = latest_version(table_dir)
     if committed is None:
@@ -310,8 +331,18 @@ def vacuum_versions(table_dir: str, keep: int = 1) -> list[int]:
         v for v in list_versions(table_dir) if v <= committed
     )
     keep_set = set(sorted(keep_set)[-max(1, keep):]) | {committed}
+    now = time.time()
     for v in list_versions(table_dir):
-        if v not in keep_set:
-            shutil.rmtree(os.path.join(table_dir, f"v{v}"))
-            removed.append(v)
+        if v in keep_set:
+            continue
+        vdir = os.path.join(table_dir, f"v{v}")
+        if v > committed:
+            try:
+                age = now - os.path.getmtime(vdir)
+            except OSError:
+                continue  # raced with a writer creating/committing it
+            if age < orphan_retention_seconds:
+                continue  # possibly in-flight — retention not reached
+        shutil.rmtree(vdir)
+        removed.append(v)
     return removed

@@ -328,11 +328,16 @@ def enriched_rollup_stream(
     nation — the canonical streaming fact-dim pattern.
 
     The static side is re-planned per micro-batch (so a dimension
-    refresh lands without restarting the query) and BROADCAST: no
-    stream-side shuffle for the join, state exists only in the
-    aggregation. Left join keeps events for unknown users (nation
-    NULL) — a dropped-row enrichment is a silent data loss at scale.
-    Parity with the identical batch plan is pinned in
+    refresh lands without restarting the query) and deliberately
+    UN-HINTED: a user dimension is unbounded (it grows with the user
+    base), so a forced broadcast is a 100-TB OOM hazard, and a
+    build-time size gate would go stale across dimension refreshes.
+    Per-micro-batch planning broadcasts it automatically while it is
+    under spark.sql.autoBroadcastJoinThreshold and degrades to a keyed
+    shuffle when it outgrows that — the honest strategy at every
+    scale. Left join keeps events for unknown users (nation NULL) — a
+    dropped-row enrichment is a silent data loss at scale. Parity with
+    the identical batch plan is pinned in
     tests/test_streaming_incremental.py.
     """
     dims = customers.select(
@@ -340,7 +345,7 @@ def enriched_rollup_stream(
         F.col("c_nationkey").cast("long").alias("nationkey"),
     )
     return (
-        events.join(F.broadcast(dims), "user_id", "left")
+        events.join(dims, "user_id", "left")
         .groupBy("nationkey")
         .agg(
             F.count(F.lit(1)).alias("events"),

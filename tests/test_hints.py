@@ -77,3 +77,50 @@ def test_gated_sites_still_broadcast_at_test_sf(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_parquet_row_bound_unreadable_is_unbounded(tmp_path):
+    from github_data_pipeline_spark.operators.hints import (
+        UNBOUNDED,
+        parquet_row_bound,
+    )
+
+    assert parquet_row_bound(str(tmp_path), "missing") == UNBOUNDED
+    assert UNBOUNDED > BROADCAST_MAX_ROWS  # unknown -> never hinted
+
+
+def test_r9_converted_sites_still_broadcast_at_test_sf(spark, sf_dir):
+    """The r8-verdict conversions (customer-table hints in the TPC-H
+    shapes, the trigram's vocab tables, curation's candidate/dup
+    joins) must still plan as broadcast joins at test SFs — the gate
+    flips strategy only past the row bound, so converting a site must
+    not change the plan the bench measures."""
+    from github_data_pipeline_spark.plans import all_plans
+
+    reg = all_plans()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    for name in [
+        "top_customers_by_revenue",
+        "revenue_by_nation",
+        "shipping_priority",
+        "lm_kn_trigram_probs",
+        "doc_hybrid_retrieval",
+    ]:
+        df = reg[name].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(mode)
+        assert "BroadcastHashJoin" in plan, f"{name} lost its BHJ at test SF"
+
+
+def test_curation_neardup_stage_still_broadcasts_at_test_sf(spark, sf_dir):
+    from github_data_pipeline_spark.curation import neardup_drop_stage
+    from github_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    out = neardup_drop_stage(docs)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in plan

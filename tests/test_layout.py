@@ -329,3 +329,13 @@ def test_versioned_orphan_never_clobbered_and_vacuumed(spark, sf_dir, tmp_path):
     assert sorted(removed) == [1, 2]  # history + orphan gone
     assert list_versions(table) == [3]
     assert read_version(spark, table).count() == 20
+    # an UNCOMMITTED dir newer than the pointer with a fresh mtime may
+    # be an IN-FLIGHT write between snapshot landing and pointer commit:
+    # default-retention vacuum must leave it alone (deleting it would
+    # break that writer's commit), while retention=0 (caller-asserted
+    # single-writer window) reaps it as a true orphan.
+    events.limit(7).write.parquet(os.path.join(table, "v4"))
+    assert vacuum_versions(table, keep=1) == []          # retained
+    assert list_versions(table) == [3, 4]
+    assert vacuum_versions(table, keep=1, orphan_retention_seconds=0) == [4]
+    assert list_versions(table) == [3]
