@@ -473,5 +473,18 @@ def all_plans() -> Registry:
     REGISTRY.demote("exact_dedup_reingest")
     REGISTRY.demote("nation_set_ops")
     REGISTRY.demote("incremental_merge_orders")
+    # round-9 swap: doc_source_lang_cube (landed AFTER the second r8
+    # swap at position 50, one slot past the window — the only entry
+    # that has never held a driver-scored row; cell-exact under the
+    # local checker) takes a window slot. One entry rotates out, green
+    # since r03 with its class covered in-window:
+    # - top_orders_per_customer: per-group rank window (row_number +
+    #   filter) ≡ events_range_attribution (stays — the same ranked
+    #   window machinery over events) and the ≤K-row rank windows in
+    #   doc_hybrid_retrieval / winnow_shared_fp_pairs (stay); the
+    #   TakeOrderedAndProject top-k face stays scored via
+    #   top_customers_by_revenue. Stays cell-exact under the local
+    #   checker (CORRECTNESS_TAIL.json).
+    REGISTRY.demote("top_orders_per_customer")
 
     return REGISTRY

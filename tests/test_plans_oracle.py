@@ -101,6 +101,10 @@ def test_driver_window_invariants():
         "stream_sliding_rollup",
         "stream_sessionization",
         "stream_watermark_dedup",
+        # round-9 rotation: the late-r8 CUBE entry that registered one
+        # slot past the window (top_orders_per_customer demoted with
+        # in-window rank-window class coverage; see plans/core.py)
+        "doc_source_lang_cube",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry must carry an oracle (approx_lineitem_stats
