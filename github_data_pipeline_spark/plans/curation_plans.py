@@ -220,3 +220,211 @@ def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("max_err").alias("max_abs_err"),
         F.min("cos").alias("min_cosine"),
     )
+
+
+# --- the composed curation funnel, oracle-checked end-to-end -------------
+#
+# Every stage of curation.curate() is individually oracle-backed
+# elsewhere (cleaning regexes via doc_pii_scrub, lang-id via
+# lang_id_confusion, the quality gate via doc_quality_by_source,
+# repetition via doc_repetition_gates, LSH/verify via
+# minhash_lsh_candidates, components via neardup_cluster_keepers).
+# This entry proves the COMPOSITION: the DuckDB oracle re-runs the
+# whole funnel — line-dedup, the four-regex cleaner, the argmax
+# language gate, the integer quality gate, the bigram repetition gate,
+# then MinHash banding, exact-Jaccard verification and connected
+# components over the SURVIVING text — and the per-stage survivor
+# counts must hash-equal. A single stage drifting (a regex dialect
+# divergence, a gate boundary, a band-key format) shifts a count.
+
+_FUNNEL_STAGES = (
+    "raw",
+    "cleaned_nonempty",
+    "language",
+    "quality",
+    "repetition",
+    "neardup_dropped",
+)
+
+
+def _funnel_oracle() -> str:
+    from ..functions.text import (
+        _CONTROL_RE,
+        _EMAIL_RE,
+        _HTML_TAG_RE,
+        _IPV4_RE,
+        _LONG_ID_RE,
+    )
+    from ..operators.neardup import MINHASH_P
+    from .dedup_plans import _BAND_STRUCTS_SQL, _SIG_COLS_SQL
+
+    # functions/text.py twins over the funnel's evolving text column
+    h60 = f"(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_P})"
+    lang_scores = {
+        lang: f"len(list_filter(toks, t -> list_contains("
+        f"[{', '.join(repr(w) for w in markers)}], lower(t))))"
+        for lang, markers in sorted(T.LANG_MARKERS.items())
+    }
+    # functions/text.lang_id fold semantics: 'en' survives iff strictly
+    # greater than every lexicographically EARLIER language and >= every
+    # LATER one (the fold replaces only on strictly-greater)
+    langs = sorted(lang_scores)
+    en_pos = langs.index("en")
+    en_wins = " AND ".join(
+        [f"s_en > s_{l}" for l in langs[:en_pos]]
+        + [f"s_{l} <= s_en" for l in langs[en_pos + 1:]]
+    )
+    score_cols = ",\n             ".join(
+        f"{expr} AS s_{lang}" for lang, expr in lang_scores.items()
+    )
+    counts = ",\n      ".join(
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {tbl}) AS c{i}"
+        for i, tbl in enumerate(
+            (
+                "documents",
+                "cleaned_nonempty",
+                "language",
+                "quality",
+                "repetition",
+                "neardup_survivors",
+            )
+        )
+    )
+    return f"""
+WITH RECURSIVE lines AS (
+  SELECT doc_id,
+         list_transform(string_split(text, chr(10)), x -> trim(x)) AS ls
+  FROM documents
+), cleaned AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                array_to_string(
+                  list_filter(ls, (x, i) ->
+                    length(x) > 0 AND list_position(ls, x) = i),
+                  chr(10)),
+                '{_HTML_TAG_RE}', ' ', 'g'),
+              '{_CONTROL_RE}', '', 'g'),
+            '{_EMAIL_RE}', '<EMAIL>', 'g'),
+          '{_IPV4_RE}', '<IP>', 'g'),
+        '{_LONG_ID_RE}', '<ID>', 'g'),
+      '\\s+', ' ', 'g')) AS text
+  FROM lines
+), cleaned_nonempty AS (
+  SELECT doc_id, text FROM cleaned WHERE length(text) > 0
+), toked AS (
+  SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
+  FROM cleaned_nonempty
+), lang_scored AS (
+  SELECT doc_id, text, toks,
+             {score_cols}
+  FROM toked
+), language AS (
+  SELECT doc_id, text, toks FROM lang_scored WHERE {en_wins}
+), quality AS (
+  SELECT doc_id, text, toks FROM language
+  WHERE len(toks) BETWEEN 20 AND 400
+    AND len(list_filter(toks,
+          t -> list_contains([{', '.join(repr(w) for w in T.EN_STOPWORDS)}],
+                             lower(t)))) * 10 >= len(toks)
+), bigram_stats AS (
+  SELECT doc_id, MAX(c) AS mx, SUM(c) AS n FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(toks) - 1, 0)),
+        i -> toks[i] || ' ' || toks[i+1])) AS g
+      FROM quality)
+    GROUP BY 1, 2)
+  GROUP BY doc_id
+), repetition AS (
+  SELECT q.doc_id, q.text, q.toks FROM quality q
+  LEFT JOIN bigram_stats b ON b.doc_id = q.doc_id
+  WHERE b.doc_id IS NULL OR (CAST(b.mx AS DOUBLE) / b.n) <= 0.2
+), grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(toks) - 2, 0)),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM repetition
+), hashed AS (
+  SELECT doc_id, {h60} AS h
+  FROM (SELECT doc_id, unnest(g) AS s FROM grams WHERE len(g) > 0)
+), sigs AS (
+  SELECT doc_id,
+  {_SIG_COLS_SQL}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, u.b.band AS band, u.b.key AS key
+  FROM sigs, UNNEST([{_BAND_STRUCTS_SQL}]) AS u(b)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(ga.g, gb.g)) AS shared,
+           len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS un
+    FROM cands c
+    JOIN grams ga ON ga.doc_id = c.doc_a
+    JOIN grams gb ON gb.doc_id = c.doc_b)
+  WHERE shared * 5 >= un * 4
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM verified
+), nodes AS (
+  SELECT DISTINCT u AS node FROM edges
+), reach(node, lab) AS (
+  SELECT node, node AS lab FROM nodes
+  UNION
+  SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+  SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+), dups AS (
+  SELECT node AS doc_id FROM comp WHERE node <> component
+), neardup_survivors AS (
+  SELECT r.doc_id FROM repetition r
+  LEFT JOIN dups d ON d.doc_id = r.doc_id
+  WHERE d.doc_id IS NULL
+), cnt AS (
+  SELECT
+      {counts}
+)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage, c0 AS survivors FROM cnt
+UNION ALL SELECT 1, 'cleaned_nonempty', c1 FROM cnt
+UNION ALL SELECT 2, 'language', c2 FROM cnt
+UNION ALL SELECT 3, 'quality', c3 FROM cnt
+UNION ALL SELECT 4, 'repetition', c4 FROM cnt
+UNION ALL SELECT 5, 'neardup_dropped', c5 FROM cnt
+ORDER BY stage_idx ASC
+"""
+
+
+@_add(
+    "curation_funnel_report",
+    _funnel_oracle(),
+    doc="The composed end-to-end curation funnel (curation.curate: "
+    "line-dedup + 4-regex clean -> language argmax gate -> integer "
+    "quality gate -> bigram repetition gate -> LSH near-dup drop), "
+    "reported as per-stage survivor counts and oracle-checked as a "
+    "WHOLE: the DuckDB side re-runs every stage including MinHash "
+    "banding, exact-Jaccard verification and connected components "
+    "over the surviving (cleaned) text, so a divergence in any stage "
+    "or in their composition shifts a count and fails the hash. Each "
+    "count is one aggregate over a prefix of the same declarative "
+    "pipeline; gates are map-side filters pushed toward the scan, so "
+    "the expensive shingle shuffle sees only gate survivors — the "
+    "100-TB shape. The candidate/dropped-id joins inside the near-dup "
+    "stage are size-gated broadcasts (curation.neardup_drop_stage). "
+    "Proves what per-stage entries cannot: the stages compose.",
+    tags=("curation", "funnel", "dedup"),
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..curation import funnel_survivor_counts
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return funnel_survivor_counts(docs, lang="en")

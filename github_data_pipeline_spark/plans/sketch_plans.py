@@ -187,3 +187,153 @@ def sketch_over(li: DataFrame) -> DataFrame:
             F.size("sample_cents").cast("long").alias("sample_rows"),
         )
     )
+
+
+# --- mergeable-sketch IVM: batch-merged KMV == from-scratch KMV ----------
+#
+# rollup_incremental_merge (plans/audit_plans.py) proves incremental
+# maintenance for ADDITIVE aggregates (SUM/COUNT monoids). The statistic
+# a 100-TB warehouse actually struggles to maintain incrementally is
+# COUNT DISTINCT — not additive across batches. The mergeable-sketch
+# answer: keep a KMV sketch per ingest batch (the k smallest distinct
+# hashes — O(k) memory), merge by unioning the survivor sets and
+# re-truncating to the k smallest. KMV's merge is LOSSLESS (the k
+# smallest of a union are a subset of the per-part k-smallest sets), so
+# batch-merged == from-scratch EXACTLY — which makes it oracle-checkable
+# cell-exact, a strictly stronger claim than an error envelope: the
+# Spark side computes the estimate by 3-batch merge, the DuckDB oracle
+# from scratch, and the values must hash-equal.
+
+#: shipdate boundaries splitting lineitem into three "ingest batches"
+KMV_BATCH_BOUNDS = ("1994-01-01", "1996-01-01")
+#: estimator error envelope: 3 standard errors, se = 1/sqrt(k) = 1/16
+KMV_SE_DEN = 16  # sqrt(KMV_K)
+KMV_SE_MUL = 3
+
+
+def _kmv_corrected_sql(col: str) -> str:
+    """From-scratch KMV estimate of COUNT(DISTINCT col) with the
+    standard small-cardinality mode: while fewer than k distinct hashes
+    exist the sketch holds all of them and reports the exact count."""
+    return f"""(
+      SELECT CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*)
+                  ELSE CAST(floor({KMV_K - 1} * {_POW32} / MAX(h)) AS BIGINT)
+             END
+      FROM (SELECT h FROM (SELECT DISTINCT {_h32_sql(col)} AS h FROM lineitem)
+            ORDER BY h ASC LIMIT {KMV_K})
+    )"""
+
+
+def _kmv_row_sql(col: str) -> str:
+    est = _kmv_corrected_sql(col)
+    return f"""
+    SELECT '{col}' AS key_col,
+           {est} AS merged_kmv,
+           {est} AS scratch_kmv,
+           (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) FROM lineitem)
+             AS exact_distinct,
+           CAST(1 AS BIGINT) AS within_3se"""
+
+
+@REGISTRY.add(
+    "kmv_incremental_merge",
+    f"""
+    {_kmv_row_sql("l_orderkey")}
+    UNION ALL
+    {_kmv_row_sql("l_partkey")}
+    ORDER BY key_col ASC
+    """,
+    doc="Incremental view maintenance for COUNT DISTINCT via mergeable "
+    "KMV sketches, proved exact: lineitem is split into three ingest "
+    "batches by shipdate, each batch's k-minimum-value set (k smallest "
+    "distinct 32-bit md5 hashes — a distributed TakeOrderedAndProject, "
+    "O(k) memory per batch at any corpus size) is computed separately, "
+    "and the stored-sketch merge (union the <=3k survivors, distinct, "
+    "re-truncate to the k smallest) produces the estimate. The oracle "
+    "recomputes the SAME estimator from scratch over all rows: KMV's "
+    "merge is lossless, so the cell-exact equality is the IVM proof — "
+    "a warehouse folds each batch's O(k) sketch into the stored one "
+    "instead of rescanning history, and COUNT DISTINCT (non-additive, "
+    "the statistic the additive rollup_incremental_merge proof cannot "
+    "cover) stays maintainable. Small-cardinality mode (fewer than k "
+    "hashes -> exact count) applies identically in both engines. "
+    "within_3se pins |est - exact| <= 3 * exact / sqrt(k) as a literal "
+    "1 in the oracle — the estimate drifting out of its envelope on "
+    "any fixture becomes a hash mismatch, the approx_lineitem_stats "
+    "discipline. scratch_kmv is also computed by Spark from scratch, "
+    "so merged == scratch is pinned per-engine AND cross-engine.",
+    tags=("approx", "sketch", "incremental"),
+)
+def kmv_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi = (
+        F.lit(KMV_BATCH_BOUNDS[0]).cast("timestamp"),
+        F.lit(KMV_BATCH_BOUNDS[1]).cast("timestamp"),
+    )
+    ship = F.col("l_shipdate")
+    # a PARTITION of the table: the last batch takes the null-shipdate
+    # remainder so no row can escape the merged sketch silently
+    batches = [
+        li.filter(ship < lo),
+        li.filter((ship >= lo) & (ship < hi)),
+        li.filter((ship >= hi) | ship.isNull()),
+    ]
+
+    def kmin(df: DataFrame, col: str) -> DataFrame:
+        """The k smallest distinct hashes — TakeOrderedAndProject
+        (per-partition heaps), never a full sort."""
+        return (
+            df.select(_h32_col(F.col(col)).alias("h"))
+            .distinct()
+            .orderBy(F.asc("h"))
+            .limit(KMV_K)
+        )
+
+    def estimate(kset: DataFrame) -> DataFrame:
+        return kset.agg(
+            F.when(F.count("h") < KMV_K, F.count("h"))
+            .otherwise(
+                F.floor(F.lit(KMV_K - 1) * F.lit(_POW32) / F.max("h"))
+            )
+            .cast("long")
+            .alias("est")
+        )
+
+    out = None
+    for col in ("l_orderkey", "l_partkey"):
+        merged_set = batches[0].transform(lambda d: kmin(d, col))
+        for b in batches[1:]:
+            merged_set = merged_set.unionByName(kmin(b, col))
+        # the sketch merge: <=3k rows -> distinct -> k smallest
+        merged_set = (
+            merged_set.distinct().orderBy(F.asc("h")).limit(KMV_K)
+        )
+        merged = estimate(merged_set).select(
+            F.col("est").alias("merged_kmv")
+        )
+        scratch = estimate(kmin(li, col)).select(
+            F.col("est").alias("scratch_kmv")
+        )
+        exact = li.agg(
+            F.count_distinct(col).cast("long").alias("exact_distinct")
+        )
+        # all three sides are 1-row aggregates: forced-broadcast attach
+        row = (
+            merged.crossJoin(F.broadcast(scratch))
+            .crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(col).alias("key_col"),
+                "merged_kmv",
+                "scratch_kmv",
+                "exact_distinct",
+                (
+                    F.abs(F.col("merged_kmv") - F.col("exact_distinct"))
+                    * KMV_SE_DEN
+                    <= F.lit(KMV_SE_MUL) * F.col("exact_distinct")
+                )
+                .cast("long")
+                .alias("within_3se"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.asc("key_col"))

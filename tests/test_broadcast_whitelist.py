@@ -88,6 +88,8 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
         2, "fixed N_QUERIES query sets (brute + ivf variants)"),
     ("plans/sketch_plans.py", "sketch_over"): (
         3, "1-row exact/sample/sketch attaches"),
+    ("plans/sketch_plans.py", "kmv_incremental_merge"): (
+        2, "1-row merged/scratch/exact estimate attaches"),
     ("plans/source_overlap_plans.py", "source_shingle_overlap"): (
         2, "per-source size table — catalog-bounded source domain"),
     ("plans/split_plans.py", "leakage_safe_splits"): (

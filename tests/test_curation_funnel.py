@@ -61,3 +61,37 @@ def test_funnel_with_budget_sample(spark, sf_dir):
     final, stages = curate(docs, sample_rates={s: 0.5 for s in sources})
     assert stages[-1][0] == "budget_sample"
     assert 0 < final.count() <= stages[-2][1].count()
+
+
+def test_survivor_counts_match_stage_by_stage(spark, sf_dir):
+    """The one-scan funnel report (funnel_survivor_counts — what the
+    registry's curation_funnel_report ships) must equal counting each
+    curate() stage directly: the two paths share the gate predicate
+    functions, and this pins that the checkpoint/semi-join replumbing
+    changed cost, not semantics."""
+    from github_data_pipeline_spark.curation import funnel_survivor_counts
+
+    docs = _docs(spark, sf_dir)
+    _final, stages = curate(docs, sample_rates=None)
+    want = [(n, df.count()) for n, df in stages]
+    got = [
+        (r["stage"], r["survivors"])
+        for r in funnel_survivor_counts(docs).collect()
+    ]
+    assert got == want
+
+
+def test_funnel_report_plan_has_no_full_refunnel(spark, sf_dir):
+    """The report must execute from checkpointed flag/survivor state:
+    its physical plan may scan `documents` for the raw count and the
+    survivor semi-join, but must NOT contain the cleaning regexes more
+    than twice (the naive per-stage report carries them 5x)."""
+    from github_data_pipeline_spark.curation import funnel_survivor_counts
+
+    docs = _docs(spark, sf_dir)
+    plan = funnel_survivor_counts(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+    )
+    assert plan.count("<EMAIL>") <= 2, "cleaning regexes re-run per stage"

@@ -84,3 +84,37 @@ def test_sketch_empty_input_engines_agree(spark, duck):
     )
     orow = duck.execute(oracle).fetchdf().iloc[0]
     assert int(orow["sample_rows"]) == 0
+
+
+def test_kmv_merge_equals_scratch_and_batches_partition(spark, sf_dir):
+    """kmv_incremental_merge invariants that the oracle cannot see
+    in isolation: (a) merged == scratch per engine (the lossless-merge
+    claim), (b) the three shipdate batches PARTITION lineitem (a row
+    lost to a boundary bug would silently shrink the merged sketch),
+    (c) the envelope flags are 1 on the fixture."""
+    from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.plans.sketch_plans import (
+        KMV_BATCH_BOUNDS,
+    )
+    from github_data_pipeline_spark.sources.tables import load_table
+
+    reg = all_plans()
+    rows = {
+        r["key_col"]: r
+        for r in reg["kmv_incremental_merge"].builder(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"l_orderkey", "l_partkey"}
+    for r in rows.values():
+        assert r["merged_kmv"] == r["scratch_kmv"]
+        assert r["within_3se"] == 1
+        assert r["exact_distinct"] > 0
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi = KMV_BATCH_BOUNDS
+    ship = F.col("l_shipdate")
+    n = li.count()
+    parts = (
+        li.filter(ship < lo).count()
+        + li.filter((ship >= lo) & (ship < hi)).count()
+        + li.filter((ship >= hi) | ship.isNull()).count()
+    )
+    assert parts == n

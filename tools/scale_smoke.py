@@ -131,6 +131,10 @@ HOTBAND_TARGETS = (
     # boilerplate docs share fingerprints at corpus-wide df: the
     # WIN_DF_CAP posting prune is what keeps the pair stage linear
     "winnow_shared_fp_pairs",
+    # r9: the cross-doc dup-gram rate's gram-keyed df join is its
+    # skew-sensitive stage — boilerplate grams concentrate df counts
+    # exactly where this mode piles them up
+    "doc_dup_ngram_rate",
 )
 
 # grouped/stateful per-user work is what a hot key stresses;
