@@ -156,17 +156,16 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     Three branches, most-capable first:
 
     * a real codec (PIL) when importable — any format PIL knows;
-    * a real stdlib PNG decode (zlib inflate + scanline unfilter) for
-      PNG payloads when PIL is absent — so real image data degrades
-      gracefully in codec-less containers instead of raising;
+    * a real stdlib decode when PIL is absent: zlib inflate + scanline
+      unfilter for PNG, and a baseline-JFIF Huffman+IDCT decoder
+      (operators/jpeg_stdlib.py — baseline sequential, 8-bit, 4:4:4)
+      for JPEG — so real image data degrades gracefully in codec-less
+      containers instead of raising, and BOTH container branches run
+      against real encoded pixels in CI;
     * the deterministic fake for anything else (size-mod dimensions,
       mean of the first 64 'pixel' bytes) — the oracle path the
       registry queries pin, exercised by the synthetic corpus whose
       payloads are never real images.
-
-    A JPEG payload without PIL is the one unservable case and raises
-    ValueError (entropy decoding needs a real codec); both real
-    branches are tested in tests/test_multimodal_ops.py.
 
     A payload that merely LOOKS like an image (magic bytes followed by
     truncated or corrupt data) must not kill the enclosing mapInPandas
@@ -193,11 +192,13 @@ def decode_image(payload: bytes) -> dict[str, Any]:
             try:
                 return _decode_pil(payload)
             except Exception:
-                pass  # corrupt data wearing JPEG magic -> fake
-        else:
-            raise ValueError(
-                "JPEG payload needs a real codec (PIL not importable here)"
-            )
+                pass  # corrupt data wearing JPEG magic -> stdlib parse
+        try:
+            from .jpeg_stdlib import decode_baseline_jpeg
+
+            return decode_baseline_jpeg(payload)
+        except Exception:
+            pass  # outside the baseline subset / corrupt -> fake
     n = len(payload)
     header = payload[:_HEADER_BYTES]
     return {

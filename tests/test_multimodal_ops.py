@@ -184,13 +184,78 @@ def test_decode_png_rgba_excludes_alpha():
     ) == (2, 1)
 
 
-def test_decode_jpeg_without_codec_raises_cleanly():
+def test_decode_real_jpeg_via_stdlib_baseline():
+    """A REAL baseline-JFIF payload (encoded by the stdlib encoder, no
+    image library anywhere) decodes through decode_image's JPEG branch
+    with exact dimensions and a lossy-tolerance mean — both container
+    decode branches (PNG and JPEG) now run against real encoded pixels
+    in CI (r8 VERDICT item 7)."""
+    from github_data_pipeline_spark.operators import multimodal as mm
+    from github_data_pipeline_spark.operators.jpeg_stdlib import (
+        encode_baseline_jpeg,
+    )
+
+    w, h = 24, 17  # non-multiples of 8: exercises edge-block cropping
+    rgb = [
+        ((x * 10) % 256, (y * 17) % 256, ((x + y) * 7) % 256)
+        for y in range(h)
+        for x in range(w)
+    ]
+    payload = encode_baseline_jpeg(w, h, rgb)
+    assert payload[:3] == b"\xff\xd8\xff"
+    got = mm.decode_image(payload)
+    assert (got["width"], got["height"]) == (w, h)
+    true_mean = sum(sum(p) for p in rgb) / (w * h * 3)
+    assert got["mean_pixel"] == pytest.approx(true_mean, abs=2.0)
+    assert got["n_bytes"] == len(payload)
+
+
+def test_decode_corrupt_jpeg_falls_back_to_fake():
+    """Corrupt data wearing the JPEG magic must not kill the stage —
+    same degradation contract as the pseudo-PNG case."""
     from github_data_pipeline_spark.operators import multimodal as mm
 
-    if mm._HAVE_PIL:
-        pytest.skip("PIL present: JPEG path is the PIL branch")
-    with pytest.raises(ValueError, match="JPEG"):
-        mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    payload = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    got = mm.decode_image(payload)
+    n = len(payload)
+    assert (got["width"], got["height"]) == (16 + n % 17, 16 + n % 13)
+
+
+def test_stdlib_jpeg_rejects_out_of_subset_features():
+    """Progressive scans / subsampling / restart intervals are outside
+    the documented baseline subset and must raise ValueError (which
+    decode_image converts into the fake fallback), never misdecode."""
+    import struct
+
+    from github_data_pipeline_spark.operators.jpeg_stdlib import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    good = encode_baseline_jpeg(8, 8, [(9, 9, 9)] * 64)
+    # flip SOF0 -> SOF2 (progressive)
+    bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(bad)
+    # 2x2-subsampled component declaration
+    i = good.index(b"\xff\xc0")
+    seglen = struct.unpack(">H", good[i + 2 : i + 4])[0]
+    sof = bytearray(good[i : i + 2 + seglen])
+    sof[2 + 6 + 1] = 0x22  # luma sampling 2x2
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(good[:i] + bytes(sof) + good[i + 2 + seglen :])
+
+
+def test_stdlib_jpeg_solid_color_mean_is_tight():
+    from github_data_pipeline_spark.operators.jpeg_stdlib import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    rgb = [(200, 100, 50)] * (16 * 16)
+    got = decode_baseline_jpeg(encode_baseline_jpeg(16, 16, rgb))
+    assert (got["width"], got["height"]) == (16, 16)
+    assert got["mean_pixel"] == pytest.approx((200 + 100 + 50) / 3, abs=1.0)
 
 
 def test_decode_corrupt_pseudo_png_falls_back_to_fake():
