@@ -224,3 +224,134 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("nation"), F.asc("order_year"))
     )
+
+
+# --- round 9: CDC apply (upserts + DELETES) -------------------------------
+#
+# rollup_incremental_merge proves additive-merge IVM and
+# incremental_merge_orders (tail) proves recency upserts; neither
+# covers the third face of warehouse maintenance: a change-data-capture
+# feed carrying DELETE operations. The change batch is derived
+# deterministically from the base table (both engines construct the
+# SAME feed), applied with MERGE semantics — update matched, insert
+# unmatched, delete tombstoned — and the result is profiled.
+
+CDC_UPDATE_MOD = 10  # o_orderkey % 10 == 3 -> status/price update
+CDC_DELETE_MOD = 10  # o_orderkey % 10 == 7 -> tombstone
+CDC_INSERT_OFFSET = 1_000_000_000  # synthetic new keys: key + offset
+
+
+@_add(
+    "cdc_apply_changes",
+    f"""
+    WITH changes AS (
+      SELECT o_orderkey AS key, 'U' AS op,
+             'X' AS new_status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100 AS new_cents
+      FROM orders WHERE o_orderkey % {CDC_UPDATE_MOD} = 3
+      UNION ALL
+      SELECT o_orderkey, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % {CDC_DELETE_MOD} = 7
+      UNION ALL
+      SELECT o_orderkey + {CDC_INSERT_OFFSET}, 'I', 'N',
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey % {CDC_UPDATE_MOD} = 3
+    ), applied AS (
+      -- MERGE: keep base rows without a tombstone, applying updates
+      SELECT o.o_orderkey AS key,
+             COALESCE(c.new_status, o.o_orderstatus) AS status,
+             COALESCE(c.new_cents,
+                      CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      LEFT JOIN changes c ON c.key = o.o_orderkey AND c.op IN ('U', 'D')
+      WHERE c.op IS NULL OR c.op = 'U'
+      UNION ALL
+      -- ...plus inserts for keys not in the base table
+      SELECT c.key, c.new_status, c.new_cents
+      FROM changes c LEFT JOIN orders o ON o.o_orderkey = c.key
+      WHERE c.op = 'I' AND o.o_orderkey IS NULL
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS rows_,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MIN(key) AS BIGINT) AS min_key,
+           CAST(MAX(key) AS BIGINT) AS max_key
+    FROM applied
+    GROUP BY status
+    ORDER BY status ASC
+    """,
+    doc="Change-data-capture apply with all three operations — the "
+    "MERGE INTO semantics a warehouse table feed needs: a "
+    "deterministic change batch (updates for keys ≡3 mod 10, DELETE "
+    "tombstones for keys ≡7, inserts under offset keys) applied to "
+    "orders as update-matched / delete-matched / insert-unmatched, "
+    "profiled per resulting status. The apply is two keyed joins (a "
+    "left join carrying the update/tombstone lane, an anti-shaped "
+    "left join for the insert lane) — no broadcast hints on the "
+    "SF-scaling sides, so Catalyst/AQE pick the strategy; at 100 TB "
+    "this is the join-based MERGE a real table format executes under "
+    "its transaction log (sources/layout.write_versioned holds the "
+    "snapshot-commit face of the same story). Complements the "
+    "additive-IVM and recency-upsert entries with the delete path.",
+    tags=("relational", "incremental", "cdc"),
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.filter(F.col("o_orderkey") % CDC_UPDATE_MOD == 3).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("U").alias("op"),
+        F.lit("X").alias("new_status"),
+        (cents("o_totalprice") + 100).alias("new_cents"),
+    )
+    dele = o.filter(F.col("o_orderkey") % CDC_DELETE_MOD == 7).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("new_status"),
+        F.lit(None).cast("long").alias("new_cents"),
+    )
+    ins = o.filter(F.col("o_orderkey") % CDC_UPDATE_MOD == 3).select(
+        (F.col("o_orderkey") + CDC_INSERT_OFFSET).alias("key"),
+        F.lit("I").alias("op"),
+        F.lit("N").alias("new_status"),
+        cents("o_totalprice").alias("new_cents"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    matched = (
+        o.join(
+            changes.filter(F.col("op").isin("U", "D")),
+            o.o_orderkey == F.col("key"),
+            "left",
+        )
+        .filter(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.coalesce(F.col("new_status"), F.col("o_orderstatus")).alias(
+                "status"
+            ),
+            F.coalesce(F.col("new_cents"), cents("o_totalprice")).alias(
+                "cents"
+            ),
+        )
+    )
+    inserts = (
+        changes.filter(F.col("op") == "I")
+        .join(o, o.o_orderkey == F.col("key"), "left_anti")
+        .select(
+            "key",
+            F.col("new_status").alias("status"),
+            F.col("new_cents").alias("cents"),
+        )
+    )
+    return (
+        matched.unionByName(inserts)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows_"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.min("key").cast("long").alias("min_key"),
+            F.max("key").cast("long").alias("max_key"),
+        )
+        .orderBy(F.asc("status"))
+    )

@@ -233,3 +233,112 @@ def doc_char_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("atypical_docs"),
     )
+
+
+# --- round 9: threshold-sweep evaluation (PR curve) ------------------------
+#
+# A trained quality classifier is useless without an evaluation
+# against the labeling rule it approximates. The "label" here is the
+# curation funnel's RULE gate (curation.quality_pred — length window +
+# stopword ratio); the score is this module's linear classifier. One
+# corpus scan computes (score, label) per doc; the threshold sweep is
+# a single 1-row aggregate of SUM(CASE) confusion counts per
+# threshold (NO grouping-sets EXPAND — the r7 trap), unpivoted to one
+# row per threshold afterwards. Counts are exact integers; precision/
+# recall are derivable offline, so no float leaves the query.
+
+PR_THRESHOLDS = (11_000, 12_500, 13_700, 15_000, 17_000)
+
+
+@_add(
+    "classifier_pr_curve",
+    f"""
+    WITH f AS (
+      SELECT len(toks) AS t,
+        len(list_filter(toks, x -> list_contains([{_STOPS}], lower(x))))
+          AS s,
+        len(list_distinct(toks)) AS u,
+        COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS c
+      FROM (SELECT {_TOKS} AS toks FROM documents)
+    ), scored AS (
+      SELECT
+        CASE WHEN t = 0 THEN 0 ELSE
+          {W_STOP} * ((s * {FP_SCALE}) // t)
+          + {W_TTR} * ((u * {FP_SCALE}) // t)
+          + {W_LEN} * ((c * {LEN_SCALE}) // t)
+        END AS score,
+        CASE WHEN t BETWEEN 20 AND 400 AND s * 10 >= t
+             THEN 1 ELSE 0 END AS label
+      FROM f
+    ), agg AS (
+      SELECT
+        {", ".join(
+            f"CAST(SUM(CASE WHEN score >= {t} AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp_{t}, "
+            f"CAST(SUM(CASE WHEN score >= {t} AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp_{t}, "
+            f"CAST(SUM(CASE WHEN score <  {t} AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn_{t}, "
+            f"CAST(SUM(CASE WHEN score <  {t} AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn_{t}"
+            for t in PR_THRESHOLDS
+        )}
+      FROM scored
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS threshold, tp_{t} AS tp, fp_{t} AS fp,"
+        f" fn_{t} AS fn, tn_{t} AS tn FROM agg"
+        for t in PR_THRESHOLDS
+    )}
+    ORDER BY threshold ASC
+    """,
+    doc="Classifier evaluation at corpus scale: the linear quality "
+    "score swept over five thresholds against the curation funnel's "
+    "RULE gate as the label (the exact quality_pred arithmetic — "
+    "integer length window + stopword ratio), emitting exact "
+    "confusion counts (tp/fp/fn/tn) per threshold. ONE corpus scan, "
+    "ONE 1-row aggregate holding all 20 conditional counts (separate "
+    "SUM(CASE) columns — no grouping-sets EXPAND), then a constant "
+    "unpivot to long rows. This is how a 100-TB pipeline calibrates "
+    "its shipped threshold: the sweep is free relative to the scan, "
+    "and the chosen SCORE_THRESHOLD's operating point is visible "
+    "against its neighbors. Non-vacuous: every threshold row has "
+    "nonzero tp AND nonzero fp+fn on the fixture.",
+    tags=("text", "quality", "classifier", "eval"),
+)
+def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents").select("text"))
+    toks = T.tokens("text")
+    f = d.select(
+        F.size(toks).cast("long").alias("t"),
+        T.stopword_hits(toks).cast("long").alias("s"),
+        F.size(F.array_distinct(toks)).cast("long").alias("u"),
+        T.char_count(toks).cast("long").alias("c"),
+    )
+    score = F.when(F.col("t") == 0, F.lit(0).cast("long")).otherwise(
+        F.lit(W_STOP) * F.expr(f"(s * {FP_SCALE}) div t")
+        + F.lit(W_TTR) * F.expr(f"(u * {FP_SCALE}) div t")
+        + F.lit(W_LEN) * F.expr(f"(c * {LEN_SCALE}) div t")
+    )
+    label = (
+        F.col("t").between(20, 400) & (F.col("s") * 10 >= F.col("t"))
+    ).cast("int")
+    scored = f.select(score.alias("score"), label.alias("label"))
+    aggs = []
+    for t in PR_THRESHOLDS:
+        hit = F.col("score") >= t
+        pos = F.col("label") == 1
+        aggs += [
+            F.sum((hit & pos).cast("int")).cast("long").alias(f"tp_{t}"),
+            F.sum((hit & ~pos).cast("int")).cast("long").alias(f"fp_{t}"),
+            F.sum((~hit & pos).cast("int")).cast("long").alias(f"fn_{t}"),
+            F.sum((~hit & ~pos).cast("int")).cast("long").alias(f"tn_{t}"),
+        ]
+    one = scored.agg(*aggs)
+    out = None
+    for t in PR_THRESHOLDS:
+        row = one.select(
+            F.lit(t).cast("long").alias("threshold"),
+            F.col(f"tp_{t}").alias("tp"),
+            F.col(f"fp_{t}").alias("fp"),
+            F.col(f"fn_{t}").alias("fn"),
+            F.col(f"tn_{t}").alias("tn"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.asc("threshold"))

@@ -69,3 +69,88 @@ def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("priority"))
     )
+
+
+# --- round 9: two-phase (salted) per-group top-k --------------------------
+#
+# A window row_number() computes per-group top-k by sorting each
+# group's ENTIRE row set inside one task — correct, and fine when no
+# group is hot, but one mega-group (one customer with 10^8 orders at
+# the 100-TB point) serializes on a single straggler sorting history.
+# The scalable rewrite is the same space-for-balance trade as the
+# salted join: rank within (group, salt) first — every partial sorts
+# ~1/S of the hot group — keep each salt's top k, then rank the <= S*k
+# survivors per group. The final window sorts a bounded set no matter
+# how hot the group is. The oracle runs the PLAIN single-window form:
+# cell-equality proves the two-phase rewrite changes the physical
+# plan, never the result (the salted_priority_revenue discipline).
+
+TOPK_PER_GROUP = 3
+TOPK_SALT = 8
+
+
+@REGISTRY.add(
+    "salted_group_topk",
+    f"""
+    SELECT c_custkey, o_orderkey, rank_in_cust, total_cents
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                        o_orderkey ASC
+             ) AS BIGINT) AS rank_in_cust,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+      FROM orders
+    )
+    WHERE rank_in_cust <= {TOPK_PER_GROUP} AND c_custkey % 50 = 1
+    ORDER BY c_custkey ASC, rank_in_cust ASC
+    """,
+    doc=f"Per-group top-{TOPK_PER_GROUP} under group skew, two-phase: "
+    f"rank within (customer, salt) over {TOPK_SALT} md5-derived salt "
+    f"buckets keeping each salt's top {TOPK_PER_GROUP}, then rank the "
+    f"<= {TOPK_SALT}x{TOPK_PER_GROUP} survivors per customer — the "
+    "final per-group sort is bounded by the salt fan-in, never by the "
+    "hot group's row count (a plain window row_number sorts the whole "
+    "group in one task; one 10^8-order customer at 100 TB is a "
+    "single-straggler sort). Deterministic tiebreak (orderkey) makes "
+    "the top-k set unique, so the oracle's PLAIN single-window form "
+    "must match cell-exact — proving the rewrite is physical, not "
+    "semantic. Output sliced to customers ≡1 mod 50 to keep the "
+    "compared set small; the computation runs over all groups.",
+    tags=("window", "topk", "skew"),
+)
+def salted_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_h32
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    # phase 1: deterministic salt from the row key; rank inside
+    # (group, salt) — the hot group's rows spread over TOPK_SALT tasks
+    salted = o.withColumn("salt", md5_h32(F.col("o_orderkey")) % TOPK_SALT)
+    w1 = Window.partitionBy("c_custkey", "salt").orderBy(
+        F.desc("total_cents"), F.asc("o_orderkey")
+    )
+    survivors = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= TOPK_PER_GROUP)
+        .drop("r1", "salt")
+    )
+    # phase 2: rank the bounded survivor set per group
+    w2 = Window.partitionBy("c_custkey").orderBy(
+        F.desc("total_cents"), F.asc("o_orderkey")
+    )
+    return (
+        survivors.withColumn(
+            "rank_in_cust", F.row_number().over(w2).cast("long")
+        )
+        .filter(F.col("rank_in_cust") <= TOPK_PER_GROUP)
+        .filter(F.col("c_custkey") % 50 == 1)
+        .select("c_custkey", "o_orderkey", "rank_in_cust", "total_cents")
+        .orderBy(F.asc("c_custkey"), F.asc("rank_in_cust"))
+    )
