@@ -215,3 +215,106 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("long") - F.col("click_ts_asof").cast("long")
         ).alias("sec_since_click"),
     )
+
+
+# --- round 9: JSON sink -> source round-trip, oracle-checked ---------------
+#
+# The reference's pipeline hands data between stages as JSON files
+# (SURVEY §2.1: JSON file sink + permissive JSON source) and its
+# nastiest interchange quirk is timestamp wire format. This entry
+# proves the WHOLE round trip against the relational oracle: events is
+# written to gzip JSON (timestamps serialized in the GitHub wire
+# format), read back through the schema'd JSON source, and profiled —
+# counts, id checksums, integer cents, min/max timestamps. The oracle
+# computes the same profile straight off the parquet table, so ANY
+# loss in the sink -> source hop (precision, escaping, null handling,
+# timezone drift) shifts a value. The JSON copy is a per-(sf, mtime)
+# cached artifact (plans/artifacts.py) written once with an atomic
+# rename — re-running the query measures the SOURCE, and a regenerated
+# corpus invalidates the copy.
+
+_RT_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+_RT_TS_DUCK = "%Y-%m-%dT%H:%M:%S.%fZ"
+
+
+def _events_json_copy(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import shutil
+
+    from .artifacts import artifact_cache_path
+
+    path = artifact_cache_path(sf_dir, "events_json", extra_key=_RT_TS_FMT)
+    if not os.path.isdir(path):
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .option("timestampFormat", _RT_TS_FMT)
+            .json(tmp)
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
+    return path
+
+
+@REGISTRY.add(
+    "json_roundtrip_events",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(SUM(user_id) AS BIGINT) AS user_sum,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           STRFTIME(MIN(ts), '{_RT_TS_DUCK}') AS first_ts,
+           STRFTIME(MAX(ts), '{_RT_TS_DUCK}') AS last_ts
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+    doc="JSON interchange round-trip proved lossless: events written "
+    "to a gzip JSON sink (timestamps in the reference's wire format, "
+    "microsecond precision) and read back through the schema'd JSON "
+    "source, then profiled per event type — row counts, id/user "
+    "checksums, exact integer cents, min/max timestamps back in wire "
+    "format. The oracle computes the identical profile directly from "
+    "parquet, so sink- or source-side loss (timestamp truncation, "
+    "double formatting, escaping, silent null-ing of malformed rows) "
+    "is a hash mismatch. The source uses FAILFAST mode: an interchange "
+    "file this pipeline wrote itself must parse completely, and the "
+    "permissive+quarantine path for FOREIGN json stays covered by the "
+    "catalog tests. Scale: the JSON copy is written once per corpus "
+    "(atomic-rename artifact); both sides are one scan + one tiny "
+    "aggregation.",
+    tags=("source", "sink", "json", "timestamp"),
+)
+def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _events_json_copy(spark, sf_dir)
+    back = (
+        spark.read.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("timestampFormat", _RT_TS_FMT)
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("events"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.sum("user_id").cast("long").alias("user_sum"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+            F.date_format(F.min("ts"), _RT_TS_FMT).alias("first_ts"),
+            F.date_format(F.max("ts"), _RT_TS_FMT).alias("last_ts"),
+        )
+        .orderBy(F.asc("event_type"))
+    )

@@ -301,3 +301,113 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_sq_dist"),
         )
     )
+
+
+# --- round 9: fixed-point second-moment matrix (PCA/whitening prep) -------
+#
+# The statistic an embedding pipeline computes before whitening, PCA
+# or quantizer training is the covariance of the vector columns. At
+# 100 TB that must be ONE map-side aggregate — d(d+1)/2 sum-of-product
+# columns folded partial-before-shuffle, no explode, no driver pass —
+# and it must be EXACT, or two runs of the same job disagree in the
+# low bits (float sums are partitioning-order-dependent; the money.py
+# problem in vector form). Values are fixed-pointed at 1e6, products
+# and sums staged through DECIMAL(38,0)/HUGEINT (a 10^9-row corpus
+# pushes sum-of-products past BIGINT), and the final covariance is
+# emitted at scale 1e12 — small enough for BIGINT at any corpus size
+# (it is a mean, not a sum). First 8 dimensions here: the report face;
+# the full-matrix job is the same plan with d^2 columns.
+
+COV_DIMS = 8
+COV_FP = 1_000_000  # per-coordinate fixed point
+
+
+def _cov_pairs() -> list[tuple[int, int]]:
+    return [(i, j) for i in range(COV_DIMS) for j in range(i, COV_DIMS)]
+
+
+def _cov_oracle() -> str:
+    def fp(i: int) -> str:
+        # FLOOR, not ROUND: round-half conventions differ across
+        # engines (DuckDB half-even vs Spark half-up bites exactly at
+        # a *1e6 half boundary — observed on this fixture); floor of
+        # the SAME IEEE double is mode-free and engine-identical.
+        return (f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE)"
+                f" * {COV_FP}) AS HUGEINT)")
+
+    sums = ", ".join(
+        f"SUM({fp(i)} * {fp(j)}) AS sxy_{i}_{j}" for i, j in _cov_pairs()
+    )
+    sx = ", ".join(f"SUM({fp(i)}) AS sx_{i}" for i in range(COV_DIMS))
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS dim_i, CAST({j} AS BIGINT) AS dim_j,"
+        f" CAST(n AS BIGINT) AS n,"
+        f" CAST((n * sxy_{i}_{j} - sx_{i} * sx_{j}) // (n * n) AS BIGINT)"
+        f" AS cov_fp12,"
+        f" CAST(sx_{i} // n AS BIGINT) AS mean_i_fp6 FROM agg"
+        for i, j in _cov_pairs()
+    )
+    return f"""
+    WITH agg AS (
+      SELECT COUNT(*) AS n, {sums}, {sx} FROM embeddings
+    )
+    {rows}
+    ORDER BY dim_i ASC, dim_j ASC
+    """
+
+
+@REGISTRY.add(
+    "embedding_covariance",
+    _cov_oracle(),
+    doc=f"Exact fixed-point covariance of the first {COV_DIMS} embedding "
+    "dimensions — the whitening/PCA/OPQ input statistic: coordinates "
+    f"fixed-pointed at {COV_FP}, all {COV_DIMS * (COV_DIMS + 1) // 2} "
+    "sum-of-product accumulators computed in ONE map-side aggregate "
+    "(partial aggregation before the 1-row shuffle — no explode, no "
+    "second scan, no driver pass), staged through DECIMAL(38,0)/"
+    "HUGEINT so a 10^9-row corpus cannot overflow the sums, and "
+    "emitted as the scale-1e12 covariance (n*Sxy - Sx*Sy) div n^2 "
+    "plus scale-1e6 means — integral outputs, so the result is "
+    "bit-identical under any partitioning (the money.py discipline "
+    "in vector form; a double-summed covariance differs run to run). "
+    "Unpivot to (i, j) rows is a constant 36-element inline over the "
+    "single aggregate row.",
+    tags=("embedding", "stats", "agg"),
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def fp(i: int):
+        # FLOOR, not ROUND — see the oracle twin's note
+        # the column is float32: promote to DOUBLE before the multiply
+        # in BOTH engines (float*int promotion rules differ), so the
+        # product is the same IEEE double everywhere
+        return (
+            F.floor(F.element_at("embedding", i + 1).cast("double") * COV_FP)
+            .cast("decimal(38,0)")
+        )
+
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for i, j in _cov_pairs():
+        aggs.append(F.sum(fp(i) * fp(j)).alias(f"sxy_{i}_{j}"))
+    for i in range(COV_DIMS):
+        aggs.append(F.sum(fp(i)).alias(f"sx_{i}"))
+    one = e.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(i).cast("long").alias("dim_i"),
+            F.lit(j).cast("long").alias("dim_j"),
+            F.col("n").cast("long").alias("n"),
+            F.expr(
+                f"CAST((n * sxy_{i}_{j} - sx_{i} * sx_{j}) div (n * n)"
+                " AS BIGINT)"
+            ).alias("cov_fp12"),
+            F.expr(f"CAST(sx_{i} div n AS BIGINT)").alias("mean_i_fp6"),
+        )
+        for i, j in _cov_pairs()
+    ]
+    return (
+        one.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy(F.asc("dim_i"), F.asc("dim_j"))
+    )
