@@ -48,19 +48,19 @@ def test_driver_window_invariants():
     rows_only = [n for n in window if reg[n].oracle is None]
     assert rows_only == []
     for q in (
-        # long-standing anchors that must stay scored
+        # long-standing anchors that must stay scored (r9 swap: the
+        # former anchors events_range_attribution /
+        # scd2_order_priority_history / mixture_alpha_sampling /
+        # doc_quality_linear_gate / lm_bigram_counts rotated out with
+        # strictly-stronger in-window successors — see the round-9
+        # blocks in plans/core.py)
         "neardup_cluster_keepers",
         "incremental_split_update",
         "events_item_pagerank",
-        "mixture_alpha_sampling",
         "bpe_learned_merges",
-        "events_range_attribution",
-        "scd2_order_priority_history",
         # round-7 rotation survivors (first scored in r07)
-        "doc_quality_linear_gate",
         "doc_char_trigram_typicality",
         "doc_hybrid_retrieval",
-        "lm_bigram_counts",
         "doc_gates_unpivot_long",
         # round-8 rotation: the twelve entries that had never held a
         # driver-scored row — the eleven r7 tail additions plus the
@@ -105,6 +105,16 @@ def test_driver_window_invariants():
         # slot past the window (top_orders_per_customer demoted with
         # in-window rank-window class coverage; see plans/core.py)
         "doc_source_lang_cube",
+        # round-9 additions: all eight in-window immediately (second
+        # r9 swap in plans/core.py — eight r03-r07 greens demoted)
+        "kmv_incremental_merge",
+        "curation_funnel_report",
+        "stream_interval_join",
+        "cdc_apply_changes",
+        "salted_group_topk",
+        "classifier_pr_curve",
+        "embedding_covariance",
+        "json_roundtrip_events",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry must carry an oracle (approx_lineitem_stats

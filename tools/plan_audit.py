@@ -69,6 +69,10 @@ BNLJ_BY_DESIGN = {
     # four 1-row aggregates (two KMV top-k maxima, exact distincts,
     # the sorted sample array) cross-joined into the single output row.
     "kmv_sketch_stats": "scalar-stats 1-row broadcast attach",
+    # per key column: the merged estimate, the from-scratch estimate
+    # and the exact distinct count are each 1-row aggregates joined
+    # 1x1x1 into that key's output row.
+    "kmv_incremental_merge": "scalar-stats 1-row broadcast attach",
     # normalizing total attached to |sources| rows
     "mixture_alpha_sampling": "scalar-stats 1-row broadcast attach",
     # the global hour-span bounds (1 aggregated row) broadcast onto
