@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # sample BEFORE any Spark work: this is the EXTERNAL-contention
+    # indicator. (Sampling after the warm-up pass reads back our own
+    # 32-thread load — observed 9.0 on an idle machine.)
+    load_start = os.getloadavg()[0]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -89,7 +93,6 @@ def main() -> None:
     # reports the plan's steady-state cost.
     timings: dict[str, float] = {}
     pass_totals: list[float] = []
-    load_start = os.getloadavg()[0]
     for _ in range(2):
         pass_total = 0.0
         for q in registry:
@@ -104,11 +107,13 @@ def main() -> None:
         pass_totals.append(round(pass_total, 3))
 
     total = round(sum(timings.values()), 3)
-    # Contention telemetry: the spread between the two measured passes.
-    # A large spread (>~15%) means the machine was contended during the
-    # run and even the min-of-2 headline is inflated — it makes
-    # cross-round driver comparisons interpretable (the r5 driver bench
-    # ran ~50% above an uncontended run of identical plans).
+    # Pass-spread telemetry. Even after the untimed warm-up pass, pass 1
+    # systematically carries ~15-20% residual JIT/GC asymmetry on an
+    # IDLE machine (measured r9: 159.9 vs 134.2 at loadavg 0.0), which
+    # min-of-2 absorbs — so spread alone no longer flags contention;
+    # read it together with loadavg_start (external load at bench
+    # start). Cross-run stability of the min-of-2 headline is the
+    # reproducibility signal (two r9 idle runs: 135.4 vs 133.0, 1.8%).
     spread_pct = round(
         100.0 * (max(pass_totals) - min(pass_totals)) / max(min(pass_totals), 1e-9),
         1,
@@ -141,8 +146,10 @@ def main() -> None:
                 "spread_pct": spread_pct,
                 # environment telemetry: spread_pct cannot see load
                 # that is uniform across both passes (the diagnosed r7
-                # creep), so the 1-min loadavg at measure start/end
-                # names external contention in the artifact itself
+                # creep). loadavg_start is sampled BEFORE any Spark
+                # work (external contention); loadavg_end includes the
+                # bench's own 32-thread load and is only useful
+                # relative to other runs' end values.
                 "loadavg_start": round(load_start, 2),
                 "loadavg_end": round(os.getloadavg()[0], 2),
             }

@@ -313,17 +313,29 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         horizon=_ATTR_HORIZON,
         closed="right",
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # a stream-stream join materializes FOUR state stores per shuffle
+    # partition and stateful plans get no AQE coalescing: 32 partitions
+    # at drain size is pure state-store setup cost (measured 6.7 s).
+    # Size shards to the data like the ledger does (events_state_shards
+    # — floor 8, cap 32, grows with the events table).
+    from ..streaming.jobs import events_state_shards
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", events_state_shards(sf_dir))
     try:
-        q.awaitTermination(300)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # inner-join append rows are emitted as matched (never withheld
     # behind the watermark, and re-delivery is impossible in a file
     # source), so the sink IS the pair set — format timestamps to the

@@ -45,9 +45,6 @@ def stream_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import read_events_stream
     from ..streaming.stateful import user_ledger_stream
 
-    import glob
-    import os
-
     name = "stream_user_ledger_sink"
     # dropTempView is idempotent — no listTables() catalog scan needed
     spark.catalog.dropTempView(name)
@@ -58,14 +55,9 @@ def stream_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     # factor-30 state-growth smoke gets 30 shards instead of pushing
     # 4x the rows through the same 8 Python state workers. Shard count
     # never changes results — state is per user_id wherever it hashes.
-    paths = glob.glob(os.path.join(sf_dir, "events.parque*"))
-    total = sum(
-        os.path.getsize(os.path.join(r, f))
-        for p in paths
-        for r, _d, fs in os.walk(p)
-        for f in fs
-    ) or sum(os.path.getsize(p) for p in paths if os.path.isfile(p))
-    shards = str(min(32, max(8, total // (2 << 20))))
+    from ..streaming.jobs import events_state_shards
+
+    shards = events_state_shards(sf_dir)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", shards)
     try:

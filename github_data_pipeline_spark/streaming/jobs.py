@@ -352,3 +352,23 @@ def enriched_rollup_stream(
             F.sum(cents("value")).alias("value_cents"),
         )
     )
+
+
+def events_state_shards(sf_dir: str) -> str:
+    """State-shard count sized to the events table's bytes (~2 MB per
+    shard, floor 8, cap 32). Stateful plans get no AQE coalescing, so
+    spark.sql.shuffle.partitions IS the state-store count; sizing it to
+    the data keeps drain startup proportional instead of paying 32
+    store setups for a megabyte of events. Shard count never changes
+    results — state lives per key wherever it hashes."""
+    import glob
+    import os
+
+    paths = glob.glob(os.path.join(sf_dir, "events.parque*"))
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for p in paths
+        for r, _d, fs in os.walk(p)
+        for f in fs
+    ) or sum(os.path.getsize(p) for p in paths if os.path.isfile(p))
+    return str(min(32, max(8, total // (2 << 20))))
