@@ -113,6 +113,12 @@ TARGETS = (
     "lm_bigram_lift",
     "hard_negative_mining",
     "stratified_sample_exact",
+    # round-9 additions: the funnel's growth is gates + LSH over
+    # survivors; the PR curve is one scan of HOF folds; covariance is
+    # one map-side aggregate over embeddings (should stay ~linear flat)
+    "curation_funnel_report",
+    "classifier_pr_curve",
+    "embedding_covariance",
 )
 
 # the dedup family is what a hot band stresses; decontam rides along
@@ -135,6 +141,9 @@ HOTBAND_TARGETS = (
     # skew-sensitive stage — boilerplate grams concentrate df counts
     # exactly where this mode piles them up
     "doc_dup_ngram_rate",
+    # r9: the funnel's near-dup stage inherits the capped-LSH behavior
+    # over gate survivors; boilerplate docs must not blow the verify
+    "curation_funnel_report",
 )
 
 # grouped/stateful per-user work is what a hot key stresses;
@@ -157,6 +166,13 @@ HOTKEY_TARGETS = (
     # bin keeps that output spread across tasks instead of one
     # straggler
     "events_range_attribution",
+    # NOT here: the registry's stream_interval_join drain — its memory
+    # sink collects the pair OUTPUT to the driver, and under a hot key
+    # that output is itself ~factor^2 (the semantics, not a plan flaw),
+    # so the drain dies on task-result size rather than measuring the
+    # join (observed at 30x). The hot-key behavior of the SAME
+    # stream-stream join is measured by attribution_interval_join
+    # below, whose drain folds to counts instead of collecting pairs.
 )
 
 STREAM_TARGETS = ("stream_user_ledger",)
@@ -425,6 +441,10 @@ def main() -> int:
             # with (window/slide) x active window groups; distinct
             # users per copy is exactly the state-cardinality axis
             "stream_sliding_rollup",
+            # r9: the drained stream-stream join — BOTH sides' state
+            # grows with the user count; the watermark bound is what
+            # keeps the drain linear
+            "stream_interval_join",
         ),
     }[args.skew]
     if args.only:
