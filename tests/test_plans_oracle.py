@@ -84,10 +84,10 @@ def test_driver_window_invariants():
         "events_retention_cohorts",
         "salted_priority_revenue",
         "approx_lineitem_stats",
-        # round-8 new entry (overlap-proof companion to the restored
-        # whole-corpus doc_hybrid_retrieval; gh_commit_first_lines
-        # demoted to make room)
-        "doc_hybrid_overlap_slice",
+        # (doc_hybrid_overlap_slice held a window slot in r8, earned
+        # its green row, and rotated out in r9 for
+        # zorder_clustering_stats — its overlap proof stays pinned by
+        # tests/test_hybrid.py)
         # round-8 second swap: the nine entries added this round take
         # window slots immediately so round 9 starts with ZERO
         # rotation backlog (nine r03-r05-green entries demoted with
@@ -115,6 +115,7 @@ def test_driver_window_invariants():
         "classifier_pr_curve",
         "embedding_covariance",
         "json_roundtrip_events",
+        "zorder_clustering_stats",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry must carry an oracle (approx_lineitem_stats
