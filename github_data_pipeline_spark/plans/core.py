@@ -544,5 +544,15 @@ def all_plans() -> Registry:
     #   pinned by tests/test_hybrid.py::test_oracle_slice_overlap_
     #   nonvacuous + the local cell-exact checker.
     REGISTRY.demote("doc_hybrid_overlap_slice")
+    # ...and one more for the tenth r9 addition, stream_restart_recovery
+    # (registered inside the streaming-gate group at position 48,
+    # pushing zorder_clustering_stats back to the edge):
+    # - doc_char_trigram_typicality: green since r07; the typicality
+    #   class stays scored via lm_doc_typicality (token-bigram LM
+    #   typicality, in-window) and the classifier-family scan shape via
+    #   classifier_pr_curve (rotating in); the charset^3-bounded df
+    #   broadcast stays pinned by the uniform scale smoke and
+    #   tests/test_classifier_plans.py.
+    REGISTRY.demote("doc_char_trigram_typicality")
 
     return REGISTRY

@@ -58,8 +58,10 @@ def test_driver_window_invariants():
         "incremental_split_update",
         "events_item_pagerank",
         "bpe_learned_merges",
-        # round-7 rotation survivors (first scored in r07)
-        "doc_char_trigram_typicality",
+        # round-7 rotation survivors (first scored in r07;
+        # doc_char_trigram_typicality rotated out in r9 for
+        # stream_restart_recovery — typicality class covered by
+        # lm_doc_typicality + classifier_pr_curve in-window)
         "doc_hybrid_retrieval",
         "doc_gates_unpivot_long",
         # round-8 rotation: the twelve entries that had never held a
@@ -116,6 +118,7 @@ def test_driver_window_invariants():
         "embedding_covariance",
         "json_roundtrip_events",
         "zorder_clustering_stats",
+        "stream_restart_recovery",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry must carry an oracle (approx_lineitem_stats
