@@ -30,11 +30,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_probe_ms() -> float:
+    """Fixed single-thread CPU workload, wall-clock ms — a machine-speed
+    calibration constant. Idle-machine bench totals of near-identical
+    builds were observed drifting UNIFORMLY (every query the same
+    factor) across 135 -> 107 s in one afternoon with loadavg ~0: the
+    host (a VM) runs at a different effective speed hour to hour, which
+    neither pass-spread nor loadavg can see. This probe times the same
+    pure-Python md5 loop every run, so two BENCH artifacts can be
+    compared speed-normalized (the r8 106-vs-123 'irreproducibility'
+    was this phenomenon, not a plan change)."""
+    import hashlib
+    import time as _t
+
+    t0 = _t.perf_counter()
+    h = b""
+    for i in range(200_000):
+        h = hashlib.md5(h + str(i).encode()).digest()
+    return round((_t.perf_counter() - t0) * 1000.0, 1)
+
+
 def main() -> None:
     # sample BEFORE any Spark work: this is the EXTERNAL-contention
     # indicator. (Sampling after the warm-up pass reads back our own
     # 32-thread load — observed 9.0 on an idle machine.)
     load_start = os.getloadavg()[0]
+    cpu_probe_start = _cpu_probe_ms()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -152,6 +173,10 @@ def main() -> None:
                 # relative to other runs' end values.
                 "loadavg_start": round(load_start, 2),
                 "loadavg_end": round(os.getloadavg()[0], 2),
+                # machine-speed calibration (see _cpu_probe_ms): compare
+                # totals across runs/rounds NORMALIZED by this probe
+                "cpu_probe_ms_start": cpu_probe_start,
+                "cpu_probe_ms_end": _cpu_probe_ms(),
             }
         ),
         flush=True,
