@@ -62,11 +62,18 @@ def parquet_row_bound(sf_dir: str, table: str) -> int:
     be read (unit tests monkeypatch ``load_table`` with in-memory
     frames and fake directories) yields :data:`UNBOUNDED` instead of
     raising — an unknown cardinality must disable the hint, never crash
-    the query builder."""
+    the query builder. ValueError covers pyarrow's ``ArrowInvalid``
+    (a ValueError subclass raised for corrupt / non-parquet footers),
+    which OSError alone would let crash the builder."""
     try:
-        return parquet_num_rows(sf_dir, table)
-    except OSError:
+        n = parquet_num_rows(sf_dir, table)
+    except (OSError, ValueError):
         return UNBOUNDED
+    # A directory that exists but contains zero part files scans to 0,
+    # which is NOT evidence of a small table — it means the footprint
+    # was never written (or is still being staged). Treat it as
+    # unknown so the hint stays off.
+    return n if n > 0 else UNBOUNDED
 
 
 def parquet_num_rows(sf_dir: str, table: str) -> int:

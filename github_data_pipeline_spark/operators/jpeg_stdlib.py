@@ -98,6 +98,12 @@ _AC_CHROMA = (
     ],
 )
 
+# Decode-side guard: largest width*height this codec will allocate
+# plane buffers for. SOF dimensions come straight from untrusted bytes;
+# anything above this cap raises ValueError (cheap, catchable) instead
+# of attempting a multi-GB list allocation (OOM-kill, uncatchable).
+MAX_DECODE_PIXELS = 16_000_000
+
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -455,6 +461,19 @@ def decode_baseline_jpeg(payload: bytes) -> dict[str, Any]:
         pos += seglen
     if not (width and height and scan):
         raise ValueError("missing SOF/SOS")
+    # Cap the declared frame size BEFORE allocating plane buffers: the
+    # SOF dimensions are attacker-controlled bytes, and a ~200-byte
+    # hostile payload declaring 65535x65535 would otherwise force a
+    # ~34 GB-per-component allocation that can OOM-kill the executor
+    # (an uncatchable failure on overcommitting hosts, defeating the
+    # one-hostile-document-must-not-fail-the-job contract). 16M pixels
+    # matches the fixture-scale scope documented for this codec;
+    # oversized declarations take the cheap ValueError -> fake-decode
+    # fallback path instead.
+    if width * height > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"declared frame {width}x{height} exceeds decode pixel cap"
+        )
 
     r = _BitReader(data)
     bw = (width + 7) // 8

@@ -1,0 +1,171 @@
+"""Registry exposure for bucketed-table co-located joins — the
+pre-shuffle physical layout a 100-TB warehouse leans on hardest.
+
+A repeated fact-fact join (orders x lineitem on order key here; at
+production scale, any two event/fact tables joined on an entity key)
+shuffles BOTH sides on every run — at 100 TB that single exchange is
+the dominant cost of the whole query. The classic fix is to pay the
+shuffle ONCE at write time: persist both tables bucketed (and
+per-file sorted) on the join key with the same bucket count, and
+every subsequent join plans as a SortMergeJoin with ZERO pre-join
+exchanges — Spark proves co-location from the catalog's bucket spec
+and skips hash-partitioning entirely (often the sort too, since the
+files are bucket-sorted).
+
+``tests/test_bucketing.py`` proves the exchange-free plan shape in a
+unit test; this entry makes the claim ORACLE-SCORED, the way
+``zorder_clustering_stats`` did for the other half of the layout
+story: the Spark side reads the bucketed tables (created once per
+(session, corpus) from the raw parquet — the write-time cost the
+layout trades for repeated-join savings) and joins them under an
+explicit ``MERGE`` hint (at 100 TB neither fact side is
+broadcastable; the hint pins the strategy the layout exists to
+serve instead of letting the test-SF auto-broadcast hide it), while
+the DuckDB oracle computes the identical join + aggregation from the
+RAW parquet. Cell-equality proves bucketing is pure physical-plan
+surgery — same rows, cheaper exchange structure — and the plan-audit
+row pins the exchange-free shape declaratively.
+
+Beyond-reference scope: the reference pipeline
+(`/root/reference/src/retrieval/indexer.py:22-178`) re-shuffles on
+every es-bulk partition pass; a layout-aware engine is what replaces
+that at warehouse scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .core import REGISTRY
+
+#: Bucket count for both sides — MUST match for the co-location proof
+#: (mismatched counts make Spark re-shuffle the smaller-bucketed side).
+#: 16 keeps test-SF files non-trivial; a 100-TB deployment sizes this
+#: to target-file-size instead (thousands), same machinery.
+BUCKETS = 16
+
+
+def _corpus_key(sf_dir: str) -> str:
+    """Stable per-corpus identifier for session-catalog table names:
+    regenerated testdata (new mtime) gets fresh bucketed tables instead
+    of silently reusing stale ones."""
+    parts = [os.path.abspath(sf_dir)]
+    for t in ("orders", "lineitem"):
+        try:
+            parts.append(
+                str(os.stat(os.path.join(sf_dir, f"{t}.parquet")).st_mtime_ns)
+            )
+        except OSError:
+            parts.append("0")
+    return hashlib.md5(":".join(parts).encode()).hexdigest()[:12]
+
+
+def ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Create (once per session+corpus) the bucketed twins of orders and
+    lineitem, both bucketed+sorted on the order key with :data:`BUCKETS`
+    buckets, and return their catalog names.
+
+    This is the write-time half of the layout trade: one full shuffle
+    each at CREATE time buys every later key-join ZERO exchanges. The
+    catalog check makes re-invocation free within a session; a new
+    session re-creates them (the in-memory catalog does not persist),
+    which is exactly the once-per-warehouse-build cost the pattern
+    amortizes in production."""
+    import shutil
+
+    key = _corpus_key(sf_dir)
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    names = []
+    for table, bucket_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"{table}_bkt_{key}"
+        if not spark.catalog.tableExists(name):
+            loc = os.path.join(warehouse, name)
+            if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                # A PREVIOUS session already paid the bucketed write
+                # (the in-memory catalog forgets, the warehouse dir
+                # does not): re-register the committed files with the
+                # same bucket spec — the metadata, not the data, is
+                # what proves co-location to the planner.
+                ddl = load_table(spark, sf_dir, table).schema.toDDL()
+                spark.sql(
+                    f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                    f"CLUSTERED BY ({bucket_col}) "
+                    f"SORTED BY ({bucket_col}) INTO {BUCKETS} BUCKETS "
+                    f"LOCATION '{loc}'"
+                )
+            else:
+                # no committed marker: scrap any half-written leftover
+                # and pay the one-time bucketed shuffle write
+                shutil.rmtree(loc, ignore_errors=True)
+                (
+                    load_table(spark, sf_dir, table)
+                    .write.bucketBy(BUCKETS, bucket_col)
+                    .sortBy(bucket_col)
+                    .saveAsTable(name)
+                )
+        names.append(name)
+    return names[0], names[1]
+
+
+@REGISTRY.add(
+    "bucketed_priority_revenue",
+    """
+    SELECT o.o_orderpriority AS priority,
+           l.l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_c4
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc=f"Fact-fact join over PRE-BUCKETED tables: orders and lineitem "
+    f"are persisted bucketed+sorted on the order key ({BUCKETS} buckets "
+    "each side), so the MERGE-hinted join plans with ZERO pre-join "
+    "exchanges — the catalog's bucket spec proves co-location and the "
+    "shuffle a 100-TB fact-fact join would otherwise pay on EVERY run "
+    "was paid once at write time. Revenue aggregates discounted price "
+    "in exact fixed-point (4 decimals: 2-decimal price x 2-decimal "
+    "discount factor) per (priority, returnflag). The oracle computes "
+    "the identical join from the RAW parquet, so cell-equality proves "
+    "bucketing changed the exchange structure, never the rows; the "
+    "plan-audit row and tests/test_bucketing.py pin the exchange-free "
+    "SortMergeJoin shape itself.",
+    tags=("join", "layout", "bucketing", "agg"),
+)
+def bucketed_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ot, lt = ensure_bucketed_pair(spark, sf_dir)
+    orders = spark.table(ot).select("o_orderkey", "o_orderpriority")
+    li = spark.table(lt).select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        # 2-dec price x 2-dec (1-discount) = exactly 4 decimals; FLOOR/
+        # ROUND parity is safe because the product sits ~ulps from an
+        # integer at scale 1e4, never at a .5 boundary
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long")
+        .alias("rev_c4"),
+    )
+    return (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("l_returnflag").alias("returnflag"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("qty").cast("long").alias("sum_qty"),
+            F.sum("rev_c4").cast("long").alias("revenue_c4"),
+        )
+        .orderBy(F.asc("priority"), F.asc("returnflag"))
+    )

@@ -161,6 +161,12 @@ def all_plans() -> Registry:
     from . import stream_rollup_plans  # noqa: F401
     from . import profile_plans  # noqa: F401
     from . import layout_plans  # noqa: F401
+    # round-10 additions (registered tail-side; swapped into the window
+    # by the round-10 block below): bucketed-table co-located join,
+    # the shuffle-keyed covariance formulation + PCA power iteration,
+    # and deterministic exact heavy hitters
+    from . import bucket_plans  # noqa: F401
+    from . import heavyhitter_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row

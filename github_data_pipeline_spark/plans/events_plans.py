@@ -258,7 +258,14 @@ def _events_json_copy(spark: SparkSession, sf_dir: str) -> str:
         try:
             os.replace(tmp, path)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
+            shutil.rmtree(tmp, ignore_errors=True)
+            # Swallowing is only correct for the benign case: a
+            # concurrent writer won the rename and `path` now exists.
+            # Any other failure (cross-device cache mount, permissions)
+            # must surface HERE, not as a confusing read error at the
+            # subsequent spark.read.json far from the cause.
+            if not os.path.isdir(path):
+                raise
     return path
 
 

@@ -371,7 +371,12 @@ def _cov_oracle() -> str:
     "bit-identical under any partitioning (the money.py discipline "
     "in vector form; a double-summed covariance differs run to run). "
     "Unpivot to (i, j) rows is a constant 36-element inline over the "
-    "single aggregate row.",
+    "single aggregate row. BOUND: this one-row form carries d(d+1)/2 "
+    "aggregate EXPRESSIONS in one stage — right at report dims (d=8 "
+    "-> 44), wrong at production embedding dims (d=256 -> 33k, d=1024 "
+    "-> 525k expressions exceed codegen and agg-buffer budgets); past "
+    "d ~ 64 use embedding_covariance_pairs, the (dim_i, dim_j)-keyed "
+    "shuffle formulation proved cell-equal against the same oracle.",
     tags=("embedding", "stats", "agg"),
 )
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,4 +415,279 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         one.select(F.explode(F.array(*structs)).alias("r"))
         .select("r.*")
         .orderBy(F.asc("dim_i"), F.asc("dim_j"))
+    )
+
+
+# --- round 10: the shuffle-keyed covariance formulation -------------------
+#
+# `embedding_covariance` carries all d(d+1)/2 accumulators as COLUMNS
+# of one aggregate — optimal at report dimensionality (d=8 -> 36+8
+# expressions) but O(d^2) in aggregate-expression count: at production
+# embedding dims it is 33k (d=256) to 525k (d=1024) expressions in a
+# single stage, past what codegen and the aggregation buffer should
+# carry. The 100x-in-dimension shape keys the SHUFFLE by (dim_i,
+# dim_j) instead: each row explodes to its upper-triangle products,
+# partial aggregation collapses every task to <= d(d+1)/2+d rows
+# before the exchange, and no stage ever materializes a d^2-wide
+# tuple. Cell-equality against the SAME oracle as the one-row form
+# proves the two formulations compute the identical statistic.
+
+
+@REGISTRY.add(
+    "embedding_covariance_pairs",
+    _cov_oracle(),
+    doc=f"The (dim_i, dim_j)-KEYED covariance formulation — the "
+    "100x-in-dimension twin of embedding_covariance: every row "
+    "explodes to its upper-triangle fixed-point products plus one "
+    "per-dim sum entry (a single generator expression, no self-join), "
+    "partial aggregation collapses each task to at most "
+    f"{COV_DIMS * (COV_DIMS + 1) // 2}+{COV_DIMS} keyed rows before "
+    "the one exchange, and the final covariance assembles from two "
+    "joins against the d-row mean table — so aggregate width is O(1) "
+    "and row count O(d^2) instead of the one-row form's O(d^2) "
+    "EXPRESSIONS in a single stage (33k at d=256, 525k at d=1024 — "
+    "the bound that form documents). Same DECIMAL(38,0)/HUGEINT "
+    "staging, same FLOOR fixed-pointing, same oracle: cell-equality "
+    "proves the shuffle re-keying is physical, not semantic.",
+    tags=("embedding", "stats", "agg", "shuffle"),
+)
+def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    fparr = (
+        f"transform(slice(embedding, 1, {COV_DIMS}), v -> "
+        f"CAST(FLOOR(CAST(v AS DOUBLE) * {COV_FP}) AS DECIMAL(38,0)))"
+    )
+    # one generator per row: upper-triangle products (dim_i <= dim_j)
+    # plus a per-dim sum entry keyed dim_j = -1 (so Sx rides the same
+    # explode + shuffle instead of a second scan)
+    pairs = (
+        f"flatten(transform(fx, (x, i) -> "
+        f"transform(slice(fx, i + 1, {COV_DIMS} - i), (y, j) -> "
+        f"struct(CAST(i AS BIGINT) AS dim_i, CAST(i + j AS BIGINT) AS dim_j, "
+        f"CAST(x * y AS DECIMAL(38,0)) AS s))))"
+    )
+    sx = (
+        "transform(fx, (x, i) -> struct(CAST(i AS BIGINT) AS dim_i, "
+        "CAST(-1 AS BIGINT) AS dim_j, CAST(x AS DECIMAL(38,0)) AS s))"
+    )
+    exploded = (
+        e.select(F.expr(fparr).alias("fx"))
+        .select(F.explode(F.expr(f"concat({pairs}, {sx})")).alias("t"))
+        .select("t.*")
+    )
+    g = exploded.groupBy("dim_i", "dim_j").agg(
+        F.sum("s").alias("s"),
+        # every input row contributes exactly one entry per key, so any
+        # group's count IS the corpus row count
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"),
+    )
+    means = g.filter(F.col("dim_j") == -1).select(
+        F.col("dim_i").alias("k"), F.col("s").alias("sx"), F.col("cnt")
+    )
+    prods = g.filter(F.col("dim_j") >= 0).select("dim_i", "dim_j", "s")
+    return (
+        prods.join(
+            means.select(
+                F.col("k").alias("dim_i"),
+                F.col("sx").alias("sx_i"),
+                F.col("cnt").alias("n_dec"),
+            ),
+            "dim_i",
+        )
+        .join(
+            means.select(F.col("k").alias("dim_j"), F.col("sx").alias("sx_j")),
+            "dim_j",
+        )
+        .select(
+            "dim_i",
+            "dim_j",
+            F.col("n_dec").cast("long").alias("n"),
+            F.expr(
+                "CAST((n_dec * s - sx_i * sx_j) div (n_dec * n_dec)"
+                " AS BIGINT)"
+            ).alias("cov_fp12"),
+            F.expr("CAST(sx_i div n_dec AS BIGINT)").alias("mean_i_fp6"),
+        )
+        .orderBy(F.asc("dim_i"), F.asc("dim_j"))
+    )
+
+
+# --- round 10: PCA top eigenvector by deterministic power iteration -------
+#
+# The step that turns "PCA prep" (the covariance entries above) into
+# PCA: extract the dominant eigenvector of the centered second-moment
+# matrix. The 100-TB shape never MATERIALIZES the covariance — each
+# power-iteration step is one corpus scan computing y = sum_r c_r
+# (c_r . v) (d accumulators, map-side partial agg), with only the
+# d-element iterate as driver state (the k-means discipline). All
+# arithmetic is staged integer fixed-point: coordinates FLOOR-ed at
+# COV_FP, centering by the truncated integer mean, and the iterate
+# re-normalized each step by INFINITY norm with integer division —
+# v' = (y * S) div max|y| — so the recurrence is exact integer algebra
+# with no float sum anywhere, bit-identical under any partitioning
+# and any engine. The oracle unrolls the identical recurrence as a
+# CTE chain (fixed iteration count; HUGEINT == DECIMAL(38,0) staging,
+# // == div truncation toward zero).
+#
+# Numeric bound: per-row |c| <= ~2*COV_FP, so |dot| <= d*2e6*S ~ 2e13
+# and |y| <= n * 2e6 * 2e13 = 4e19*n; the (y * S) staging holds in
+# 38 digits for n up to ~2.5e11 rows — document-scale corpora; past
+# that drop COV_FP one decade.
+
+PCA_ITERS = 5
+
+
+def _pca_dot(vexprs: list[str]) -> str:
+    return " + ".join(f"c{j} * ({vexprs[j]})" for j in range(COV_DIMS))
+
+
+def _pca_oracle() -> str:
+    # MATERIALIZED CTEs are load-bearing: DuckDB inlines plain CTEs per
+    # reference, and the unrolled iteration chain references c/st
+    # multiplicatively — inlining re-opens the parquet view past the fd
+    # limit (observed: "Too many open files" at 5 iterations).
+    d, S, T = COV_DIMS, COV_FP, PCA_ITERS
+
+    def fp(i: int) -> str:
+        return (
+            f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * {S})"
+            " AS HUGEINT)"
+        )
+
+    ctes = [
+        "raw AS MATERIALIZED (SELECT "
+        + ", ".join(f"{fp(i)} AS x{i}" for i in range(d))
+        + " FROM embeddings)",
+        "st AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+        + ", ".join(f"SUM(x{i}) AS sx{i}" for i in range(d))
+        + " FROM raw)",
+        "c AS MATERIALIZED (SELECT "
+        + ", ".join(
+            f"x{i} - (SELECT sx{i} // n FROM st) AS c{i}" for i in range(d)
+        )
+        + " FROM raw)",
+    ]
+    vexprs = [str(S)] * d  # v0 = S * ones
+    for t in range(1, T + 1):
+        dot = _pca_dot(vexprs)
+        src = "c" if t == 1 else f"c, v{t - 1}"
+        ctes.append(
+            f"y{t} AS MATERIALIZED (SELECT "
+            + ", ".join(f"SUM(c{i} * ({dot})) AS y{i}" for i in range(d))
+            + f" FROM {src})"
+        )
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT GREATEST("
+            + ", ".join(f"ABS(y{i})" for i in range(d))
+            + f") AS m FROM y{t})"
+        )
+        ctes.append(
+            f"v{t} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"(y{i} * {S}) // (SELECT m FROM m{t}) AS v{i}"
+                for i in range(d)
+            )
+            + f" FROM y{t})"
+        )
+        vexprs = [f"v{i}" for i in range(d)]
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS dim, CAST(v{i} AS BIGINT) AS"
+        f" eigvec_fp, CAST((SELECT m FROM m{T}) // ((SELECT n FROM st)"
+        f" * {S}) AS BIGINT) AS lambda_fp12, CAST((SELECT n FROM st)"
+        f" AS BIGINT) AS n FROM v{T}"
+        for i in range(d)
+    )
+    return "WITH " + ", ".join(ctes) + f" {rows} ORDER BY dim ASC"
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — Spark's DECIMAL div
+    and DuckDB's HUGEINT // semantics (Python's // floors, which
+    diverges on negative operands)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+@REGISTRY.add(
+    "pca_power_iteration",
+    _pca_oracle(),
+    doc=f"Dominant PCA eigenvector over the first {COV_DIMS} embedding "
+    f"dims by {PCA_ITERS} exact fixed-point power-iteration steps: "
+    "each step is ONE corpus scan folding y = sum c (c . v) into "
+    f"{COV_DIMS} map-side DECIMAL(38,0) accumulators — the covariance "
+    "matrix is never materialized, which is why this shape survives "
+    "d=1024 at 100 TB where an explicit d x d product cannot. The "
+    "iterate is renormalized by INFINITY norm with truncating integer "
+    "division (v' = (y * S) div max|y|) so every step is exact integer "
+    "algebra: no float accumulation, bit-identical under any "
+    "partitioning, and the oracle replays the identical recurrence as "
+    "an unrolled HUGEINT CTE chain — cell-equality pins all "
+    f"{PCA_ITERS} iterations, the truncated-mean centering, and the "
+    "final eigenvalue estimate (infinity-norm growth, scale 1e12). "
+    "Driver state: the d-element iterate per step (k-means "
+    "discipline); last step's normalize runs in-plan.",
+    tags=("embedding", "pca", "iterative", "agg"),
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, S, T = COV_DIMS, COV_FP, PCA_ITERS
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def fp(i: int):
+        return F.floor(
+            F.element_at("embedding", i + 1).cast("double") * S
+        ).cast("decimal(38,0)")
+
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(fp(i)).alias(f"sx{i}") for i in range(d)],
+    ).collect()[0]
+    n = int(stats["n"])
+    means = [_tdiv(int(stats[f"sx{i}"]), n) for i in range(d)]
+    c = e.select(
+        *[
+            (fp(i) - F.lit(means[i]).cast("decimal(38,0)")).alias(f"c{i}")
+            for i in range(d)
+        ]
+    )
+
+    v = [S] * d
+    for _t in range(T - 1):  # driver-looped steps: d ints of state each
+        dot = sum(
+            (F.col(f"c{j}") * F.lit(v[j]).cast("decimal(38,0)"))
+            for j in range(1, d)
+        ) + F.col("c0") * F.lit(v[0]).cast("decimal(38,0)")
+        y = c.agg(
+            *[F.sum(F.col(f"c{i}") * dot).alias(f"y{i}") for i in range(d)]
+        ).collect()[0]
+        yi = [int(y[f"y{i}"]) for i in range(d)]
+        m = max(abs(x) for x in yi)
+        v = [_tdiv(x * S, m) for x in yi]
+
+    # final step in-plan: the last normalize + eigenvalue estimate run
+    # distributed on the 1-row aggregate, then unpivot to d rows
+    dot = sum(
+        (F.col(f"c{j}") * F.lit(v[j]).cast("decimal(38,0)"))
+        for j in range(1, d)
+    ) + F.col("c0") * F.lit(v[0]).cast("decimal(38,0)")
+    one = c.agg(
+        *[F.sum(F.col(f"c{i}") * dot).alias(f"y{i}") for i in range(d)]
+    ).withColumn(
+        "m", F.greatest(*[F.abs(F.col(f"y{i}")) for i in range(d)])
+    )
+    structs = [
+        F.struct(
+            F.lit(i).cast("long").alias("dim"),
+            F.expr(f"CAST((y{i} * {S}) div m AS BIGINT)").alias("eigvec_fp"),
+            F.expr(
+                f"CAST(m div CAST({n} AS DECIMAL(38,0)) div"
+                f" CAST({S} AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("lambda_fp12"),
+            F.lit(n).cast("long").alias("n"),
+        )
+        for i in range(d)
+    ]
+    return (
+        one.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy(F.asc("dim"))
     )

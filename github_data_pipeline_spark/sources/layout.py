@@ -304,6 +304,27 @@ def read_version(spark, table_dir: str, version: int | None = None) -> DataFrame
 ORPHAN_RETENTION_SECONDS = 24 * 3600
 
 
+def _tree_max_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (the dir itself, every
+    sub-dir, every file). The top-level dir mtime alone is NOT a
+    liveness signal: it is set at creation and refreshed only by
+    direct-child churn, so a writer whose part files land via a
+    sub-directory staging step (Spark's ``_temporary`` commit
+    protocol) or that simply takes longer than the retention window
+    between ``mkdir`` and pointer commit would look stale while still
+    in flight. Any file the writer touches anywhere in the tree resets
+    the clock. Raises OSError if the tree vanishes mid-walk (callers
+    treat that as a race and skip)."""
+    newest = os.path.getmtime(path)
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+            except OSError:
+                continue  # entry vanished mid-walk; others still count
+    return newest
+
+
 def vacuum_versions(
     table_dir: str,
     keep: int = 1,
@@ -316,10 +337,15 @@ def vacuum_versions(
     mtime is older than ``orphan_retention_seconds``: an old
     uncommitted dir is a crashed writer's orphan, a fresh one may be an
     IN-FLIGHT ``write_versioned`` between snapshot write and pointer
-    commit, and deleting it would break that writer's commit. Pass
-    ``orphan_retention_seconds=0`` only when the caller can guarantee
-    no concurrent writer (single-writer maintenance windows). Returns
-    the removed version numbers."""
+    commit, and deleting it would break that writer's commit. The age
+    signal is the NEWEST mtime over the whole dir tree (not the
+    top-level dir's, which staging sub-dirs don't refresh), so an
+    in-flight writer resets the clock with every file it lands;
+    retention therefore only needs to exceed the longest plausible GAP
+    between a writer's last touch and its pointer commit, not the whole
+    snapshot write. Pass ``orphan_retention_seconds=0`` only when the
+    caller can guarantee no concurrent writer (single-writer
+    maintenance windows). Returns the removed version numbers."""
     import shutil
     import time
 
@@ -338,7 +364,7 @@ def vacuum_versions(
         vdir = os.path.join(table_dir, f"v{v}")
         if v > committed:
             try:
-                age = now - os.path.getmtime(vdir)
+                age = now - _tree_max_mtime(vdir)
             except OSError:
                 continue  # raced with a writer creating/committing it
             if age < orphan_retention_seconds:

@@ -124,3 +124,29 @@ def test_curation_neardup_stage_still_broadcasts_at_test_sf(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().explainString(mode)
     assert "BroadcastHashJoin" in plan
+
+
+def test_parquet_row_bound_corrupt_footer_is_unbounded(tmp_path):
+    """pyarrow raises ArrowInvalid (a ValueError subclass, NOT OSError)
+    for a corrupt / non-parquet footer — the bound helper must absorb
+    it and disable the hint, never crash the query builder."""
+    from github_data_pipeline_spark.operators.hints import (
+        UNBOUNDED,
+        parquet_row_bound,
+    )
+
+    (tmp_path / "garbage.parquet").write_bytes(b"not a parquet footer")
+    assert parquet_row_bound(str(tmp_path), "garbage") == UNBOUNDED
+
+
+def test_parquet_row_bound_empty_dir_is_unbounded(tmp_path):
+    """A directory with zero part files scans to 0 rows — that is an
+    UNWRITTEN footprint, not a provably tiny table, so it must NOT be
+    treated as safely broadcastable."""
+    from github_data_pipeline_spark.operators.hints import (
+        UNBOUNDED,
+        parquet_row_bound,
+    )
+
+    (tmp_path / "staged.parquet").mkdir()
+    assert parquet_row_bound(str(tmp_path), "staged") == UNBOUNDED

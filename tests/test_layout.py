@@ -339,3 +339,39 @@ def test_versioned_orphan_never_clobbered_and_vacuumed(spark, sf_dir, tmp_path):
     assert list_versions(table) == [3, 4]
     assert vacuum_versions(table, keep=1, orphan_retention_seconds=0) == [4]
     assert list_versions(table) == [3]
+
+
+def test_vacuum_age_signal_is_tree_max_mtime(spark, sf_dir, tmp_path):
+    """An in-flight writer that created its version dir long ago but is
+    STILL landing files (staging sub-dirs don't refresh the top-level
+    mtime) must not be reaped: the orphan-age signal is the newest
+    mtime anywhere in the tree, not the dir's own."""
+    import os
+    import time
+
+    from github_data_pipeline_spark.sources.layout import (
+        list_versions,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    table = str(tmp_path / "vtab3")
+    write_versioned(events.limit(5), table)  # v1 committed
+    # v2: uncommitted, top-level dir mtime forced PAST retention, but a
+    # staging sub-dir holds a file the writer touched just now
+    v2 = os.path.join(table, "v2")
+    staging = os.path.join(v2, "_temporary", "0")
+    os.makedirs(staging)
+    stale = time.time() - 48 * 3600
+    with open(os.path.join(staging, "part-0.parquet.inprogress"), "wb") as fh:
+        fh.write(b"landing")
+    os.utime(v2, (stale, stale))
+    assert vacuum_versions(table, keep=1) == []  # fresh subtree: in flight
+    assert 2 in list_versions(table)
+    # once every file in the tree is stale too, it is a true orphan
+    for root, dirs, files in os.walk(v2):
+        for name in dirs + files:
+            os.utime(os.path.join(root, name), (stale, stale))
+    os.utime(v2, (stale, stale))
+    assert vacuum_versions(table, keep=1) == [2]

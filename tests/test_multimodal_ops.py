@@ -343,3 +343,32 @@ def test_active_real_decode_branch_asserted():
         n = len(payload)
         fake_dims = (16 + n % 17, 16 + n % 13)
         assert (routed["width"], routed["height"]) != fake_dims
+
+
+def test_stdlib_jpeg_rejects_oversized_sof_before_allocating():
+    """SOF dimensions are attacker-controlled: a ~200-byte payload
+    declaring 65535x65535 must take the cheap ValueError path (which
+    decode_image converts to the fake fallback) BEFORE any plane
+    buffer is sized from it — not attempt a multi-GB allocation the
+    OOM killer would turn into an executor death."""
+    import struct
+    import time
+
+    from github_data_pipeline_spark.operators.jpeg_stdlib import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    good = encode_baseline_jpeg(8, 8, [(9, 9, 9)] * 64)
+    i = good.index(b"\xff\xc0")
+    seglen = struct.unpack(">H", good[i + 2 : i + 4])[0]
+    sof = bytearray(good[i : i + 2 + seglen])
+    # payload layout after the 2-byte length: precision, H:2, W:2
+    sof[5:7] = struct.pack(">H", 65535)
+    sof[7:9] = struct.pack(">H", 65535)
+    hostile = good[:i] + bytes(sof) + good[i + 2 + seglen :]
+    t0 = time.monotonic()
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(hostile)
+    # the rejection must be header-time cheap, not post-allocation
+    assert time.monotonic() - t0 < 1.0

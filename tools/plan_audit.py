@@ -36,6 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PYTHON_BY_DESIGN = {
     "multimodal_decode_features": {"MapInPandas"},
     "multimodal_frame_sample": {"MapInPandas"},
+    # Misra-Gries is stateful-imperative by nature; the stage is
+    # Arrow-batched (value_counts per batch + O(k log k) shrink), emits
+    # <= k rows per task, and exists precisely to DELETE the full-stream
+    # shuffle — see operators/heavyhitters.py.
+    "token_heavy_hitters": {"MapInPandas"},
 }
 
 # BroadcastNestedLoopJoin is a hazard by default (a big-big non-equi
