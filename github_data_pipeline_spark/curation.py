@@ -160,7 +160,53 @@ def funnel_report(stages: list[tuple[str, DataFrame]]) -> list[tuple[str, int]]:
     return [(name, df.count()) for name, df in stages]
 
 
-def funnel_survivor_counts(docs: DataFrame, lang: str = "en") -> DataFrame:
+def materialize_boundary(
+    df: DataFrame,
+    store: str = "checkpoint",
+    scratch_dir: str | None = None,
+    name: str = "boundary",
+) -> DataFrame:
+    """Materialize a pipeline boundary under the caller-chosen storage.
+
+    * ``"checkpoint"`` — ``localCheckpoint``: executor storage memory
+      (spilling to local disk). Right at bench SFs; at 100 TB the
+      survivor TEXT of a funnel would evict the working set.
+    * ``"disk"`` — ``persist(DISK_ONLY)`` + a materializing count:
+      executor local disk only, zero storage-memory pressure, still
+      lost with the executor.
+    * ``"table"`` — parquet scratch round-trip under ``scratch_dir``:
+      the production boundary — survives executor loss, readable by
+      downstream jobs, and exactly what a real funnel persists between
+      its gate and dedup phases. ``scratch_dir`` required.
+
+    All three return a frame with identical rows; the funnel test pins
+    that equality.
+    """
+    if store == "checkpoint":
+        return df.localCheckpoint()
+    if store == "disk":
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.DISK_ONLY)
+        out.count()
+        return out
+    if store == "table":
+        if not scratch_dir:
+            raise ValueError("store='table' requires scratch_dir")
+        import os
+
+        path = os.path.join(scratch_dir, f"{name}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    raise ValueError(f"unknown boundary store {store!r}")
+
+
+def funnel_survivor_counts(
+    docs: DataFrame,
+    lang: str = "en",
+    survivor_store: str = "checkpoint",
+    scratch_dir: str | None = None,
+) -> DataFrame:
     """(stage_idx, stage, survivors): the funnel report as ONE
     DataFrame, built so executing it costs O(gate survivors), not six
     re-runs of the whole funnel.
@@ -199,9 +245,20 @@ def funnel_survivor_counts(docs: DataFrame, lang: str = "en") -> DataFrame:
     n_surv = surv_ids.count()
     # clean text recomputed for survivors only: the id semi-join sits
     # below the projection, so the regexes touch |survivors| rows
-    surv = clean_stage(
-        docs.join(broadcast_if_bounded(surv_ids, n_surv), "doc_id", "left_semi")
-    ).select("doc_id", "text", T.tokens("text").alias("toks")).localCheckpoint()
+    # the survivor-TEXT boundary: the one funnel materialization whose
+    # size is corpus-scale (gate survivors x full text). Its storage is
+    # caller-chosen — localCheckpoint at bench SFs, DISK_ONLY or a
+    # parquet scratch table at 100 TB (see materialize_boundary).
+    surv = materialize_boundary(
+        clean_stage(
+            docs.join(
+                broadcast_if_bounded(surv_ids, n_surv), "doc_id", "left_semi"
+            )
+        ).select("doc_id", "text", T.tokens("text").alias("toks")),
+        store=survivor_store,
+        scratch_dir=scratch_dir,
+        name="funnel_survivors",
+    )
     rep = surv.filter(repetition_pred(F.col("toks"))).select("doc_id", "text")
     kept = neardup_drop_stage(rep)
 

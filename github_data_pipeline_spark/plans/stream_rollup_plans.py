@@ -462,3 +462,145 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("event_type"))
     )
+
+
+# --- round 10: keyed update-mode restart recovery ---------------------------
+#
+# stream_restart_recovery proves the stop/resume contract for a 4-row
+# COMPLETE-mode state, where a broken offset log corrupts one global
+# total. The keyed face is strictly harder to observe: an update-mode
+# per-USER ledger re-emits only the keys each microbatch touched, so a
+# recovery bug corrupts individual keys — reprocessing batch 1 makes
+# untouched users REAPPEAR in run 2's sink (row-set mismatch), and
+# lost state makes touched users' cumulative totals count batch 2
+# alone (per-key value mismatch). The oracle pins both: run 2's key
+# set == exactly the users with a batch-2 event, each carrying the
+# full both-batch total, plus the same numInputRows pin as the
+# complete-mode gate.
+
+
+@_add(
+    "stream_restart_keyed_ledger",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+            WHERE event_id % 2 = 1) AS run2_input_rows
+    FROM events
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) > 0
+    ORDER BY user_id ASC
+    """,
+    doc="Exactly-once restart recovery for a KEYED update-mode ledger: "
+    "the events table lands as two file batches; run 1 drains batch 1 "
+    "into a checkpointed per-user aggregation and STOPS; batch 2 "
+    "lands; run 2 resumes the same checkpoint as a new query. Update "
+    "mode re-emits only touched keys, so run 2's sink must hold "
+    "EXACTLY the users with a batch-2 event — each with the full "
+    "both-batch cumulative total (state recovered per key) — and run "
+    "2's numInputRows must equal the independent batch-2 row count. "
+    "A broken offset log now corrupts INDIVIDUAL keys: reprocessing "
+    "batch 1 resurrects even-only users into the sink (row-set "
+    "mismatch), lost state halves touched users' totals (cell "
+    "mismatch) — failure modes the complete-mode gate's single global "
+    "total cannot separate. Sink re-emits within run 2 dedup to the "
+    "max-events row per key (cumulative counts strictly grow). State "
+    "at 100 TB: one row per active user, sharded by data-sized "
+    "events_state_shards like the other keyed gates.",
+    tags=("streaming", "recovery", "incremental", "stateful"),
+)
+def stream_restart_keyed_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_table
+    from ..streaming.jobs import events_state_shards, read_events_stream
+
+    scratch = os.path.join(
+        "/tmp", f"spark_graft_keyedrr_{uuid.uuid4().hex[:8]}"
+    )
+    data_dir = os.path.join(scratch, "events.parquet")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(data_dir)
+    ev = load_table(spark, sf_dir, "events")
+
+    def land(batch_df: DataFrame, tag: str) -> None:
+        tmp = os.path.join(scratch, f"stage_{tag}")
+        batch_df.write.mode("overwrite").parquet(tmp)
+        for i, f in enumerate(
+            sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+        ):
+            shutil.move(f, os.path.join(data_dir, f"{tag}_{i}.parquet"))
+
+    def drain(run: str) -> int:
+        # the memory sink refuses checkpoint recovery outside complete
+        # mode, so the update-mode drain lands each microbatch's
+        # re-emits to a per-run parquet dir via foreachBatch — the
+        # recovery-capable sink shape (offsets+state live in the shared
+        # checkpoint; the sink is idempotent per run here because each
+        # run gets a fresh directory)
+        out_dir = os.path.join(scratch, f"sink_{run}")
+
+        def emit(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        stream = (
+            read_events_stream(spark, scratch)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("events"),
+                F.sum("event_id").cast("long").alias("id_sum"),
+                F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+                .cast("long")
+                .alias("value_cents"),
+            )
+        )
+        q = (
+            stream.writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+            rows = sum(int(p["numInputRows"]) for p in q.recentProgress)
+        finally:
+            q.stop()
+        return rows
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", events_state_shards(sf_dir))
+    try:
+        land(ev.filter(F.col("event_id") % 2 == 0), "h1")
+        drain("r1")  # run 1: even batch, then STOP
+        land(ev.filter(F.col("event_id") % 2 == 1), "h2")
+        run2_rows = drain("r2")  # resume from checkpoint
+        # update-mode sink: one row per touched key per microbatch that
+        # changed it — keep each key's LAST re-emit (max cumulative
+        # events); materialize before the scratch sink dir is deleted
+        w = Window.partitionBy("user_id").orderBy(F.desc("events"))
+        final = (
+            spark.read.parquet(os.path.join(scratch, "sink_r2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(scratch, ignore_errors=True)
+    return (
+        final.withColumn("run2_input_rows", F.lit(run2_rows).cast("long"))
+        .select(
+            "user_id", "events", "id_sum", "value_cents", "run2_input_rows"
+        )
+        .orderBy(F.asc("user_id"))
+    )

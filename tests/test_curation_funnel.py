@@ -95,3 +95,26 @@ def test_funnel_report_plan_has_no_full_refunnel(spark, sf_dir):
         )
     )
     assert plan.count("<EMAIL>") <= 2, "cleaning regexes re-run per stage"
+
+
+def test_survivor_boundary_stores_are_equivalent(spark, sf_dir, tmp_path):
+    """The survivor-text materialization must yield the identical
+    funnel report under all three storage options — localCheckpoint
+    (bench SFs), DISK_ONLY persist, and a parquet scratch table (the
+    100-TB boundary that survives executor loss)."""
+    import pytest
+
+    from github_data_pipeline_spark.curation import funnel_survivor_counts
+
+    docs = _docs(spark, sf_dir)
+    base = funnel_survivor_counts(docs).collect()
+    disk = funnel_survivor_counts(docs, survivor_store="disk").collect()
+    table = funnel_survivor_counts(
+        docs, survivor_store="table", scratch_dir=str(tmp_path)
+    ).collect()
+    assert [r.asDict() for r in base] == [r.asDict() for r in disk]
+    assert [r.asDict() for r in base] == [r.asDict() for r in table]
+    with pytest.raises(ValueError, match="scratch_dir"):
+        funnel_survivor_counts(docs, survivor_store="table")
+    with pytest.raises(ValueError, match="unknown boundary store"):
+        funnel_survivor_counts(docs, survivor_store="ram")

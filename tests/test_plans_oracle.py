@@ -74,15 +74,15 @@ def test_driver_window_invariants():
         # leakage_safe_splits, kmv_sketch_stats, doc_repetition_gates
         # — all r07-green, classes covered in-window; see
         # plans/core.py round-8 swap comment)
-        "lm_kn_bigram_probs",
+        # (lm_kn_bigram_probs / ann_pq_adc_topk / doc_winnow_fingerprints
+        # / source_shingle_overlap rotated out in r10 with
+        # strictly-stronger or consuming in-window successors — see the
+        # round-10 block in plans/core.py)
         "lm_doc_typicality",
         "lm_kn_trigram_probs",
-        "doc_winnow_fingerprints",
         "winnow_shared_fp_pairs",
-        "ann_pq_adc_topk",
         "ann_ivfpq_topk",
         "ann_pq_recall",
-        "source_shingle_overlap",
         "events_retention_cohorts",
         "salted_priority_revenue",
         "approx_lineitem_stats",
@@ -108,17 +108,26 @@ def test_driver_window_invariants():
         # in-window rank-window class coverage; see plans/core.py)
         "doc_source_lang_cube",
         # round-9 additions: all eight in-window immediately (second
-        # r9 swap in plans/core.py — eight r03-r07 greens demoted)
+        # r9 swap in plans/core.py — eight r03-r07 greens demoted;
+        # embedding_covariance rotated out in r10, superseded by the
+        # cell-equal pair formulation below)
         "kmv_incremental_merge",
         "curation_funnel_report",
         "stream_interval_join",
         "cdc_apply_changes",
         "salted_group_topk",
         "classifier_pr_curve",
-        "embedding_covariance",
         "json_roundtrip_events",
         "zorder_clustering_stats",
         "stream_restart_recovery",
+        # round-10 additions: all five in-window immediately (round-10
+        # swap in plans/core.py — five r8/r9 greens demoted, each with
+        # a strictly-stronger or consuming in-window successor)
+        "embedding_covariance_pairs",
+        "pca_power_iteration",
+        "stream_restart_keyed_ledger",
+        "bucketed_priority_revenue",
+        "token_heavy_hitters",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry must carry an oracle (approx_lineitem_stats

@@ -166,13 +166,15 @@ HOTKEY_TARGETS = (
     # bin keeps that output spread across tasks instead of one
     # straggler
     "events_range_attribution",
-    # NOT here: the registry's stream_interval_join drain — its memory
-    # sink collects the pair OUTPUT to the driver, and under a hot key
-    # that output is itself ~factor^2 (the semantics, not a plan flaw),
-    # so the drain dies on task-result size rather than measuring the
-    # join (observed at 30x). The hot-key behavior of the SAME
-    # stream-stream join is measured by attribution_interval_join
-    # below, whose drain folds to counts instead of collecting pairs.
+    # The registry's stream_interval_join drain itself stays out (its
+    # memory sink collects the ~factor^2 hot-key pair output to the
+    # driver and dies on task-result size — observed at 30x), but the
+    # SAME closed='right' streaming operator now runs here via
+    # stream_interval_join_fold: a foreachBatch drain folding each
+    # microbatch to per-user pair counts, so the join is measured
+    # without the output transfer. attribution_interval_join is the
+    # closed='both' twin on a noop sink.
+    "stream_interval_join_fold",
 )
 
 STREAM_TARGETS = ("stream_user_ledger",)
@@ -318,6 +320,51 @@ def _drain_attribution(spark, sf_dir: str) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _drain_interval_fold(spark, sf_dir: str) -> None:
+    """The REGISTRY entry's stream-stream interval join — same
+    closed='right' rewrite stream_interval_join drains — under a
+    COUNT-FOLDING foreachBatch sink: each microbatch reduces to
+    per-user pair counts before anything rides a task result, so the
+    ~factor^2 hot-key pair OUTPUT (the semantics under skew, not a plan
+    flaw) never transfers to the driver. The registry drain's memory
+    sink died on TaskResultLost at 30x measuring that transfer, not
+    the join; this drain measures the join."""
+    from github_data_pipeline_spark.streaming.jobs import (
+        attribution_stream,
+        read_events_stream,
+    )
+
+    totals: dict[int, int] = {}
+
+    def fold(batch_df, _bid: int) -> None:
+        from pyspark.sql import functions as F
+
+        for r in batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("pairs")
+        ).collect():  # <= distinct-users rows per batch
+            totals[r["user_id"]] = totals.get(r["user_id"], 0) + r["pairs"]
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            attribution_stream(
+                read_events_stream(spark, sf_dir), closed="right"
+            )
+            .writeStream.foreachBatch(fold)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(1800):
+                raise RuntimeError("interval-fold drain exceeded 1800s")
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _drain_funnel(spark, sf_dir: str) -> None:
     """Stateful per-user funnel (applyInPandasWithState) drained
     availableNow: state cardinality == distinct users, the number
@@ -356,6 +403,8 @@ def time_queries(
             t0 = time.time()
             if name == "attribution_interval_join":
                 _drain_attribution(spark, sf_dir)
+            elif name == "stream_interval_join_fold":
+                _drain_interval_fold(spark, sf_dir)
             elif name == "funnel_stream_drain":
                 _drain_funnel(spark, sf_dir)
             else:
@@ -501,7 +550,14 @@ def main() -> int:
             "the per-key state scan to one horizon and spreads the hot\n"
             "user across partitions. Last-touch attribution\n"
             "(events_asof_last_click, output linear in purchases) is the\n"
-            "bounded-output alternative, measured alongside.",
+            "bounded-output alternative, measured alongside.\n"
+            "stream_interval_join_fold is the REGISTRY entry's\n"
+            "closed='right' streaming join under a count-folding\n"
+            "foreachBatch drain (per-user pair counts per microbatch),\n"
+            "so the actual registry operator is measured under the hot\n"
+            "key without the ~factor^2 pair output riding a task result\n"
+            "(the memory-sink drain died on TaskResultLost at 30x\n"
+            "measuring transfer, not the join).",
         ),
         "streamscale": (
             "## Streaming state growth (distinct users per copy)",
