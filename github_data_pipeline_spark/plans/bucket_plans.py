@@ -102,12 +102,18 @@ def ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 )
             else:
                 # no committed marker: scrap any half-written leftover
-                # and pay the one-time bucketed shuffle write
+                # and pay the one-time bucketed shuffle write. The
+                # explicit path makes the table EXTERNAL, so a later
+                # DROP TABLE (session teardown, catalog rebuild) only
+                # forgets the metadata — the committed files survive
+                # for the re-register branch above, which is the whole
+                # point of paying the write once per warehouse build.
                 shutil.rmtree(loc, ignore_errors=True)
                 (
                     load_table(spark, sf_dir, table)
                     .write.bucketBy(BUCKETS, bucket_col)
                     .sortBy(bucket_col)
+                    .option("path", loc)
                     .saveAsTable(name)
                 )
         names.append(name)
