@@ -342,3 +342,142 @@ def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy(F.asc("threshold"))
+
+
+# --- round 10: global ranking statistic (ROC-AUC via rank-sum) --------------
+#
+# The PR curve evaluates the classifier at FIVE shipped thresholds;
+# ROC-AUC evaluates it at ALL of them at once — the Mann-Whitney U
+# statistic (Mann & Whitney 1947; Hanley & McNeil 1982 for the
+# AUC identity): AUC = P(score_pos > score_neg) + P(tie)/2. The naive
+# definition is an all-pairs comparison (n_pos x n_neg — quadratic,
+# dead at corpus scale); the rank-sum identity computes it from ONE
+# grouped aggregation + ONE running sum over the DISTINCT-SCORE table:
+#
+#   2U = sum over scores s of  pos(s) * (2 * neg_below(s) + neg(s))
+#
+# which counts each (pos, neg) pair twice when the positive outranks
+# the negative and once on a tie — exact integers end to end, so the
+# Spark side and the DuckDB twin agree cell-exact with no float until
+# the single final division.
+#
+# Scale shape (100 TB): the corpus collapses to per-distinct-score
+# (pos, neg) counts in one map-side-combinable aggregation; the score
+# is fixed-point on a bounded grid (<= W_STOP*FP_SCALE + W_TTR*FP_SCALE
+# + W_LEN*LEN_SCALE*max_token_len distinct values, ~10^5 — a property
+# of the classifier, not the corpus), so the unpartitioned running
+# window that follows runs over a GRID-bounded table, never a
+# corpus-bounded one. 2U itself reaches 2*n_pos*n_neg ~ 10^22 at
+# 10^11 docs — past BIGINT — so the accumulation and the final
+# auc_e6 division are staged in DECIMAL(38,0) (HUGEINT in the
+# oracle), the lm_bigram_lift discipline; auc_e6 <= 10^6 so the
+# OUTPUT stays BIGINT at any scale.
+
+AUC_SCALE = 1_000_000
+
+
+@_add(
+    "classifier_roc_auc",
+    f"""
+    WITH f AS (
+      SELECT len(toks) AS t,
+        len(list_filter(toks, x -> list_contains([{_STOPS}], lower(x))))
+          AS s,
+        len(list_distinct(toks)) AS u,
+        COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS c
+      FROM (SELECT {_TOKS} AS toks FROM documents)
+    ), scored AS (
+      SELECT
+        CASE WHEN t = 0 THEN 0 ELSE
+          {W_STOP} * ((s * {FP_SCALE}) // t)
+          + {W_TTR} * ((u * {FP_SCALE}) // t)
+          + {W_LEN} * ((c * {LEN_SCALE}) // t)
+        END AS score,
+        CASE WHEN t BETWEEN 20 AND 400 AND s * 10 >= t
+             THEN 1 ELSE 0 END AS label
+      FROM f
+    ), per AS (
+      SELECT score,
+             SUM(label) AS pos,
+             COUNT(*) - SUM(label) AS neg
+      FROM scored GROUP BY score
+    ), cum AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY score ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM per
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           CAST(COUNT(*) AS BIGINT) AS n_scores,
+           CAST((SUM(pos * (2 * neg_below + neg)) * {AUC_SCALE // 2})
+                // (SUM(pos) * SUM(neg)) AS BIGINT) AS auc_e6
+    FROM cum
+    """,
+    doc="ROC-AUC of the linear quality classifier against the curation "
+    "funnel's rule gate, by the Mann-Whitney rank-sum identity: "
+    "2U = sum_s pos(s)*(2*neg_below(s)+neg(s)) over the "
+    "distinct-score table (ties count half, exactly). ONE corpus scan "
+    "collapses to per-score (pos, neg) counts — map-side combinable — "
+    "then a running negative count over the fixed-point score GRID "
+    "(bounded by the classifier's arithmetic, ~1e5 rows, not the "
+    "corpus) finishes the statistic; the all-pairs n_pos*n_neg "
+    "comparison the definition implies never executes. 2U is staged "
+    "in DECIMAL(38,0)/HUGEINT (it passes BIGINT at ~4e9 docs); the "
+    "output auc_e6 <= 1e6 is BIGINT at any scale. Complements the "
+    "PR-curve entry: threshold-free global ranking quality (fixture: "
+    "0.6826), exact to the last integer digit.",
+    tags=("text", "quality", "classifier", "eval", "ranking"),
+)
+def classifier_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents").select("text"))
+    toks = T.tokens("text")
+    f = d.select(
+        F.size(toks).cast("long").alias("t"),
+        T.stopword_hits(toks).cast("long").alias("s"),
+        F.size(F.array_distinct(toks)).cast("long").alias("u"),
+        T.char_count(toks).cast("long").alias("c"),
+    )
+    score = F.when(F.col("t") == 0, F.lit(0).cast("long")).otherwise(
+        F.lit(W_STOP) * F.expr(f"(s * {FP_SCALE}) div t")
+        + F.lit(W_TTR) * F.expr(f"(u * {FP_SCALE}) div t")
+        + F.lit(W_LEN) * F.expr(f"(c * {LEN_SCALE}) div t")
+    )
+    label = (
+        (F.col("t").between(20, 400) & (F.col("s") * 10 >= F.col("t")))
+        .cast("long")
+    )
+    per = (
+        f.select(score.alias("score"), label.alias("label"))
+        .groupBy("score")
+        .agg(
+            F.sum("label").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
+        )
+    )
+    # running sum over the GRID-bounded distinct-score table: the
+    # unpartitioned window is safe because its input is bounded by the
+    # classifier's fixed-point arithmetic (~1e5 rows), not the corpus
+    w = Window.orderBy(F.asc("score")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("neg_below"),
+    )
+    # 2U accumulates in DECIMAL(38,0) (BIGINT dies at ~4e9 docs); the
+    # single floor division emits the bounded BIGINT auc_e6
+    return cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+        F.expr(
+            "CAST((SUM(CAST(pos AS DECIMAL(38,0)) * (2 * neg_below + neg))"
+            f" * {AUC_SCALE // 2})"
+            " div (SUM(CAST(pos AS DECIMAL(38,0))) * SUM(neg)) AS BIGINT)"
+        ).alias("auc_e6"),
+    )

@@ -167,6 +167,14 @@ def all_plans() -> Registry:
     # and deterministic exact heavy hitters
     from . import bucket_plans  # noqa: F401
     from . import heavyhitter_plans  # noqa: F401
+    # round-10 session-2 additions: ROC-AUC rank-sum eval and the
+    # prefix-filtered exact set-similarity join register inside their
+    # family modules (classifier_plans / dedup_plans — both in-window
+    # positions), triangle census + bounded BFS inside graph_plans,
+    # grouped closed-form OLS here; the second round-10 swap below
+    # demotes five long-green entries so all five additions plus the
+    # session-1 additions hold driver slots simultaneously
+    from . import regression_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row
@@ -595,5 +603,40 @@ def all_plans() -> Registry:
     REGISTRY.demote("ann_pq_adc_topk")
     REGISTRY.demote("doc_winnow_fingerprints")
     REGISTRY.demote("source_shingle_overlap")
+    # second round-10 swap: the five session-2 additions register at
+    # their family modules' positions (jaccard_prefix_filter_pairs in
+    # dedup_plans near the head; events_triangle_census +
+    # events_bfs_reach after events_item_pagerank; classifier_roc_auc
+    # after classifier_pr_curve; lang_token_byte_regression in the new
+    # regression_plans tail module), pushing five entries past the
+    # edge. Five long-green entries rotate out, each with a
+    # strictly-stronger or consuming in-window successor:
+    # - minhash_lsh_candidates: green r1-r9; the ENTIRE MinHash
+    #   banding + bucket-cap + exact-verify path re-executes inside
+    #   curation_funnel_report (in-window, oracle-checked end-to-end)
+    #   and its incremental twin stays unit-pinned
+    #   (tests/test_neardup_incremental.py).
+    # - gh_issue_stats: green r1-r9; the conditional-count (SUM CASE)
+    #   class stays scored by classifier_roc_auc/classifier_pr_curve
+    #   and the scenario family by gh_pr_issue_state_join +
+    #   gh_issues_closed_by_commits + gh_cross_repo_links (all stay);
+    #   the hand-derived golden stays in tests/test_github_domain.py.
+    # - top_customers_by_revenue: green r1-r9; sort-desc+limit
+    #   (TakeOrderedAndProject) stays scored by salted_group_topk and
+    #   token_heavy_hitters (frequency top-k, stays), and the
+    #   size-gated customer-join hint by bucketed_priority_revenue's
+    #   stronger layout form.
+    # - stream_user_ledger: green r5-r9; stream_restart_keyed_ledger
+    #   (stays) runs the SAME per-user update-mode ledger PLUS
+    #   stop/resume exactly-once across a checkpoint — strictly
+    #   stronger on the identical operator.
+    # - ann_recall: green r3-r9; the recall-gate class stays scored by
+    #   ann_pq_recall (exact-vs-approx recall join) and the IVF probe
+    #   machinery by ann_ivfpq_topk (both stay).
+    REGISTRY.demote("minhash_lsh_candidates")
+    REGISTRY.demote("gh_issue_stats")
+    REGISTRY.demote("top_customers_by_revenue")
+    REGISTRY.demote("stream_user_ledger")
+    REGISTRY.demote("ann_recall")
 
     return REGISTRY

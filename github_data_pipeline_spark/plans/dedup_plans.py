@@ -791,3 +791,134 @@ def neardup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("node").alias("id_sum"),
         F.max("node").alias("max_member"),
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered EXACT Jaccard join (All-Pairs / PPJoin family)
+# --------------------------------------------------------------------------
+#
+# The registry's other near-dup entries trade semantics for scale:
+# neardup_jaccard_pairs PRUNES boilerplate shingles (df cap — the
+# result is Jaccard over post-pruning sets), MinHash+LSH is
+# probabilistic-candidate + exact-verify. This entry is the third
+# canonical point in the design space: EXACT threshold Jaccard over
+# the TRUE shingle sets, made scalable by PREFIX FILTERING (Chaudhuri
+# et al. 2006; Bayardo et al., All-Pairs, WWW 2007; Xiao et al.,
+# PPJoin, WWW 2008):
+#
+#   order every doc's shingles by ascending global document frequency
+#   (ties by shingle — a strict total order); if J(x,y) >= t then
+#   |x∩y| >= ceil(t|x|), and the smallest common shingle in that
+#   order sits within the first |x| - ceil(t|x|) + 1 of x (and
+#   symmetrically for y) — so candidate pairs need only be generated
+#   from each doc's PREFIX postings. High-df boilerplate shingles
+#   sort to the suffix and never generate a single pair; the pruning
+#   is PHYSICAL (completeness is a theorem), not semantic.
+#
+# Cell-equality against the naive all-pairs oracle (self-join over
+# the FULL inverted index — the quadratic plan this operator deletes)
+# proves exactly that.
+
+#: Jaccard threshold 0.8 as the exact ratio (num, den) — shared by
+#: the prefix-length arithmetic and the verify predicate, which the
+#: completeness lemma requires.
+PPJ_T_NUM, PPJ_T_DEN = 4, 5
+
+
+@_add(
+    "jaccard_prefix_filter_pairs",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_GRAMS}) AS s
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(sa.n + sb.n - inter AS BIGINT) AS union_size,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter * {PPJ_T_DEN} >= (sa.n + sb.n - inter) * {PPJ_T_NUM}
+    """,
+    doc=f"EXACT 3-gram-shingle Jaccard >= "
+    f"{PPJ_T_NUM}/{PPJ_T_DEN} join via prefix filtering (All-Pairs/"
+    "PPJoin): shingles sort by ascending global df (ties by value — "
+    "a strict total order), and only each doc's first "
+    "n - ceil(t*n) + 1 shingles emit candidate postings; the lemma "
+    "that any qualifying pair shares its SMALLEST-order common "
+    "shingle inside both prefixes makes the cut complete, so unlike "
+    "the df-capped entry the result is Jaccard over the TRUE sets — "
+    "boilerplate shingles sort to the suffix and generate ZERO pairs "
+    "instead of being semantically pruned. Candidates dedupe and "
+    "exact-verify against per-doc shingle arrays (integer predicate "
+    "inter*5 >= union*4; the double emits from one division). The "
+    "oracle self-joins the FULL inverted index — the quadratic plan "
+    "the prefix filter deletes; at 100 TB the candidate stream is "
+    "bounded by the (1-t) prefix fraction of the rarest shingles "
+    "while the naive plan's hot-shingle buckets are corpus-quadratic.",
+    tags=("dedup", "jaccard", "prefix-filter", "exact"),
+)
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)  # (doc_id, s): distinct per doc
+    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # (df, s)-sorted shingle array per doc: one keyed join on the
+    # shingle (vocab-sized df table — no forced broadcast; AQE may
+    # promote it at runtime) + one doc-keyed aggregation
+    arrs = (
+        sh.join(df_tbl, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("s")))
+            ).alias("arr")
+        )
+        .localCheckpoint()  # doc-bounded; reused by postings + verify
+    )
+    n = F.size("arr")
+    # ceil(t*n) = (NUM*n + DEN-1) div DEN, exact in integers
+    keep = n - F.expr(
+        f"({PPJ_T_NUM} * size(arr) + {PPJ_T_DEN - 1}) div {PPJ_T_DEN}"
+    ) + F.lit(1)
+    postings = arrs.select(
+        "doc_id", F.explode(F.slice("arr", 1, keep)).alias("p")
+    ).select(F.col("p.s").alias("s"), "doc_id")
+    pa = postings.select("s", F.col("doc_id").alias("doc_a"))
+    pb = postings.select("s", F.col("doc_id").alias("doc_b"))
+    cand = (
+        pa.join(pb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.expr("transform(arr, x -> x.s)").alias("sa"),
+        F.size("arr").alias("na"),
+    )
+    gb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.expr("transform(arr, x -> x.s)").alias("sb"),
+        F.size("arr").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("inter", inter)
+        .filter(F.col("inter") * PPJ_T_DEN >= union * PPJ_T_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            union.cast("long").alias("union_size"),
+            (F.col("inter").cast("double") / union).alias("jaccard"),
+        )
+    )

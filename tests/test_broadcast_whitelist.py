@@ -56,6 +56,11 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
         1, "per-cohort-week sizes — bounded by the observed week span"),
     ("plans/github_plans.py", "gh_issue_comments"): (
         1, "point-lookup fetch bounded by the requested key list"),
+    ("plans/graph_plans.py", "events_triangle_census"): (
+        4, "1-row (|E|,W_total) threshold attach + three 1-row "
+           "scalar aggregates in the final stat assembly"),
+    ("plans/graph_plans.py", "events_bfs_reach"): (
+        1, "1-row (|E|,W_total) threshold attach"),
     ("plans/hybrid_plans.py", "_hybrid"): (
         1, "single query vector (1 row)"),
     ("plans/lm_plans.py", "lm_kn_bigram_probs"): (

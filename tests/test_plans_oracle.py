@@ -128,6 +128,17 @@ def test_driver_window_invariants():
         "stream_restart_keyed_ledger",
         "bucketed_priority_revenue",
         "token_heavy_hitters",
+        # round-10 session-2 additions: all five in-window immediately
+        # (second round-10 swap in plans/core.py — five r1-r9 greens
+        # demoted: minhash_lsh_candidates, gh_issue_stats,
+        # top_customers_by_revenue, stream_user_ledger, ann_recall,
+        # each with a strictly-stronger or consuming in-window
+        # successor)
+        "jaccard_prefix_filter_pairs",
+        "classifier_roc_auc",
+        "events_triangle_census",
+        "events_bfs_reach",
+        "lang_token_byte_regression",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry must carry an oracle (approx_lineitem_stats

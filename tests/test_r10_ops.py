@@ -164,3 +164,216 @@ def test_misra_gries_never_misses_a_true_heavy_hitter(spark):
     assert "hot" in cands
     n = summ.filter(F.col("token").isNull()).agg(F.sum("cnt")).first()[0]
     assert n == 4000  # sentinels account every processed row
+
+
+# --- session-2 additions: properties the oracle equality can't see ---------
+
+
+def test_triangle_orientation_outdegree_bound(spark, sf_dir):
+    """The scale claim behind events_triangle_census: degree-ordered
+    orientation caps every out-degree at sqrt(2m) (if out-deg(v)=k,
+    each out-neighbor has degree >= deg(v) >= k, so 2m >= k^2). The
+    oracle proves the COUNT; this pins the BOUND the algorithm exists
+    for."""
+    import math
+
+    from pyspark.sql import Window, functions as F
+
+    from github_data_pipeline_spark.plans import graph_plans
+    from github_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "props"
+    )
+    item = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    lagged = ev.select(F.lag(item).over(w).alias("src"), item.alias("dst"))
+    und = (
+        lagged.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .groupBy("a", "b")
+        .count()
+        .drop("count")
+    )
+    edges = [(r["a"], r["b"]) for r in und.collect()]
+    m = len(edges)
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out: dict[int, int] = {}
+    for a, b in edges:
+        src = a if (deg[a], a) < (deg[b], b) else b
+        out[src] = out.get(src, 0) + 1
+    assert max(out.values()) <= math.isqrt(2 * m) + 1
+
+
+def test_prefix_postings_strictly_smaller_than_full_index(spark, sf_dir):
+    """Prefix filtering must actually shrink the candidate-generating
+    index (the 100-TB story), and the highest-df boilerplate shingle
+    must never emit a posting (it sorts to every doc's suffix)."""
+    from pyspark.sql import functions as F
+
+    from github_data_pipeline_spark.plans.dedup_plans import (
+        PPJ_T_DEN,
+        PPJ_T_NUM,
+        _shingles,
+    )
+
+    sh = _shingles(spark, sf_dir)
+    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    arrs = (
+        sh.join(df_tbl, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("s")))
+            ).alias("arr")
+        )
+    )
+    keep = F.size("arr") - F.expr(
+        f"({PPJ_T_NUM} * size(arr) + {PPJ_T_DEN - 1}) div {PPJ_T_DEN}"
+    ) + F.lit(1)
+    counts = arrs.agg(
+        F.sum(F.size("arr")).alias("full"), F.sum(keep).alias("prefix")
+    ).collect()[0]
+    assert counts["prefix"] < counts["full"]
+    # the globally hottest shingle sorts last in every doc that has >1
+    # distinct shingle, so it may appear in a prefix only via
+    # single-shingle docs; on this fixture it must not appear at all
+    hottest = df_tbl.orderBy(F.desc("df"), F.asc("s")).first()["s"]
+    in_prefix = (
+        arrs.select(F.explode(F.slice("arr", 1, keep)).alias("p"))
+        .filter(F.col("p.s") == hottest)
+        .count()
+    )
+    assert in_prefix == 0
+
+
+def test_roc_auc_matches_allpairs_definition(spark, duck, sf_dir):
+    """auc_e6 must equal the DEFINITION: (#(pos>neg) + #(pos==neg)/2)
+    / (n_pos*n_neg), computed all-pairs in Python on the fixture."""
+    from github_data_pipeline_spark.plans import all_plans
+
+    row = (
+        all_plans()["classifier_roc_auc"].builder(spark, sf_dir).collect()[0]
+    )
+    pairs = duck.sql(
+        """
+        WITH f AS (
+          SELECT len(toks) AS t,
+            len(list_filter(toks, x -> list_contains(
+              ['the','a','an','of','and','to','in','is','it','on'],
+              lower(x)))) AS s,
+            len(list_distinct(toks)) AS u,
+            COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS c
+          FROM (SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '') AS toks FROM documents)
+        )
+        SELECT CASE WHEN t = 0 THEN 0 ELSE
+                 3*((s*10000)//t) + 2*((u*10000)//t) + 10*((c*100)//t)
+               END AS score,
+               CASE WHEN t BETWEEN 20 AND 400 AND s*10 >= t
+                    THEN 1 ELSE 0 END AS label
+        FROM f
+        """
+    ).fetchall()
+    pos = sorted(s for s, l in pairs if l == 1)
+    neg = sorted(s for s, l in pairs if l == 0)
+    u2 = sum(
+        2 * sum(1 for n in neg if p > n) + sum(1 for n in neg if p == n)
+        for p in pos
+    )
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["auc_e6"] == (u2 * 500_000) // (len(pos) * len(neg))
+
+
+def test_regression_matches_numpy_lstsq(spark, sf_dir):
+    """Slope/intercept/r2 must match an independent float solver to
+    float tolerance (the entry itself is exact-integer-staged; numpy
+    is the cross-check that the CLOSED FORM is the right one)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from github_data_pipeline_spark.functions import text as T
+    from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.sources.tables import load_table
+
+    got = {
+        r["lang"]: r
+        for r in all_plans()["lang_token_byte_regression"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    raw = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.col("n_chars").alias("x"),
+            F.size(T.tokens("text")).alias("y"),
+        )
+        .collect()
+    )
+    langs = {r["lang"] for r in raw}
+    for lang in langs:
+        x = np.array([r["x"] for r in raw if r["lang"] == lang], dtype=float)
+        y = np.array([r["y"] for r in raw if r["lang"] == lang], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = got[lang]
+        assert abs(r["tokens_per_char"] - slope) < 1e-9 * max(1, abs(slope))
+        assert abs(r["intercept_tokens"] - intercept) < 1e-6 * max(
+            1, abs(intercept)
+        )
+        corr = np.corrcoef(x, y)[0, 1]
+        assert abs(r["r2"] - corr * corr) < 1e-9
+
+
+def test_bfs_matches_python_bfs(spark, sf_dir):
+    """Hop levels must equal a driver-side BFS over the same thinned
+    edge set (guards the unrolled-join recurrence against off-by-one
+    frontier bugs the oracle shares by construction)."""
+    from collections import deque
+
+    from pyspark.sql import Window, functions as F
+
+    from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.plans.graph_plans import BFS_HOPS
+    from github_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "props"
+    )
+    item = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    lagged = ev.select(F.lag(item).over(w).alias("src"), item.alias("dst"))
+    dir_ = (
+        lagged.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    ecnt, wtot = len(dir_), sum(r["w"] for r in dir_)
+    adj: dict[int, list[int]] = {}
+    nodes = set()
+    for r in dir_:
+        if r["w"] * ecnt >= wtot:
+            adj.setdefault(r["src"], []).append(r["dst"])
+            nodes.add(r["src"])
+            nodes.add(r["dst"])
+    dist = {v: 0 for v in nodes if v % 10 == 0}
+    q = deque(dist)
+    while q:
+        v = q.popleft()
+        if dist[v] >= BFS_HOPS:
+            continue
+        for nxt in adj.get(v, ()):  # noqa: B909
+            if nxt not in dist:
+                dist[nxt] = dist[v] + 1
+                q.append(nxt)
+    got = {
+        r["item"]: r["hops"]
+        for r in all_plans()["events_bfs_reach"].builder(spark, sf_dir).collect()
+    }
+    assert got == dist

@@ -115,6 +115,15 @@ BNLJ_BY_DESIGN = {
     # each audit check is a 1-row violation aggregate cross-joined to
     # a 1-row table total — seven 1x1 attaches unioned
     "dq_referential_audit": "scalar-aggregate 1x1 cross join per check",
+    # two shapes, both bounded: the 1-row (|E|, W_total) edge-threshold
+    # attach onto the pair-bounded undirected edge table, and the final
+    # assembly of four 1-row scalar aggregates (nodes/edges/wedges/
+    # triangles) by 1x1 cross joins; the wedge self-join and the
+    # closing semi-join are equi-keyed and never nested-loop
+    "events_triangle_census": "scalar-stats 1-row broadcast attach",
+    # same 1-row (|E|, W_total) threshold attach onto the edge table
+    # (present pre-AQE even when the runtime plan folds it)
+    "events_bfs_reach": "scalar-stats 1-row broadcast attach",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
