@@ -638,5 +638,23 @@ def all_plans() -> Registry:
     REGISTRY.demote("top_customers_by_revenue")
     REGISTRY.demote("stream_user_ledger")
     REGISTRY.demote("ann_recall")
+    # ...and two more slots for the last two session-2 additions —
+    # doc_length_quantiles_histogram (registers at quantile_plans'
+    # in-window position) and stream_static_enrichment (the eighth
+    # drained gate class, stream_rollup_plans position):
+    # - doc_pii_scrub: green r3-r9; the PII-masking transform runs
+    #   in-window inside curation_funnel_report's cleaning stage
+    #   (curation.py applies T.clean_text = strip_html -> control ->
+    #   mask_pii -> whitespace), and the scrub's own field-level
+    #   redaction behavior stays pinned by tests/test_pii.py.
+    # - gh_issues_closed_by_commits: green r1-r9; the scenario family
+    #   keeps three in-window twins (gh_prs_with_linked_issues,
+    #   gh_pr_issue_state_join, gh_cross_repo_links) exercising the
+    #   same ref-extraction + linker machinery, and the
+    #   closing-keyword/sentence-scope predicate is pinned by the
+    #   Hypothesis property suite (tests/test_refs_property.py) plus
+    #   the hand-derived goldens in tests/test_github_domain.py.
+    REGISTRY.demote("doc_pii_scrub")
+    REGISTRY.demote("gh_issues_closed_by_commits")
 
     return REGISTRY

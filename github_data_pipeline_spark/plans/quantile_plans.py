@@ -139,3 +139,134 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outliers_3sigma",
         )
     )
+
+
+# --- round 10: two-pass histogram exact quantiles ---------------------------
+#
+# doc_length_percentiles documents its own 100-TB weakness: Spark's
+# percentile_disc buffers every (group, value) pair in per-group sort
+# state. This entry computes the SAME exact percentiles with NO sort
+# buffer anywhere — the classic two-pass histogram selection (the
+# distributed k-th-element algorithm; cf. Blum et al. selection and
+# every MPP engine's exact-median path):
+#
+#   pass 1: count per (source, value div B) — a domain-bounded
+#           histogram (B=256 -> at most ceil(domain/256) buckets per
+#           group), map-side combinable, tiny exchange;
+#   pass 2: rescan ONLY the one bucket per (group, quantile) that the
+#           cumulative histogram pins the target rank into, count the
+#           <=B distinct values inside it, and pick the smallest value
+#           whose cumulative count reaches the rank.
+#
+# Both passes move COUNTS, never values; every window below runs over
+# a domain-bounded table (buckets per group, then values per bucket),
+# so the operator scales with the value DOMAIN, not the corpus. The
+# oracle is percentile_disc itself — cell-equality proves the
+# histogram selection implements the ANSI definition exactly
+# (smallest element with cume_dist >= q, i.e. cum*100 >= q*n in
+# integers; no doubles anywhere).
+
+HISTO_BUCKET = 256
+
+
+@_add(
+    "doc_length_quantiles_histogram",
+    f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           {", ".join(
+               f"CAST(percentile_disc({q / 100}) WITHIN GROUP "
+               f"(ORDER BY n_chars) AS BIGINT) AS hp{q}_chars"
+               for q in QUANTILES
+           )}
+    FROM documents
+    GROUP BY source
+    """,
+    doc="The SAME exact per-source p50/p90/p99 as "
+    "doc_length_percentiles, computed by two-pass histogram selection "
+    f"instead of per-group sort buffers: pass 1 aggregates counts per "
+    f"(source, n_chars div {HISTO_BUCKET}) — a domain-bounded "
+    "histogram whose exchange moves counts, not values; the "
+    "cumulative histogram pins each quantile's target rank "
+    "(cum*100 >= q*n, integer-exact ANSI percentile_disc) into ONE "
+    f"bucket; pass 2 rescans only that bucket's <= {HISTO_BUCKET} "
+    "distinct values and selects the element. Every window is "
+    "domain-bounded (buckets per group, then values per bucket), so "
+    "the plan scales with the value DOMAIN, not the corpus — the "
+    "100-TB exact-quantile shape the sibling entry names as its own "
+    "limit. Oracle = percentile_disc itself: cell-equality proves the "
+    "selection is the ANSI definition.",
+    tags=("documents", "quantile", "two-pass"),
+)
+def doc_length_quantiles_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    h1 = d.groupBy(
+        "source", F.expr(f"n_chars div {HISTO_BUCKET}").alias("hi")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_src = Window.partitionBy("source")
+    run = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("hi"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h1.select(
+        "source",
+        "hi",
+        "cnt",
+        F.sum("cnt").over(run).alias("cum"),
+        F.sum("cnt").over(per_src).alias("n"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in QUANTILES])).alias("q")
+    # smallest bucket whose cumulative count reaches the target rank;
+    # min(struct) picks it together with its preceding-buckets base
+    targets = (
+        cum.select("source", "hi", "cum", "cnt", "n", qs)
+        .filter(F.col("cum") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("source", "q")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("hi"),
+                    (F.col("cum") - F.col("cnt")).alias("base"),
+                    F.col("n"),
+                )
+            ).alias("t")
+        )
+        .select(
+            "source", "q", F.col("t.hi").alias("hi"),
+            F.col("t.base").alias("base"), F.col("t.n").alias("n"),
+        )
+    )
+    # pass 2: only the pinned buckets' values are rescanned; the join
+    # is keyed on (source, bucket) — targets is |sources| x |quantiles|
+    # rows, hint-free (AQE broadcasts it at runtime)
+    in_bucket = d.withColumn(
+        "hi", F.expr(f"n_chars div {HISTO_BUCKET}")
+    ).join(targets, ["source", "hi"])
+    h2 = in_bucket.groupBy("source", "q", "base", "n", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    run2 = (
+        Window.partitionBy("source", "q")
+        .orderBy(F.asc("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    picked = (
+        h2.withColumn("cum2", F.sum("c").over(run2))
+        .filter((F.col("base") + F.col("cum2")) * 100 >= F.col("q") * F.col("n"))
+        .groupBy("source", "q")
+        .agg(F.min("n_chars").alias("v"), F.min("n").alias("n"))
+    )
+    return picked.groupBy("source").agg(
+        F.min("n").cast("long").alias("docs"),
+        *[
+            F.max(F.when(F.col("q") == q, F.col("v")))
+            .cast("long")
+            .alias(f"hp{q}_chars")
+            for q in QUANTILES
+        ],
+    )

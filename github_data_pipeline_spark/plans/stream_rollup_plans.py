@@ -604,3 +604,75 @@ def stream_restart_keyed_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("user_id"))
     )
+
+
+# --- round 10: stream-static enrichment join, drained and oracle-checked ----
+#
+# The eighth streaming gate class: STREAM-STATIC join — the canonical
+# fact-stream x dimension-table enrichment every production pipeline
+# runs (events -> user dim -> per-nation rollup). The operator
+# (streaming/jobs.enriched_rollup_stream) was unit-pinned against the
+# identical batch plan since r5; this entry makes it oracle-scored:
+# the stream drains availableNow in COMPLETE mode (the aggregation
+# holds the final state; no per-batch re-emit dedup needed) and the
+# DuckDB twin computes the same left join + rollup from the raw
+# parquet. The static side is deliberately UN-HINTED (a user dim
+# grows with the user base; per-micro-batch planning broadcasts it
+# while small and degrades to a keyed shuffle when it outgrows the
+# threshold — the honest strategy at every scale); the LEFT join
+# keeps unknown-user events as a NULL-nation group, so silent
+# enrichment loss would show up as a missing row, not a hash nit.
+
+
+@_add(
+    "stream_static_enrichment",
+    """
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events e
+    LEFT JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    ORDER BY nationkey ASC
+    """,
+    doc="Stream-static enrichment drained for real: the events stream "
+    "left-joins the static customer dimension (user_id -> nation, "
+    "re-planned per micro-batch so a dim refresh lands without a "
+    "restart) and rolls up count + integer-cents value per nation; "
+    "availableNow into a COMPLETE-mode memory sink, hash-compared to "
+    "the batch join+rollup oracle. The dim side is un-hinted by "
+    "design — a user dimension is unbounded, so the per-batch planner "
+    "chooses broadcast vs keyed shuffle from its ACTUAL size; the "
+    "left join surfaces unknown users as a NULL-nation row (silent "
+    "enrichment loss becomes a missing group, not a quiet drop). "
+    "Eighth drained gate class, completing the streaming matrix: "
+    "windowed/sliding/session aggs, watermark dedup, stream-stream "
+    "interval join, restart recovery x2, and now stream-static join.",
+    tags=("streaming", "events", "join", "enrichment"),
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+    from ..streaming.jobs import enriched_rollup_stream, read_events_stream
+
+    name = "stream_static_enrichment_sink"
+    spark.catalog.dropTempView(name)
+    customers = load_table(spark, sf_dir, "customer")
+    stream = enriched_rollup_stream(
+        read_events_stream(spark, sf_dir), customers
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""SELECT nationkey, events, value_cents FROM {name}
+            ORDER BY nationkey ASC"""
+    )

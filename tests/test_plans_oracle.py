@@ -139,6 +139,12 @@ def test_driver_window_invariants():
         "events_triangle_census",
         "events_bfs_reach",
         "lang_token_byte_regression",
+        # (second wave: doc_pii_scrub and gh_issues_closed_by_commits
+        # demoted — PII masking runs in-window inside the funnel's
+        # cleaning stage; the scenario family keeps three in-window
+        # twins and the property suite)
+        "doc_length_quantiles_histogram",
+        "stream_static_enrichment",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry must carry an oracle (approx_lineitem_stats

@@ -119,6 +119,19 @@ TARGETS = (
     "curation_funnel_report",
     "classifier_pr_curve",
     "embedding_covariance",
+    # round-10 additions: the prefix-filter join's growth is the
+    # prefix-posting pair stream (the uncapped-exact counterpart of
+    # the capped jaccard entry above); AUC collapses to the score
+    # grid, so it should track the scan ~linearly; the OLS moments are
+    # one map-side aggregate (flat, like covariance)
+    "jaccard_prefix_filter_pairs",
+    "classifier_roc_auc",
+    "lang_token_byte_regression",
+    # the histogram-selection twin of doc_length_percentiles: the
+    # sibling's growth is its per-group sort buffers; this one's
+    # exchanges move only domain-bounded counts, so the exponent gap
+    # between the two IS the operator's claim, measured
+    "doc_length_quantiles_histogram",
 )
 
 # the dedup family is what a hot band stresses; decontam rides along
@@ -144,6 +157,13 @@ HOTBAND_TARGETS = (
     # r9: the funnel's near-dup stage inherits the capped-LSH behavior
     # over gate survivors; boilerplate docs must not blow the verify
     "curation_funnel_report",
+    # r10: the prefix filter's WHOLE claim is that boilerplate
+    # shingles (corpus-wide df) sort to every doc's suffix and emit
+    # ZERO candidate postings — the hot band piles df exactly there;
+    # the mega-cluster members themselves are true near-dups whose
+    # RARE unique-suffix shingles pair them, so output grows with the
+    # cluster, candidates must not grow with df
+    "jaccard_prefix_filter_pairs",
 )
 
 # grouped/stateful per-user work is what a hot key stresses;
@@ -175,6 +195,13 @@ HOTKEY_TARGETS = (
     # without the output transfer. attribution_interval_join is the
     # closed='both' twin on a noop sink.
     "stream_interval_join_fold",
+    # r10 graph entries: the exposed surface under event-key skew is
+    # the per-user lag window feeding edge extraction (pagerank's
+    # caveat); past the edge table, the triangle census is bounded by
+    # the orientation cap and BFS by the edge count — both immune to
+    # event skew by construction, which is what the exponent shows
+    "events_triangle_census",
+    "events_bfs_reach",
 )
 
 STREAM_TARGETS = ("stream_user_ledger",)
@@ -494,6 +521,11 @@ def main() -> int:
             # grows with the user count; the watermark bound is what
             # keeps the drain linear
             "stream_interval_join",
+            # r10: the stream-static enrichment gate — the dim side is
+            # un-hinted, so what this measures is the per-micro-batch
+            # planner holding the join keyed while the STREAM side
+            # grows; agg state stays nation-bounded by construction
+            "stream_static_enrichment",
         ),
     }[args.skew]
     if args.only:
