@@ -857,26 +857,51 @@ PPJ_T_NUM, PPJ_T_DEN = 4, 5
     "the df-capped entry the result is Jaccard over the TRUE sets — "
     "boilerplate shingles sort to the suffix and generate ZERO pairs "
     "instead of being semantically pruned. Candidates dedupe and "
-    "exact-verify against per-doc shingle arrays (integer predicate "
-    "inter*5 >= union*4; the double emits from one division). The "
+    "exact-verify against per-doc shingle-HASH arrays (60-bit md5 "
+    "prefixes, un-reduced — strings drop before anything shuffles, "
+    "~15x less verify heap; the raw-string oracle makes every gate "
+    "run a live no-collision witness) under the integer predicate "
+    "inter*5 >= union*4; the double emits from one division. The "
     "oracle self-joins the FULL inverted index — the quadratic plan "
     "the prefix filter deletes; at 100 TB the candidate stream is "
     "bounded by the (1-t) prefix fraction of the rarest shingles "
-    "while the naive plan's hot-shingle buckets are corpus-quadratic.",
+    "while the naive plan's hot-shingle buckets are corpus-quadratic. "
+    "Semantics bound (measured in the hotband smoke): an exact join's "
+    "OUTPUT over a k-member near-identical cluster is C(k,2) by "
+    "definition — no exact algorithm shrinks it; mega-cluster corpora "
+    "want the df-capped or LSH entries instead.",
     tags=("dedup", "jaccard", "prefix-filter", "exact"),
 )
 def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)  # (doc_id, s): distinct per doc
-    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # (df, s)-sorted shingle array per doc: one keyed join on the
-    # shingle (vocab-sized df table — no forced broadcast; AQE may
+    # Drop shingle STRINGS before anything shuffles: the 60-bit md5
+    # prefix (NO mod-p reduction — MINHASH_P's 1e9 space would birthday
+    # at ~1e5 shingles; 2^60 collides at ~1e9) is what the df join,
+    # the postings, and the verify arrays carry — ~15x less heap per
+    # row than the raw 3-gram strings, which is what let the verify
+    # stage over a 1000-member hot cluster's ~5e5 candidate pairs OOM
+    # a test-sized JVM before this rework. The prefix lemma only needs
+    # A strict total order, so (df, h) serves exactly as (df, s) did;
+    # and because the ORACLE still self-joins the raw strings, every
+    # gate run is also a live no-collision witness for the hash — a
+    # collision would shrink a hashed set and fail cell-equality
+    # loudly, never silently.
+    shh = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    df_tbl = shh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # (df, h)-sorted shingle-hash array per doc: one keyed join on the
+    # hash (vocab-sized df table — no forced broadcast; AQE may
     # promote it at runtime) + one doc-keyed aggregation
     arrs = (
-        sh.join(df_tbl, "s")
+        shh.join(df_tbl, "h")
         .groupBy("doc_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("df"), F.col("s")))
+                F.collect_list(F.struct(F.col("df"), F.col("h")))
             ).alias("arr")
         )
         .localCheckpoint()  # doc-bounded; reused by postings + verify
@@ -888,23 +913,23 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + F.lit(1)
     postings = arrs.select(
         "doc_id", F.explode(F.slice("arr", 1, keep)).alias("p")
-    ).select(F.col("p.s").alias("s"), "doc_id")
-    pa = postings.select("s", F.col("doc_id").alias("doc_a"))
-    pb = postings.select("s", F.col("doc_id").alias("doc_b"))
+    ).select(F.col("p.h").alias("h"), "doc_id")
+    pa = postings.select("h", F.col("doc_id").alias("doc_a"))
+    pb = postings.select("h", F.col("doc_id").alias("doc_b"))
     cand = (
-        pa.join(pb, "s")
+        pa.join(pb, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
     ga = arrs.select(
         F.col("doc_id").alias("doc_a"),
-        F.expr("transform(arr, x -> x.s)").alias("sa"),
+        F.expr("transform(arr, x -> x.h)").alias("sa"),
         F.size("arr").alias("na"),
     )
     gb = arrs.select(
         F.col("doc_id").alias("doc_b"),
-        F.expr("transform(arr, x -> x.s)").alias("sb"),
+        F.expr("transform(arr, x -> x.h)").alias("sb"),
         F.size("arr").alias("nb"),
     )
     inter = F.size(F.array_intersect("sa", "sb"))

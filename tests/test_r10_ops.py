@@ -223,13 +223,20 @@ def test_prefix_postings_strictly_smaller_than_full_index(spark, sf_dir):
     )
 
     sh = _shingles(spark, sf_dir)
-    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # the builder's hashed form: strings drop before anything shuffles
+    shh = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    df_tbl = shh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     arrs = (
-        sh.join(df_tbl, "s")
+        shh.join(df_tbl, "h")
         .groupBy("doc_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("df"), F.col("s")))
+                F.collect_list(F.struct(F.col("df"), F.col("h")))
             ).alias("arr")
         )
     )
@@ -243,10 +250,10 @@ def test_prefix_postings_strictly_smaller_than_full_index(spark, sf_dir):
     # the globally hottest shingle sorts last in every doc that has >1
     # distinct shingle, so it may appear in a prefix only via
     # single-shingle docs; on this fixture it must not appear at all
-    hottest = df_tbl.orderBy(F.desc("df"), F.asc("s")).first()["s"]
+    hottest = df_tbl.orderBy(F.desc("df"), F.asc("h")).first()["h"]
     in_prefix = (
         arrs.select(F.explode(F.slice("arr", 1, keep)).alias("p"))
-        .filter(F.col("p.s") == hottest)
+        .filter(F.col("p.h") == hottest)
         .count()
     )
     assert in_prefix == 0
