@@ -175,6 +175,15 @@ def all_plans() -> Registry:
     # demotes five long-green entries so all five additions plus the
     # session-1 additions hold driver slots simultaneously
     from . import regression_plans  # noqa: F401
+    # round-10 session-2, third wave: OHLC arg-extreme downsampling +
+    # median/MAD robust outlier gate. These two land at positions
+    # 50-51 — one past the window edge (the r8 cube's spot) — and stay
+    # there DELIBERATELY: every remaining in-window non-anchor entry
+    # carries unique SURVEY-§2 citations, so the pair ships as
+    # tail entries (green in CORRECTNESS_TAIL.json, local cell-exact
+    # at sf0.001+sf0.01, tuned AND vanilla) and is the natural
+    # round-11 rotation candidate.
+    from . import robust_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row
