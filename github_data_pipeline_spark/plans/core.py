@@ -184,6 +184,9 @@ def all_plans() -> Registry:
     # at sf0.001+sf0.01, tuned AND vanilla) and is the natural
     # round-11 rotation candidate.
     from . import robust_plans  # noqa: F401
+    # ...plus the skew DIAGNOSIS twin of the salted-join entries
+    # (same tail/rotation-candidate status as the pair above)
+    from . import diagnostics_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row

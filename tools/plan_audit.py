@@ -124,6 +124,9 @@ BNLJ_BY_DESIGN = {
     # same 1-row (|E|, W_total) threshold attach onto the edge table
     # (present pre-AQE even when the runtime plan folds it)
     "events_bfs_reach": "scalar-stats 1-row broadcast attach",
+    # the (total, groups) 1-row stats aggregate attached onto the
+    # group-bounded counts table for fraction/skew_ratio
+    "events_user_skew_report": "scalar-stats 1-row broadcast attach",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
