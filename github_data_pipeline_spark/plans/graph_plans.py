@@ -199,7 +199,15 @@ def events_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRI_SCALE = 1_000_000
 
-_TRI_EDGES_SQL = """
+def _edges_sql(undirected: bool) -> str:
+    """Oracle CTE chain for the thinned item co-transition edge set —
+    ONE text shared by the triangle census (undirected fold) and BFS
+    (directed) so the two entries (and their tests) cannot drift: the
+    props-regex extraction, the per-user lag window, the (src, dst)
+    weight rollup, and the at-least-mean-weight thinning rule
+    (w * |E| >= W_total, integer-exact) are written exactly once.
+    ``e`` ends the chain with columns (a, b) or (src, dst)."""
+    base = """
     seq AS (
       SELECT user_id, ts, event_id,
              CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item
@@ -213,7 +221,9 @@ _TRI_EDGES_SQL = """
     ), dir AS (
       SELECT src, dst, COUNT(*) AS w
       FROM lagged WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2
-    ), und AS (
+    )"""
+    if undirected:
+        return base + """, und AS (
       SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
              SUM(w) AS w
       FROM dir GROUP BY 1, 2
@@ -221,17 +231,81 @@ _TRI_EDGES_SQL = """
       SELECT COUNT(*) AS ecnt, SUM(w) AS wtot FROM und
     ), e AS (
       SELECT a, b FROM und, tot WHERE w * ecnt >= wtot
-    ), deg AS (
-      SELECT v, COUNT(*) AS d
-      FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+    )"""
+    return base + """, tot AS (
+      SELECT COUNT(*) AS ecnt, SUM(w) AS wtot FROM dir
+    ), e AS (
+      SELECT src, dst FROM dir, tot WHERE w * ecnt >= wtot
+    )"""
+
+
+def item_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed (src, dst, w) item co-transition counts: per-user lag
+    window over the events stream, self-loops dropped, collapsed to
+    the pair-bounded weight table and localCheckpoint'd so downstream
+    graph work never rescans the event corpus. The Spark twin of the
+    ``seq``/``lagged``/``dir`` oracle CTEs — shared by the triangle
+    census, BFS, and their tests (one copy, no drift)."""
+    ev = spread(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "props"
+        )
     )
-"""
+    item = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    lagged = ev.select(F.lag(item).over(w).alias("src"), item.alias("dst"))
+    return (
+        lagged.filter(
+            F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        # item-pair-bounded (catalog^2, not corpus); pins the single
+        # events scan for everything downstream
+        .localCheckpoint()
+    )
+
+
+def item_edges(
+    spark: SparkSession, sf_dir: str, undirected: bool
+) -> DataFrame:
+    """Thinned edge set: ``item_transitions`` (optionally folded to
+    undirected via LEAST/GREATEST + SUM) filtered to at-least-mean
+    weight (w * |E| >= W_total — integer-exact, data-relative). The
+    Spark twin of ``_edges_sql``; columns (a, b) when undirected,
+    (src, dst) otherwise. localCheckpoint'd: edge-bounded, reused by
+    every downstream stage (deg/orient/close or per-hop joins)."""
+    dir_ = item_transitions(spark, sf_dir)
+    if undirected:
+        base = (
+            dir_.groupBy(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint()  # pair-bounded; feeds tot AND the filter
+        )
+        cols = ("a", "b")
+    else:
+        base, cols = dir_, ("src", "dst")
+    tot = base.agg(
+        F.count(F.lit(1)).alias("ecnt"), F.sum("w").alias("wtot")
+    )
+    return (
+        base.crossJoin(F.broadcast(tot))  # whitelisted 1-row attach
+        .filter(F.col("w") * F.col("ecnt") >= F.col("wtot"))
+        .select(*cols)
+        .localCheckpoint()
+    )
 
 
 @REGISTRY.add(
     "events_triangle_census",
     f"""
-    WITH {_TRI_EDGES_SQL},
+    WITH {_edges_sql(undirected=True)}, deg AS (
+      SELECT v, COUNT(*) AS d
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+    ),
     tri AS (
       SELECT COUNT(*) AS t
       FROM e e1 JOIN e e2 ON e2.a = e1.b
@@ -265,35 +339,7 @@ _TRI_EDGES_SQL = """
     tags=("graph", "events", "triangles", "skew"),
 )
 def events_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spread(
-        load_table(spark, sf_dir, "events").select(
-            "user_id", "ts", "event_id", "props"
-        )
-    )
-    item = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    lagged = ev.select(F.lag(item).over(w).alias("src"), item.alias("dst"))
-    und = (
-        lagged.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
-        # item-pair-bounded (catalog^2, not corpus); pins the single
-        # events scan for the totals + filter below
-        .localCheckpoint()
-    )
-    tot = und.agg(
-        F.count(F.lit(1)).alias("ecnt"), F.sum("w").alias("wtot")
-    )
-    e = (
-        und.crossJoin(F.broadcast(tot))  # whitelisted 1-row attach
-        .filter(F.col("w") * F.col("ecnt") >= F.col("wtot"))
-        .select("a", "b")
-        .localCheckpoint()  # edge-bounded; reused by deg/orient/close
-    )
+    e = item_edges(spark, sf_dir, undirected=True)
     deg = (
         e.select(F.explode(F.array("a", "b")).alias("v"))
         .groupBy("v")
@@ -399,24 +445,7 @@ def _bfs_iter_ctes() -> str:
 @REGISTRY.add(
     "events_bfs_reach",
     f"""
-    WITH seq AS (
-      SELECT user_id, ts, event_id,
-             CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item
-      FROM events
-    ), lagged AS (
-      SELECT LAG(item) OVER (
-               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-             ) AS src,
-             item AS dst
-      FROM seq
-    ), dir AS (
-      SELECT src, dst, COUNT(*) AS w
-      FROM lagged WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2
-    ), tot AS (
-      SELECT COUNT(*) AS ecnt, SUM(w) AS wtot FROM dir
-    ), e AS (
-      SELECT src, dst FROM dir, tot WHERE w * ecnt >= wtot
-    ), nodes AS (
+    WITH {_edges_sql(undirected=False)}, nodes AS (
       SELECT DISTINCT v AS item FROM (
         SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
     ), d0 AS (
@@ -440,27 +469,7 @@ def _bfs_iter_ctes() -> str:
     tags=("graph", "events", "bfs", "iterative"),
 )
 def events_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spread(
-        load_table(spark, sf_dir, "events").select(
-            "user_id", "ts", "event_id", "props"
-        )
-    )
-    item = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    lagged = ev.select(F.lag(item).over(w).alias("src"), item.alias("dst"))
-    dir_ = (
-        lagged.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()  # pair-bounded; pins the single events scan
-    )
-    tot = dir_.agg(F.count(F.lit(1)).alias("ecnt"), F.sum("w").alias("wtot"))
-    e = (
-        dir_.crossJoin(F.broadcast(tot))  # whitelisted 1-row attach
-        .filter(F.col("w") * F.col("ecnt") >= F.col("wtot"))
-        .select("src", "dst")
-        .localCheckpoint()  # edge-bounded; reused once per hop
-    )
+    e = item_edges(spark, sf_dir, undirected=False)
     nodes = (
         e.select(F.col("src").alias("item"))
         .unionByName(e.select(F.col("dst").alias("item")))

@@ -171,15 +171,38 @@ HISTO_BUCKET = 256
 
 @_add(
     "doc_length_quantiles_histogram",
+    # The oracle states the ANSI percentile_disc rank in INTEGERS
+    # (cum*100 >= q*n), the exact predicate the Spark side uses —
+    # NOT percentile_disc(q/100), whose inexact double literal (0.9,
+    # 0.99) can disagree by one element when q*n lands exactly on an
+    # element boundary. Both engines now share one integer definition.
     f"""
+    WITH vals AS (
+      SELECT source, n_chars, COUNT(*) AS c
+      FROM documents GROUP BY source, n_chars
+    ), cum AS (
+      SELECT source, n_chars,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY source) AS n
+      FROM vals
+    ), picks AS (
+      SELECT source, q, MIN(n_chars) AS v, MIN(n) AS n
+      FROM cum
+      CROSS JOIN (SELECT unnest([{", ".join(str(q) for q in QUANTILES)}])
+                  AS q) qs
+      WHERE cum * 100 >= q * n
+      GROUP BY source, q
+    )
     SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(MIN(n) AS BIGINT) AS docs,
            {", ".join(
-               f"CAST(percentile_disc({q / 100}) WITHIN GROUP "
-               f"(ORDER BY n_chars) AS BIGINT) AS hp{q}_chars"
+               f"CAST(MAX(CASE WHEN q = {q} THEN v END) AS BIGINT)"
+               f" AS hp{q}_chars"
                for q in QUANTILES
            )}
-    FROM documents
+    FROM picks
     GROUP BY source
     """,
     doc="The SAME exact per-source p50/p90/p99 as "
@@ -194,8 +217,10 @@ HISTO_BUCKET = 256
     "domain-bounded (buckets per group, then values per bucket), so "
     "the plan scales with the value DOMAIN, not the corpus — the "
     "100-TB exact-quantile shape the sibling entry names as its own "
-    "limit. Oracle = percentile_disc itself: cell-equality proves the "
-    "selection is the ANSI definition.",
+    "limit. Oracle = the ANSI percentile_disc rank written in "
+    "integers (cumulative-count window, cum*100 >= q*n) so both "
+    "engines share the exact definition — no inexact 0.9/0.99 double "
+    "literals on either side.",
     tags=("documents", "quantile", "two-pass"),
 )
 def doc_length_quantiles_histogram(

@@ -319,6 +319,12 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the full-matrix job is the same plan with d^2 columns.
 
 COV_DIMS = 8
+#: the fixture embeddings are d=64; the keyed-pairs and PCA entries run
+#: at the FULL dimensionality (the one-row form stays at the d=8 report
+#: slice — its own doc names d ~ 64 as where its O(d^2)-expression
+#: width stops being the right shape, so the d=64 entries below are
+#: the measured proof of the claim, not prose)
+COV_DIMS_FULL = 64
 COV_FP = 1_000_000  # per-coordinate fixed point
 
 
@@ -433,28 +439,76 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # proves the two formulations compute the identical statistic.
 
 
+def _cov_pairs_oracle(dims: int) -> str:
+    """Keyed relational form of the covariance oracle: at d=64 the
+    one-row oracle's d(d+1)/2 SUM expressions + unpivot would be a
+    2,080-branch UNION ALL; instead DuckDB mirrors the Spark keying —
+    positional unnest to (rid, dim, x), a rid-joined upper-triangle
+    product aggregation, and the same exact integer covariance
+    algebra. Same FLOOR fixed-pointing, same HUGEINT staging."""
+    S = COV_FP
+    return f"""
+    WITH ex AS MATERIALIZED (
+      SELECT rid, i,
+             CAST(FLOOR(CAST(v AS DOUBLE) * {S}) AS HUGEINT) AS x
+      FROM (SELECT row_number() OVER () AS rid,
+                   unnest(embedding) AS v,
+                   unnest(range(len(embedding))) AS i
+            FROM embeddings)
+      WHERE i < {dims}
+    ), sx AS MATERIALIZED (
+      SELECT i AS dim, SUM(x) AS sx, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM ex GROUP BY i
+    ), prods AS (
+      SELECT a.i AS dim_i, b.i AS dim_j, SUM(a.x * b.x) AS sxy
+      FROM ex a JOIN ex b ON a.rid = b.rid AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(p.dim_i AS BIGINT) AS dim_i,
+           CAST(p.dim_j AS BIGINT) AS dim_j,
+           CAST(si.n AS BIGINT) AS n,
+           CAST((si.n * p.sxy - si.sx * sj.sx) // (si.n * si.n)
+                AS BIGINT) AS cov_fp12,
+           CAST(si.sx // si.n AS BIGINT) AS mean_i_fp6
+    FROM prods p
+    JOIN sx si ON si.dim = p.dim_i
+    JOIN sx sj ON sj.dim = p.dim_j
+    ORDER BY dim_i ASC, dim_j ASC
+    """
+
+
 @REGISTRY.add(
     "embedding_covariance_pairs",
-    _cov_oracle(),
-    doc=f"The (dim_i, dim_j)-KEYED covariance formulation — the "
-    "100x-in-dimension twin of embedding_covariance: every row "
-    "explodes to its upper-triangle fixed-point products plus one "
-    "per-dim sum entry (a single generator expression, no self-join), "
-    "partial aggregation collapses each task to at most "
-    f"{COV_DIMS * (COV_DIMS + 1) // 2}+{COV_DIMS} keyed rows before "
-    "the one exchange, and the final covariance assembles from two "
-    "joins against the d-row mean table — so aggregate width is O(1) "
-    "and row count O(d^2) instead of the one-row form's O(d^2) "
-    "EXPRESSIONS in a single stage (33k at d=256, 525k at d=1024 — "
-    "the bound that form documents). Same DECIMAL(38,0)/HUGEINT "
-    "staging, same FLOOR fixed-pointing, same oracle: cell-equality "
-    "proves the shuffle re-keying is physical, not semantic.",
+    _cov_pairs_oracle(COV_DIMS_FULL),
+    doc=f"The (dim_i, dim_j)-KEYED covariance formulation at the "
+    f"fixture's FULL d={COV_DIMS_FULL} — the 100x-in-dimension twin "
+    "of embedding_covariance (which stays at its d=8 report slice): "
+    "every row explodes to its upper-triangle fixed-point products "
+    "plus one per-dim sum entry (a single generator expression, no "
+    "self-join), partial aggregation collapses each task to at most "
+    f"{COV_DIMS_FULL * (COV_DIMS_FULL + 1) // 2}+{COV_DIMS_FULL} "
+    "keyed rows before the one exchange, and the final covariance "
+    "assembles from two joins against the d-row mean table — so "
+    "aggregate width is O(1) and row count O(d^2) instead of the "
+    "one-row form's O(d^2) EXPRESSIONS in a single stage (2,080 at "
+    "d=64 already past codegen comfort, 33k at d=256, 525k at d=1024 "
+    "— the bound that form documents). Same DECIMAL(38,0)/HUGEINT "
+    "staging, same FLOOR fixed-pointing; the d=8 slice of this very "
+    "builder is pinned cell-equal to the one-row form in "
+    "tests/test_r10_ops.py, and the oracle here is the keyed "
+    "relational rendering of the same exact algebra.",
     tags=("embedding", "stats", "agg", "shuffle"),
 )
 def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cov_pairs_frame(spark, sf_dir, COV_DIMS_FULL)
+
+
+def _cov_pairs_frame(
+    spark: SparkSession, sf_dir: str, dims: int
+) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("embedding")
     fparr = (
-        f"transform(slice(embedding, 1, {COV_DIMS}), v -> "
+        f"transform(slice(embedding, 1, {dims}), v -> "
         f"CAST(FLOOR(CAST(v AS DOUBLE) * {COV_FP}) AS DECIMAL(38,0)))"
     )
     # one generator per row: upper-triangle products (dim_i <= dim_j)
@@ -462,7 +516,7 @@ def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode + shuffle instead of a second scan)
     pairs = (
         f"flatten(transform(fx, (x, i) -> "
-        f"transform(slice(fx, i + 1, {COV_DIMS} - i), (y, j) -> "
+        f"transform(slice(fx, i + 1, {dims} - i), (y, j) -> "
         f"struct(CAST(i AS BIGINT) AS dim_i, CAST(i + j AS BIGINT) AS dim_j, "
         f"CAST(x * y AS DECIMAL(38,0)) AS s))))"
     )
@@ -512,7 +566,7 @@ def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- round 10: PCA top eigenvector by deterministic power iteration -------
+# --- round 10/11: PCA top eigenvector by deterministic power iteration ----
 #
 # The step that turns "PCA prep" (the covariance entries above) into
 # PCA: extract the dominant eigenvector of the centered second-moment
@@ -525,79 +579,92 @@ def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-normalized each step by INFINITY norm with integer division —
 # v' = (y * S) div max|y| — so the recurrence is exact integer algebra
 # with no float sum anywhere, bit-identical under any partitioning
-# and any engine. The oracle unrolls the identical recurrence as a
-# CTE chain (fixed iteration count; HUGEINT == DECIMAL(38,0) staging,
-# // == div truncation toward zero).
+# and any engine.
 #
-# Numeric bound: per-row |c| <= ~2*COV_FP, so |dot| <= d*2e6*S ~ 2e13
-# and |y| <= n * 2e6 * 2e13 = 4e19*n; the (y * S) staging holds in
-# 38 digits for n up to ~2.5e11 rows — document-scale corpora; past
+# Round 11 moved the entry from the d=8 report slice to the fixture's
+# FULL d=64, which forced the column-per-dimension rendering out: at
+# d=64 the old per-column dot expression is d^2 = 4,096 decimal
+# multiply-adds PER AGGREGATE STAGE (the one-row covariance problem in
+# recurrence form). The d=64 shape projects the per-row dot ONCE
+# (zip_with + aggregate over the fixed-point array — d multiplies),
+# then folds d sums of element_at(c,i)*dot — O(d) work per row per
+# stage, not O(d^2). The oracle went relational the same way:
+# positional-unnest (rid, i, x) triples, per-iteration dot via a
+# rid-keyed join against the 64-row iterate, y via an i-keyed join —
+# the identical recurrence, MATERIALIZED per step.
+#
+# Numeric bound: per-row |c| <= ~2*COV_FP, so |dot| <= d*2e6*S ~ 1.3e14
+# and |y| <= n * 2e6 * 1.3e14 ~ 2.6e20*n; the (y * S) staging holds in
+# 38 digits for n up to ~4e11 rows — document-scale corpora; past
 # that drop COV_FP one decade.
 
 PCA_ITERS = 5
+PCA_DIMS = COV_DIMS_FULL
 
 
-def _pca_dot(vexprs: list[str]) -> str:
-    return " + ".join(f"c{j} * ({vexprs[j]})" for j in range(COV_DIMS))
-
-
-def _pca_oracle() -> str:
+def _pca_oracle(dims: int) -> str:
     # MATERIALIZED CTEs are load-bearing: DuckDB inlines plain CTEs per
-    # reference, and the unrolled iteration chain references c/st
-    # multiplicatively — inlining re-opens the parquet view past the fd
-    # limit (observed: "Too many open files" at 5 iterations).
-    d, S, T = COV_DIMS, COV_FP, PCA_ITERS
-
-    def fp(i: int) -> str:
-        return (
-            f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * {S})"
-            " AS HUGEINT)"
-        )
-
+    # reference, and the unrolled iteration chain references c
+    # repeatedly — inlining re-opens the parquet view per reference
+    # (observed: "Too many open files" at 5 iterations in the d=8
+    # column rendering).
+    S, T = COV_FP, PCA_ITERS
     ctes = [
-        "raw AS MATERIALIZED (SELECT "
-        + ", ".join(f"{fp(i)} AS x{i}" for i in range(d))
-        + " FROM embeddings)",
-        "st AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
-        + ", ".join(f"SUM(x{i}) AS sx{i}" for i in range(d))
-        + " FROM raw)",
-        "c AS MATERIALIZED (SELECT "
-        + ", ".join(
-            f"x{i} - (SELECT sx{i} // n FROM st) AS c{i}" for i in range(d)
-        )
-        + " FROM raw)",
+        f"""ex AS MATERIALIZED (
+      SELECT rid, i,
+             CAST(FLOOR(CAST(v AS DOUBLE) * {S}) AS HUGEINT) AS x
+      FROM (SELECT row_number() OVER () AS rid,
+                   unnest(embedding) AS v,
+                   unnest(range(len(embedding))) AS i
+            FROM embeddings)
+      WHERE i < {dims}
+    )""",
+        """st AS MATERIALIZED (
+      SELECT i, SUM(x) AS sx, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM ex GROUP BY i
+    )""",
+        """c AS MATERIALIZED (
+      SELECT ex.rid, ex.i, ex.x - (st.sx // st.n) AS cx
+      FROM ex JOIN st ON st.i = ex.i
+    )""",
+        f"v0 AS MATERIALIZED (SELECT i, CAST({S} AS HUGEINT) AS v FROM st)",
     ]
-    vexprs = [str(S)] * d  # v0 = S * ones
     for t in range(1, T + 1):
-        dot = _pca_dot(vexprs)
-        src = "c" if t == 1 else f"c, v{t - 1}"
         ctes.append(
-            f"y{t} AS MATERIALIZED (SELECT "
-            + ", ".join(f"SUM(c{i} * ({dot})) AS y{i}" for i in range(d))
-            + f" FROM {src})"
+            f"""d{t} AS MATERIALIZED (
+      SELECT c.rid, SUM(c.cx * v.v) AS dot
+      FROM c JOIN v{t - 1} v ON v.i = c.i GROUP BY c.rid
+    )"""
         )
         ctes.append(
-            f"m{t} AS MATERIALIZED (SELECT GREATEST("
-            + ", ".join(f"ABS(y{i})" for i in range(d))
-            + f") AS m FROM y{t})"
+            f"""y{t} AS MATERIALIZED (
+      SELECT c.i, SUM(c.cx * d{t}.dot) AS y
+      FROM c JOIN d{t} ON d{t}.rid = c.rid GROUP BY c.i
+    )"""
         )
         ctes.append(
-            f"v{t} AS MATERIALIZED (SELECT "
-            + ", ".join(
-                f"(y{i} * {S}) // (SELECT m FROM m{t}) AS v{i}"
-                for i in range(d)
+            f"m{t} AS MATERIALIZED (SELECT MAX(ABS(y)) AS m FROM y{t})"
+        )
+        if t < T:
+            ctes.append(
+                f"""v{t} AS MATERIALIZED (
+      SELECT i, (y * {S}) // (SELECT m FROM m{t}) AS v FROM y{t}
+    )"""
             )
-            + f" FROM y{t})"
-        )
-        vexprs = [f"v{i}" for i in range(d)]
-    rows = " UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS dim, CAST(v{i} AS BIGINT) AS"
-        f" eigvec_fp, CAST((SELECT m FROM m{T}) // ((SELECT n FROM st)"
-        f" * {S}) AS BIGINT) AS lambda_fp12, CAST((SELECT n FROM st)"
-        f" AS BIGINT) AS n FROM v{T}"
-        for i in range(d)
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+    SELECT CAST(y.i AS BIGINT) AS dim,
+           CAST((y.y * {S}) // (SELECT m FROM m{T}) AS BIGINT)
+             AS eigvec_fp,
+           CAST((SELECT m FROM m{T})
+                // ((SELECT MIN(n) FROM st) * {S}) AS BIGINT)
+             AS lambda_fp12,
+           CAST((SELECT MIN(n) FROM st) AS BIGINT) AS n
+    FROM y{T} y ORDER BY dim ASC
+    """
     )
-    return "WITH " + ", ".join(ctes) + f" {rows} ORDER BY dim ASC"
 
 
 def _tdiv(a: int, b: int) -> int:
@@ -608,20 +675,108 @@ def _tdiv(a: int, b: int) -> int:
     return -q if (a < 0) != (b < 0) else q
 
 
+_DEC = "decimal(38,0)"
+
+
+def _pca_frame(spark: SparkSession, sf_dir: str, dims: int) -> DataFrame:
+    S, T = COV_FP, PCA_ITERS
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    fparr = (
+        f"transform(slice(embedding, 1, {dims}), v -> "
+        f"CAST(FLOOR(CAST(v AS DOUBLE) * {S}) AS {_DEC}))"
+    )
+    raw = e.select(F.expr(fparr).alias("fx"))
+    stats = raw.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("fx", i + 1)).alias(f"sx{i}")
+            for i in range(dims)
+        ],
+    ).collect()[0]
+    n = int(stats["n"])
+    means = [_tdiv(int(stats[f"sx{i}"]), n) for i in range(dims)]
+    mean_arr = F.array(*[F.lit(m).cast(_DEC) for m in means])
+    # centered fixed-point vectors as ONE array column; checkpointed so
+    # the T iteration scans replay a d-array projection, not the
+    # parquet decode + stats lineage
+    c = raw.select(
+        F.zip_with("fx", mean_arr, lambda x, m: x - m).alias("c")
+    ).localCheckpoint()
+
+    def dot_col(v: list[int]):
+        varr = F.array(*[F.lit(x).cast(_DEC) for x in v])
+        return F.aggregate(
+            F.zip_with("c", varr, lambda x, w: x * w),
+            F.lit(0).cast(_DEC),
+            lambda acc, x: acc + x,
+        )
+
+    def y_aggs():
+        # dot is its own projected column, so each of the d sums is ONE
+        # multiply per row — O(d) per row per stage, not the O(d^2) of
+        # inlining the dot expression into every sum
+        return [
+            F.sum(F.element_at("c", i + 1) * F.col("dot")).alias(f"y{i}")
+            for i in range(dims)
+        ]
+
+    v = [S] * dims
+    for _t in range(T - 1):  # driver-looped steps: d ints of state each
+        y = (
+            c.withColumn("dot", dot_col(v))
+            .agg(*y_aggs())
+            .collect()[0]
+        )
+        yi = [int(y[f"y{i}"]) for i in range(dims)]
+        m = max(abs(x) for x in yi)
+        v = [_tdiv(x * S, m) for x in yi]
+
+    # final step in-plan: the last normalize + eigenvalue estimate run
+    # distributed on the 1-row aggregate, then unpivot to d rows
+    one = (
+        c.withColumn("dot", dot_col(v))
+        .agg(*y_aggs())
+        .withColumn(
+            "m", F.greatest(*[F.abs(F.col(f"y{i}")) for i in range(dims)])
+        )
+    )
+    structs = [
+        F.struct(
+            F.lit(i).cast("long").alias("dim"),
+            F.expr(f"CAST((y{i} * {S}) div m AS BIGINT)").alias("eigvec_fp"),
+            F.expr(
+                f"CAST(m div CAST({n} AS {_DEC}) div"
+                f" CAST({S} AS {_DEC}) AS BIGINT)"
+            ).alias("lambda_fp12"),
+            F.lit(n).cast("long").alias("n"),
+        )
+        for i in range(dims)
+    ]
+    return (
+        one.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy(F.asc("dim"))
+    )
+
+
 @REGISTRY.add(
     "pca_power_iteration",
-    _pca_oracle(),
-    doc=f"Dominant PCA eigenvector over the first {COV_DIMS} embedding "
-    f"dims by {PCA_ITERS} exact fixed-point power-iteration steps: "
-    "each step is ONE corpus scan folding y = sum c (c . v) into "
-    f"{COV_DIMS} map-side DECIMAL(38,0) accumulators — the covariance "
-    "matrix is never materialized, which is why this shape survives "
-    "d=1024 at 100 TB where an explicit d x d product cannot. The "
-    "iterate is renormalized by INFINITY norm with truncating integer "
-    "division (v' = (y * S) div max|y|) so every step is exact integer "
-    "algebra: no float accumulation, bit-identical under any "
-    "partitioning, and the oracle replays the identical recurrence as "
-    "an unrolled HUGEINT CTE chain — cell-equality pins all "
+    _pca_oracle(PCA_DIMS),
+    doc=f"Dominant PCA eigenvector over the FULL d={PCA_DIMS} fixture "
+    f"embeddings by {PCA_ITERS} exact fixed-point power-iteration "
+    "steps: each step is ONE corpus scan that projects the per-row "
+    "dot product once (zip_with + aggregate over the fixed-point "
+    f"array — O(d) multiplies) and folds {PCA_DIMS} map-side "
+    "DECIMAL(38,0) accumulators — the covariance matrix is never "
+    "materialized and no stage carries O(d^2) expressions, which is "
+    "why this shape survives d=1024 at 100 TB where an explicit "
+    "d x d product cannot. The iterate is renormalized by INFINITY "
+    "norm with truncating integer division (v' = (y * S) div max|y|) "
+    "so every step is exact integer algebra: no float accumulation, "
+    "bit-identical under any partitioning, and the oracle replays "
+    "the identical recurrence relationally (positional-unnest "
+    "triples, rid-keyed dot join, i-keyed fold per unrolled "
+    "iteration, HUGEINT staging) — cell-equality pins all "
     f"{PCA_ITERS} iterations, the truncated-mean centering, and the "
     "final eigenvalue estimate (infinity-norm growth, scale 1e12). "
     "Driver state: the d-element iterate per step (k-means "
@@ -629,65 +784,4 @@ def _tdiv(a: int, b: int) -> int:
     tags=("embedding", "pca", "iterative", "agg"),
 )
 def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d, S, T = COV_DIMS, COV_FP, PCA_ITERS
-    e = load_table(spark, sf_dir, "embeddings").select("embedding")
-
-    def fp(i: int):
-        return F.floor(
-            F.element_at("embedding", i + 1).cast("double") * S
-        ).cast("decimal(38,0)")
-
-    stats = e.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(fp(i)).alias(f"sx{i}") for i in range(d)],
-    ).collect()[0]
-    n = int(stats["n"])
-    means = [_tdiv(int(stats[f"sx{i}"]), n) for i in range(d)]
-    c = e.select(
-        *[
-            (fp(i) - F.lit(means[i]).cast("decimal(38,0)")).alias(f"c{i}")
-            for i in range(d)
-        ]
-    )
-
-    v = [S] * d
-    for _t in range(T - 1):  # driver-looped steps: d ints of state each
-        dot = sum(
-            (F.col(f"c{j}") * F.lit(v[j]).cast("decimal(38,0)"))
-            for j in range(1, d)
-        ) + F.col("c0") * F.lit(v[0]).cast("decimal(38,0)")
-        y = c.agg(
-            *[F.sum(F.col(f"c{i}") * dot).alias(f"y{i}") for i in range(d)]
-        ).collect()[0]
-        yi = [int(y[f"y{i}"]) for i in range(d)]
-        m = max(abs(x) for x in yi)
-        v = [_tdiv(x * S, m) for x in yi]
-
-    # final step in-plan: the last normalize + eigenvalue estimate run
-    # distributed on the 1-row aggregate, then unpivot to d rows
-    dot = sum(
-        (F.col(f"c{j}") * F.lit(v[j]).cast("decimal(38,0)"))
-        for j in range(1, d)
-    ) + F.col("c0") * F.lit(v[0]).cast("decimal(38,0)")
-    one = c.agg(
-        *[F.sum(F.col(f"c{i}") * dot).alias(f"y{i}") for i in range(d)]
-    ).withColumn(
-        "m", F.greatest(*[F.abs(F.col(f"y{i}")) for i in range(d)])
-    )
-    structs = [
-        F.struct(
-            F.lit(i).cast("long").alias("dim"),
-            F.expr(f"CAST((y{i} * {S}) div m AS BIGINT)").alias("eigvec_fp"),
-            F.expr(
-                f"CAST(m div CAST({n} AS DECIMAL(38,0)) div"
-                f" CAST({S} AS DECIMAL(38,0)) AS BIGINT)"
-            ).alias("lambda_fp12"),
-            F.lit(n).cast("long").alias("n"),
-        )
-        for i in range(d)
-    ]
-    return (
-        one.select(F.explode(F.array(*structs)).alias("r"))
-        .select("r.*")
-        .orderBy(F.asc("dim"))
-    )
+    return _pca_frame(spark, sf_dir, PCA_DIMS)

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..streaming.jobs import drain_blocking
 from .core import REGISTRY
 
 _add = REGISTRY.add
@@ -76,10 +77,7 @@ def stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
+    drain_blocking(q, name)
     # update mode emits one row per (window, type) PER MICRO-BATCH that
     # touched the key; availableNow usually drains in one batch, but if
     # the source ever splits the drain (maxFilesPerTrigger, many part
@@ -169,10 +167,7 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
+    drain_blocking(q, name)
     drained = spark.table(name)
     return drained.select(
         "user_id",
@@ -244,10 +239,7 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination(300)
-        finally:
-            q.stop()
+        drain_blocking(q, name)
         # the memory sink holds the deduped rows; fold them batch-side
         deduped = spark.table(name)
         return (
@@ -330,10 +322,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination(300)
-        finally:
-            q.stop()
+        drain_blocking(q, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # inner-join append rows are emitted as matched (never withheld
@@ -433,13 +422,8 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination(300)
-            rows = sum(
-                int(p["numInputRows"]) for p in q.recentProgress
-            )
-        finally:
-            q.stop()
+        drain_blocking(q, name)
+        rows = sum(int(p["numInputRows"]) for p in q.recentProgress)
         return rows
 
     try:
@@ -569,11 +553,8 @@ def stream_restart_keyed_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination(300)
-            rows = sum(int(p["numInputRows"]) for p in q.recentProgress)
-        finally:
-            q.stop()
+        drain_blocking(q, run)
+        rows = sum(int(p["numInputRows"]) for p in q.recentProgress)
         return rows
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -668,10 +649,7 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
+    drain_blocking(q, name)
     return spark.sql(
         f"""SELECT nationkey, events, value_cents FROM {name}
             ORDER BY nationkey ASC"""

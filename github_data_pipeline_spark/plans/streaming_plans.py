@@ -42,7 +42,7 @@ _add = REGISTRY.add
     tags=("streaming", "stateful"),
 )
 def stream_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.jobs import read_events_stream
+    from ..streaming.jobs import drain_blocking, read_events_stream
     from ..streaming.stateful import user_ledger_stream
 
     name = "stream_user_ledger_sink"
@@ -68,10 +68,7 @@ def stream_user_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination(300)
-        finally:
-            q.stop()
+        drain_blocking(q, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # update mode emits per touched key PER MICRO-BATCH; if the drain

@@ -28,6 +28,27 @@ WATERMARK = "30 minutes"
 SESSION_GAP = "30 minutes"
 
 
+def drain_blocking(q, name: str = "", timeout_sec: int = 300) -> None:
+    """Block until an availableNow drain finishes, then stop the query.
+
+    ``awaitTermination(timeout)`` returns False on timeout WITHOUT
+    raising; ignoring that boolean lets a slow drain fall through to
+    ``stop()`` and return a partially-drained sink as if it were final
+    — which surfaces downstream as a confusing oracle hash mismatch
+    instead of a clear failure. Raise TimeoutError so a stuck drain
+    names itself. Shared by every memory-sink gate entry.
+    """
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"streaming drain {name or q.name!r} did not finish "
+                f"within {timeout_sec}s — refusing to treat the "
+                "partially-drained sink as a final result"
+            )
+    finally:
+        q.stop()
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -173,10 +194,7 @@ def stream_upsert_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
+    drain_blocking(q, "stream_upsert_to_parquet")
 
 
 def _interval_seconds(horizon: str) -> int:
@@ -313,10 +331,7 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.awaitTermination(120)
-    finally:
-        q.stop()
+    drain_blocking(q, query_name, timeout_sec=120)
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
 
 

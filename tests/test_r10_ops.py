@@ -62,10 +62,16 @@ def test_covariance_pair_form_equals_one_row_form(spark, sf_dir):
     O(d^2)-columns aggregate must be CELL-IDENTICAL — the re-keying is
     physical-plan surgery for high dimension, never a semantics change."""
     from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.plans.similarity_plans import (
+        COV_DIMS,
+        _cov_pairs_frame,
+    )
 
     reg = all_plans()
     a = reg["embedding_covariance"].builder(spark, sf_dir).collect()
-    b = reg["embedding_covariance_pairs"].builder(spark, sf_dir).collect()
+    # the registry pairs entry runs at the full d=64; the d=8 slice of
+    # the SAME parameterized builder is what must equal the one-row form
+    b = _cov_pairs_frame(spark, sf_dir, COV_DIMS).collect()
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
 
 
@@ -177,27 +183,14 @@ def test_triangle_orientation_outdegree_bound(spark, sf_dir):
     for."""
     import math
 
-    from pyspark.sql import Window, functions as F
+    from github_data_pipeline_spark.plans.graph_plans import item_edges
 
-    from github_data_pipeline_spark.plans import graph_plans
-    from github_data_pipeline_spark.sources.tables import load_table
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "props"
-    )
-    item = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    lagged = ev.select(F.lag(item).over(w).alias("src"), item.alias("dst"))
-    und = (
-        lagged.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .groupBy("a", "b")
-        .count()
-        .drop("count")
-    )
-    edges = [(r["a"], r["b"]) for r in und.collect()]
+    # the SAME thinned undirected edge set the entry orients — shared
+    # builder, so the test cannot drift from the entry's extraction
+    edges = [
+        (r["a"], r["b"])
+        for r in item_edges(spark, sf_dir, undirected=True).collect()
+    ]
     m = len(edges)
     deg: dict[int, int] = {}
     for a, b in edges:
@@ -224,12 +217,8 @@ def test_prefix_postings_strictly_smaller_than_full_index(spark, sf_dir):
 
     sh = _shingles(spark, sf_dir)
     # the builder's hashed form: strings drop before anything shuffles
-    shh = sh.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
+    # (full 128-bit md5 as binary, same as the entry)
+    shh = sh.select("doc_id", F.unhex(F.md5("s")).alias("h"))
     df_tbl = shh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     arrs = (
         shh.join(df_tbl, "h")
@@ -343,32 +332,20 @@ def test_bfs_matches_python_bfs(spark, sf_dir):
     frontier bugs the oracle shares by construction)."""
     from collections import deque
 
-    from pyspark.sql import Window, functions as F
-
     from github_data_pipeline_spark.plans import all_plans
-    from github_data_pipeline_spark.plans.graph_plans import BFS_HOPS
-    from github_data_pipeline_spark.sources.tables import load_table
+    from github_data_pipeline_spark.plans.graph_plans import (
+        BFS_HOPS,
+        item_edges,
+    )
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "props"
-    )
-    item = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    lagged = ev.select(F.lag(item).over(w).alias("src"), item.alias("dst"))
-    dir_ = (
-        lagged.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .collect()
-    )
-    ecnt, wtot = len(dir_), sum(r["w"] for r in dir_)
+    # the SAME thinned directed edge set the entry iterates — shared
+    # builder, so the test cannot drift from the entry's extraction
     adj: dict[int, list[int]] = {}
     nodes = set()
-    for r in dir_:
-        if r["w"] * ecnt >= wtot:
-            adj.setdefault(r["src"], []).append(r["dst"])
-            nodes.add(r["src"])
-            nodes.add(r["dst"])
+    for r in item_edges(spark, sf_dir, undirected=False).collect():
+        adj.setdefault(r["src"], []).append(r["dst"])
+        nodes.add(r["src"])
+        nodes.add(r["dst"])
     dist = {v: 0 for v in nodes if v % 10 == 0}
     q = deque(dist)
     while q:
