@@ -50,12 +50,55 @@ def _cpu_probe_ms() -> float:
     return round((_t.perf_counter() - t0) * 1000.0, 1)
 
 
+def _probe_work(n: int) -> None:
+    import hashlib
+
+    h = b""
+    for i in range(n):
+        h = hashlib.md5(h + str(i).encode()).digest()
+
+
+def _cpu_probe32_ms(nprocs: int = 32) -> float:
+    """32-process version of the probe: effective multi-core THROUGHPUT.
+
+    The single-thread probe provably under-measures contention — in the
+    r10 three-way comparison the judge's idle replay had the FASTEST
+    single-thread probe (118 ms vs 136-204) and the SLOWEST total
+    (174 s vs 148-155): a co-tenant stealing cores is invisible to one
+    thread. The bench executes on local[32], so the figure that
+    predicts its wall-clock is 32-way throughput. On this host's idle
+    windows the 32-way probe reads ~2x the single-thread one (32 SMT
+    threads over 16 physical cores); contention moves it much further.
+    fork-start processes sidestep the GIL (small-buffer md5 holds it,
+    so a threaded version would measure nothing)."""
+    import multiprocessing as mp
+    import time as _t
+
+    t0 = _t.perf_counter()
+    with mp.get_context("fork").Pool(nprocs) as pool:
+        pool.map(_probe_work, [200_000] * nprocs)
+    return round((_t.perf_counter() - t0) * 1000.0, 1)
+
+
+#: Idle-window calibration constants for THIS build host (measured
+#: r11: probe1 118-133 ms across builder/judge idle runs, probe32
+#: 236-265 ms at loadavg < 1.5). ``value_normalized`` = total *
+#: (probe32_mean / _PROBE32_REF_MS): >1x probe ratio means the run had
+#: less effective 32-way throughput than the idle reference, and the
+#: normalized figure is the total an idle run would plausibly have
+#: produced — making round-over-round comparison mechanical instead of
+#: narrative. The raw total stays the headline ``value``; the
+#: normalized one is telemetry beside it.
+_PROBE32_REF_MS = 240.0
+
+
 def main() -> None:
     # sample BEFORE any Spark work: this is the EXTERNAL-contention
     # indicator. (Sampling after the warm-up pass reads back our own
     # 32-thread load — observed 9.0 on an idle machine.)
     load_start = os.getloadavg()[0]
     cpu_probe_start = _cpu_probe_ms()
+    cpu_probe32_start = _cpu_probe32_ms()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -177,6 +220,20 @@ def main() -> None:
                 # totals across runs/rounds NORMALIZED by this probe
                 "cpu_probe_ms_start": cpu_probe_start,
                 "cpu_probe_ms_end": _cpu_probe_ms(),
+                # 32-way throughput probe + the mechanical normalization
+                # (see _cpu_probe32_ms / _PROBE32_REF_MS): the
+                # single-thread probe cannot see a co-tenant stealing
+                # cores; this one can, and value_normalized is the
+                # idle-equivalent total it implies
+                "cpu_probe32_ms_start": cpu_probe32_start,
+                "cpu_probe32_ms_end": (probe32_end := _cpu_probe32_ms()),
+                "probe32_ref_ms": _PROBE32_REF_MS,
+                "value_normalized": round(
+                    total
+                    * _PROBE32_REF_MS
+                    / max((cpu_probe32_start + probe32_end) / 2.0, 1e-9),
+                    1,
+                ),
             }
         ),
         flush=True,

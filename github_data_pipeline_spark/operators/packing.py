@@ -80,16 +80,27 @@ def _pack_partition(pdfs: Iterator[pd.DataFrame], budget: int):
 
 
 def pack_sequences(
-    docs: DataFrame, budget: int = 512, text_col: str = "text"
+    docs: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    pid=None,
 ) -> DataFrame:
     """Pack docs into token-budget rows.
 
     Returns (pack_id, doc_ids, n_docs, total_tokens, oversize): every
     input doc appears in exactly one pack; no non-oversize pack
     exceeds ``budget`` tokens (tests/test_packing.py pins both).
+
+    ``pid`` (optional Column): deterministic shard key. The default
+    ``spark_partition_id()`` packs whatever partitioning the input
+    arrives with — zero extra shuffle, the production shape — but the
+    pack assignment then depends on that partitioning. A data-derived
+    ``pid`` (e.g. ``pmod(doc_id, P)``) makes the whole packing a pure
+    function of the data: same packs under ANY input partitioning,
+    which is what the oracle-scored registry entry pins.
     """
     counted = docs.select(
-        F.spark_partition_id().alias("pid"),
+        (F.spark_partition_id() if pid is None else pid).alias("pid"),
         F.col("doc_id"),
         T.token_count(text_col).cast("long").alias("n_tokens"),
     )

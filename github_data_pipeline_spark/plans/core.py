@@ -175,6 +175,15 @@ def all_plans() -> Registry:
     # demotes five long-green entries so all five additions plus the
     # session-1 additions hold driver slots simultaneously
     from . import regression_plans  # noqa: F401
+    # round-11 additions, imported at in-window positions so each
+    # earns a driver verdict THIS round (matching demotions in the
+    # round-11 swap block below): the FFD sequence-packing invariant
+    # report (the last unit-only training-data step, now data-scored)
+    from . import packing_plans  # noqa: F401
+    # ...and the incremental LSH index-maintenance proof (the last
+    # unit-only IVM face, now oracle-scored against a from-scratch
+    # DuckDB rebuild)
+    from . import lsh_incremental_plans  # noqa: F401
     # round-10 session-2, third wave: OHLC arg-extreme downsampling +
     # median/MAD robust outlier gate. These two land at positions
     # 50-51 — one past the window edge (the r8 cube's spot) — and stay
@@ -700,5 +709,27 @@ def all_plans() -> Registry:
     REGISTRY.demote("salted_priority_revenue")
     REGISTRY.demote("approx_lineitem_stats")
     REGISTRY.demote("doc_dup_ngram_rate")
+    # ...and one more slot for the round-11 packing addition
+    # (seq_packing_manifest registers at packing_plans' in-window
+    # import position above):
+    # - lm_bigram_lift: green r8/r9/r10; the bigram-count machinery
+    #   stays scored in-window by lm_kn_trigram_probs (whose backoff
+    #   level IS the smoothed bigram distribution over the same
+    #   counts) and lm_doc_typicality (per-doc scoring over the same
+    #   bigram tables); the exact integer lift-ratio arithmetic stays
+    #   pinned by tests/test_mining_plans.py and the local cell-exact
+    #   tail check (CORRECTNESS_TAIL.json).
+    REGISTRY.demote("lm_bigram_lift")
+    # ...and one more for lsh_incremental_index (registered at the
+    # in-window lsh_incremental_plans import position above):
+    # - hard_negative_mining: green r8/r9/r10; the broadcast-anchor
+    #   candidate generation stays scored in-window by the ANN family
+    #   (ann_ivfpq_topk, ann_pq_recall — the same bounded-anchor
+    #   broadcast-vs-corpus shape with equi-keyed re-rank) and its
+    #   deterministic md5-rank quota discipline by
+    #   stratified_sample_exact (stays); the contrastive-mining
+    #   semantics stay pinned by tests/test_mining_plans.py and the
+    #   local cell-exact tail check (CORRECTNESS_TAIL.json).
+    REGISTRY.demote("hard_negative_mining")
 
     return REGISTRY

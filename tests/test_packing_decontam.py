@@ -52,6 +52,38 @@ def test_packing_partitions_every_doc_once(spark, sf_dir):
     assert sorted(map(repr, again)) == sorted(map(repr, packs))
 
 
+def test_packing_deterministic_pid_is_partition_invariant(spark, sf_dir):
+    """With the data-derived shard key the registry entry uses, the
+    pack assignment must be a pure function of the data: bit-identical
+    under a different input partitioning (the default
+    spark_partition_id mode is deliberately partitioning-dependent —
+    that is its zero-shuffle production trade)."""
+    docs = _docs(spark, sf_dir)
+    pid = F.pmod(F.col("doc_id"), F.lit(4))
+    base = pack_sequences(docs, budget=96, pid=pid).collect()
+    alt = pack_sequences(docs.repartition(7), budget=96, pid=pid).collect()
+    assert sorted(map(repr, base)) == sorted(map(repr, alt))
+    assert len(base) > 0
+
+
+def test_packing_manifest_flags_all_green(spark, sf_dir):
+    """The registry entry's invariant flags must all be 1 and its
+    oversize lane must be non-vacuous at the entry's budget (fixture
+    docs run 10-99 tokens, budget 96)."""
+    from github_data_pipeline_spark.plans import all_plans
+
+    row = (
+        all_plans()["seq_packing_manifest"].builder(spark, sf_dir).collect()
+    )
+    assert len(row) == 1
+    r = row[0].asDict()
+    assert r["every_doc_packed_once"] == 1
+    assert r["no_pack_over_budget"] == 1
+    assert r["tokens_conserved"] == 1
+    assert r["packs_within_ff_bound"] == 1
+    assert r["oversize_docs"] > 0  # the flagged-singleton lane is real
+
+
 def test_decontamination_flags_planted_overlap(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     # benchmark = verbatim excerpts of a few corpus docs (the worst

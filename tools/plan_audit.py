@@ -41,6 +41,12 @@ PYTHON_BY_DESIGN = {
     # <= k rows per task, and exists precisely to DELETE the full-stream
     # shuffle — see operators/heavyhitters.py.
     "token_heavy_hitters": {"MapInPandas"},
+    # first-fit-decreasing bin packing is sequential per shard by
+    # nature; the grouped Arrow stage sees only (pid, doc_id, n_tokens)
+    # longs (token counts fold JVM-side, text never crosses the
+    # boundary) and emits doc-bounded pack manifests — see
+    # operators/packing.py.
+    "seq_packing_manifest": {"FlatMapGroupsInPandas"},
 }
 
 # BroadcastNestedLoopJoin is a hazard by default (a big-big non-equi
@@ -127,6 +133,9 @@ BNLJ_BY_DESIGN = {
     # the (total, groups) 1-row stats aggregate attached onto the
     # group-bounded counts table for fraction/skew_ratio
     "events_user_skew_report": "scalar-stats 1-row broadcast attach",
+    # five 1-row invariant aggregates (corpus stats, pack stats,
+    # dup/missing/phantom counts) assembled 1x1 into the report row
+    "seq_packing_manifest": "scalar-aggregate 1x1 cross join",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
