@@ -731,5 +731,16 @@ def all_plans() -> Registry:
     #   semantics stay pinned by tests/test_mining_plans.py and the
     #   local cell-exact tail check (CORRECTNESS_TAIL.json).
     REGISTRY.demote("hard_negative_mining")
+    # ...and one more for pca_topk_deflation (registers at
+    # similarity_plans' in-window position right after
+    # pca_power_iteration, pushing the window edge down one):
+    # - dq_referential_audit: green r9/r10; its left-anti orphan /
+    #   semi membership machinery stays scored in-window by
+    #   cdc_apply_changes (keyed anti/semi change application) and in
+    #   the tail by nation_set_ops (EXCEPT/INTERSECT lower to the
+    #   same joins, cell-exact under the local checker); the
+    #   seven-check report assembly (1-row violation aggregates) is
+    #   the same shape seq_packing_manifest now scores in-window.
+    REGISTRY.demote("dq_referential_audit")
 
     return REGISTRY

@@ -785,3 +785,226 @@ def _pca_frame(spark: SparkSession, sf_dir: str, dims: int) -> DataFrame:
 )
 def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pca_frame(spark, sf_dir, PCA_DIMS)
+
+
+# --- round 11: top-k PCA by exact integer deflation -----------------------
+#
+# The stretch past the dominant eigenvector: extract the top K
+# components by Hotelling deflation, kept in the SAME exact integer
+# fixed-point discipline as the power iteration above. After component
+# v is extracted, every centered row deflates to
+#
+#   c' = (c * (v.v) - (c.v) * v) div (v.v)        (elementwise)
+#
+# — the orthogonal-projection residual, scaled back by one truncating
+# integer division so magnitudes stay ~|c| and the recurrence remains
+# exact integer algebra both engines replicate bit-for-bit (Spark
+# `div` and DuckDB HUGEINT `//` both truncate toward zero). The
+# deflated frame is checkpointed (n x d decimals) and the next
+# component's power iteration runs unchanged on it.
+#
+# Numeric staging: |v| <= S so v.v <= d*S^2 ~ 6.4e13; the deflation
+# numerator is bounded by |c|*q + |dot|*S ~ 2e6*6.4e13 + 1.3e14*1e6
+# ~ 2.6e20 — deep inside DECIMAL(38,0); post-division |c'| <= ~4e6,
+# so each component's iteration keeps the parent entry's n <= ~1e11
+# row headroom. Driver state: K x d integers (the k-means discipline).
+
+PCA_TOPK = 3
+
+
+def _pca_topk_oracle(dims: int, k: int) -> str:
+    S, T = COV_FP, PCA_ITERS
+    ctes = [
+        f"""ex AS MATERIALIZED (
+      SELECT rid, i,
+             CAST(FLOOR(CAST(v AS DOUBLE) * {S}) AS HUGEINT) AS x
+      FROM (SELECT row_number() OVER () AS rid,
+                   unnest(embedding) AS v,
+                   unnest(range(len(embedding))) AS i
+            FROM embeddings)
+      WHERE i < {dims}
+    )""",
+        """st AS MATERIALIZED (
+      SELECT i, SUM(x) AS sx, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM ex GROUP BY i
+    )""",
+        """c0 AS MATERIALIZED (
+      SELECT ex.rid, ex.i, ex.x - (st.sx // st.n) AS cx
+      FROM ex JOIN st ON st.i = ex.i
+    )""",
+    ]
+    for comp in range(k):
+        c = f"c{comp}"
+        ctes.append(
+            f"v{comp}_0 AS MATERIALIZED "
+            f"(SELECT i, CAST({S} AS HUGEINT) AS v FROM st)"
+        )
+        for t in range(1, T + 1):
+            ctes.append(
+                f"""d{comp}_{t} AS MATERIALIZED (
+      SELECT c.rid, SUM(c.cx * v.v) AS dot
+      FROM {c} c JOIN v{comp}_{t - 1} v ON v.i = c.i GROUP BY c.rid
+    )"""
+            )
+            ctes.append(
+                f"""y{comp}_{t} AS MATERIALIZED (
+      SELECT c.i, SUM(c.cx * d.dot) AS y
+      FROM {c} c JOIN d{comp}_{t} d ON d.rid = c.rid GROUP BY c.i
+    )"""
+            )
+            ctes.append(
+                f"m{comp}_{t} AS MATERIALIZED "
+                f"(SELECT MAX(ABS(y)) AS m FROM y{comp}_{t})"
+            )
+            if t < T:
+                ctes.append(
+                    f"""v{comp}_{t} AS MATERIALIZED (
+      SELECT i, (y * {S}) // (SELECT m FROM m{comp}_{t}) AS v
+      FROM y{comp}_{t}
+    )"""
+                )
+        ctes.append(
+            f"""vf{comp} AS MATERIALIZED (
+      SELECT i, (y * {S}) // (SELECT m FROM m{comp}_{T}) AS v
+      FROM y{comp}_{T}
+    )"""
+        )
+        if comp < k - 1:
+            ctes.append(
+                f"q{comp} AS MATERIALIZED "
+                f"(SELECT SUM(v * v) AS q FROM vf{comp})"
+            )
+            ctes.append(
+                f"""pd{comp} AS MATERIALIZED (
+      SELECT c.rid, SUM(c.cx * v.v) AS dt
+      FROM {c} c JOIN vf{comp} v ON v.i = c.i GROUP BY c.rid
+    )"""
+            )
+            ctes.append(
+                f"""c{comp + 1} AS MATERIALIZED (
+      SELECT c.rid, c.i,
+             (c.cx * (SELECT q FROM q{comp}) - p.dt * v.v)
+               // (SELECT q FROM q{comp}) AS cx
+      FROM {c} c
+      JOIN pd{comp} p ON p.rid = c.rid
+      JOIN vf{comp} v ON v.i = c.i
+    )"""
+            )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({comp} AS BIGINT) AS component,"
+        f" CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS eigvec_fp,"
+        f" CAST((SELECT m FROM m{comp}_{T})"
+        f" // ((SELECT MIN(n) FROM st) * {S}) AS BIGINT) AS lambda_fp12"
+        f" FROM vf{comp}"
+        for comp in range(k)
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" {rows} ORDER BY component ASC, dim ASC"
+    )
+
+
+@REGISTRY.add(
+    "pca_topk_deflation",
+    _pca_topk_oracle(PCA_DIMS, PCA_TOPK),
+    doc=f"Top-{PCA_TOPK} PCA components at d={PCA_DIMS} by power "
+    "iteration + exact integer Hotelling deflation: after each "
+    "component, every centered row deflates to its projection "
+    "residual c' = (c*(v.v) - (c.v)*v) div (v.v) — one truncating "
+    "integer division keeps magnitudes ~|c| so the recurrence stays "
+    "exact integer algebra end to end, bit-identical under any "
+    "partitioning and engine (Spark div == DuckDB HUGEINT //, both "
+    "truncate toward zero). Per component the corpus work is the "
+    "parent entry's: T scans each projecting the per-row dot once "
+    "(O(d) per row per stage), plus ONE deflation projection; the "
+    "deflated frame checkpoints at n x d decimals and the covariance "
+    "matrix is never materialized — the whitening/embedding-analysis "
+    "shape that survives d=1024 at 100 TB. Driver state is K x d "
+    f"integers. The oracle unrolls all {PCA_TOPK * PCA_ITERS} "
+    "iterations AND both deflation steps relationally (HUGEINT CTE "
+    "chain); cell-equality pins every normalize, every truncated "
+    "division, and each component's eigenvalue estimate.",
+    tags=("embedding", "pca", "iterative", "deflation"),
+)
+def pca_topk_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, S, T, K = PCA_DIMS, COV_FP, PCA_ITERS, PCA_TOPK
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    fparr = (
+        f"transform(slice(embedding, 1, {d}), v -> "
+        f"CAST(FLOOR(CAST(v AS DOUBLE) * {S}) AS {_DEC}))"
+    )
+    raw = e.select(F.expr(fparr).alias("fx"))
+    stats = raw.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("fx", i + 1)).alias(f"sx{i}")
+            for i in range(d)
+        ],
+    ).collect()[0]
+    n = int(stats["n"])
+    means = [_tdiv(int(stats[f"sx{i}"]), n) for i in range(d)]
+    mean_arr = F.array(*[F.lit(m).cast(_DEC) for m in means])
+    cur = raw.select(
+        F.zip_with("fx", mean_arr, lambda x, m: x - m).alias("c")
+    ).localCheckpoint()
+
+    def dot_col(v: list[int]):
+        varr = F.array(*[F.lit(x).cast(_DEC) for x in v])
+        return F.aggregate(
+            F.zip_with("c", varr, lambda x, w: x * w),
+            F.lit(0).cast(_DEC),
+            lambda acc, x: acc + x,
+        )
+
+    def y_aggs():
+        return [
+            F.sum(F.element_at("c", i + 1) * F.col("dot")).alias(f"y{i}")
+            for i in range(d)
+        ]
+
+    out: list[tuple[int, list[int], int]] = []
+    for comp in range(K):
+        v = [S] * d
+        vfin: list[int] = []
+        lam = 0
+        for t in range(T):
+            y = cur.withColumn("dot", dot_col(v)).agg(*y_aggs()).collect()[0]
+            yi = [int(y[f"y{i}"]) for i in range(d)]
+            m = max(abs(x) for x in yi)
+            if t < T - 1:
+                v = [_tdiv(x * S, m) for x in yi]
+            else:
+                vfin = [_tdiv(x * S, m) for x in yi]
+                lam = _tdiv(_tdiv(m, n), S)
+        out.append((comp, vfin, lam))
+        if comp < K - 1:
+            q = sum(x * x for x in vfin)
+            vlits = ", ".join(f"CAST({x} AS {_DEC})" for x in vfin)
+            defl = (
+                f"zip_with(c, array({vlits}), (x, w) -> "
+                f"CAST((x * CAST({q} AS {_DEC}) - dot * w) div "
+                f"CAST({q} AS {_DEC}) AS {_DEC}))"
+            )
+            cur = (
+                cur.withColumn("dot", dot_col(vfin))
+                .select(F.expr(defl).alias("c"))
+                .localCheckpoint()  # n x d decimals; next component's base
+            )
+
+    structs = [
+        F.struct(
+            F.lit(comp).cast("long").alias("component"),
+            F.lit(i).cast("long").alias("dim"),
+            F.lit(vfin[i]).cast("long").alias("eigvec_fp"),
+            F.lit(lam).cast("long").alias("lambda_fp12"),
+        )
+        for comp, vfin, lam in out
+        for i in range(d)
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy(F.asc("component"), F.asc("dim"))
+    )

@@ -279,6 +279,77 @@ def _render_markdown(
     return "\n".join(lines)
 
 
+def _explain_pair(spark, df) -> tuple[str, str]:
+    modes = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    qe = df._jdf.queryExecution()
+    return (
+        qe.explainString(modes.fromString("simple")),
+        qe.explainString(modes.fromString("formatted")),
+    )
+
+
+def audit_query(spark, name: str, builder, sf_dir: str) -> PlanAudit:
+    """Audit one builder INCLUDING the DAGs upstream of every
+    ``localCheckpoint`` boundary.
+
+    A checkpoint truncates lineage, so the final plan starts at a
+    checkpoint-RDD scan and everything upstream — where an allowlisted
+    (or smuggled) Python stage may live — is structurally invisible to
+    a plain explain (the r10 blind spot: token_heavy_hitters' audited
+    row showed no Python stage because its MapInPandas pass sits
+    before the checkpoint). While the builder runs, every
+    ``localCheckpoint`` call first records its pre-checkpoint plan;
+    each recorded subplan is audited under the SAME name (so the
+    by-design allowlists apply) and its hazards, Python stages, and
+    shape metrics fold into the row — a BatchEvalPython hidden behind
+    a checkpoint now fails the audit
+    (tests/test_plan_audit_checkpoint.py pins this).
+    """
+    # patch the CONCRETE class: in Spark 4 pyspark.sql.DataFrame is the
+    # abstract base and classic.DataFrame overrides localCheckpoint, so
+    # patching the base never intercepts anything
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older pyspark: one concrete class
+        from pyspark.sql import DataFrame
+
+    real = DataFrame.localCheckpoint
+    captured: list[tuple[str, str]] = []
+
+    def recording(self, eager: bool = True):
+        try:
+            captured.append(_explain_pair(spark, self))
+        except Exception:
+            pass  # never let plan rendering break the build itself
+        return real(self, eager)
+
+    DataFrame.localCheckpoint = recording
+    try:
+        df = builder(spark, sf_dir)
+    finally:
+        DataFrame.localCheckpoint = real
+    simple, formatted = _explain_pair(spark, df)
+    a = audit_plan(name, simple, formatted)
+    for sub_simple, sub_formatted in captured:
+        sub = audit_plan(name, sub_simple, sub_formatted)
+        a.exchanges += sub.exchanges
+        a.reused_exchanges += sub.reused_exchanges
+        for k, v in sub.joins.items():
+            a.joins[k] = a.joins.get(k, 0) + v
+        a.scans += sub.scans
+        a.scan_widths += sub.scan_widths
+        a.python_stages = sorted(
+            set(a.python_stages) | set(sub.python_stages)
+        )
+        a.hazards += [h for h in sub.hazards if h not in a.hazards]
+        a.notes += [n for n in sub.notes if n not in a.notes]
+    if captured:
+        a.notes.append(
+            f"{len(captured)} pre-checkpoint subplan(s) folded in"
+        )
+    return a
+
+
 def run_audit(
     spark,
     sf_dir: str,
@@ -289,7 +360,6 @@ def run_audit(
 
     registry = all_plans()
     audits: list[PlanAudit] = []
-    modes = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     for q in registry:
         if only and q.name not in only:
             continue
@@ -297,11 +367,7 @@ def run_audit(
             if skipped is not None:
                 skipped.append(q.name)
             continue
-        df = q.builder(spark, sf_dir)
-        qe = df._jdf.queryExecution()
-        simple = qe.explainString(modes.fromString("simple"))
-        formatted = qe.explainString(modes.fromString("formatted"))
-        audits.append(audit_plan(q.name, simple, formatted))
+        audits.append(audit_query(spark, q.name, q.builder, sf_dir))
     return audits
 
 

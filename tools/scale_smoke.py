@@ -202,6 +202,15 @@ HOTKEY_TARGETS = (
     # event skew by construction, which is what the exponent shows
     "events_triangle_census",
     "events_bfs_reach",
+    # r11 third-wave trio: OHLC's arg-extreme struct MIN/MAX and the
+    # median/MAD gate are per-(bucket/type) aggregates — event growth
+    # stresses map-side partial aggregation and (for the MAD gate)
+    # percentile_disc's per-group sort buffers; the skew REPORT is the
+    # diagnosis entry, so the hot key must surface in its own output
+    # while the report itself stays top-k bounded
+    "events_hourly_ohlc",
+    "events_robust_outliers",
+    "events_user_skew_report",
 )
 
 STREAM_TARGETS = ("stream_user_ledger",)
