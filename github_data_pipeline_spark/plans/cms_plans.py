@@ -1,0 +1,180 @@
+"""Registry entry: count-min sketch frequency estimation, cell-exact.
+
+The count-min sketch (Cormode & Muthukrishnan 2005) is the canonical
+bounded-memory frequency structure a streaming/training pipeline
+carries next to its KMV distinct sketch: D hash rows x W buckets of
+counters, update = +1 at (r, h_r(x)) for each row r, point estimate =
+min over rows — an OVERESTIMATE by construction (collisions only add),
+within eN/W with probability 1-(1/2)^D. Mergeable by elementwise add,
+so partial aggregation builds it map-side and the exchange moves at
+most D*W counters per task regardless of corpus size — the property
+that makes it a 100-TB frequency oracle where exact per-token counts
+need a vocabulary-sized shuffle.
+
+Like the KMV entries (and unlike engine-specific HLL registers), the
+hash family here is a deterministic md5 derivation, so DuckDB rebuilds
+the IDENTICAL sketch and the entry is fully cell-exact — estimator
+values themselves, not just envelope flags. The probe set is the exact
+top-K tokens (deterministic tie-break), so the entry also reports the
+exact count next to the estimate plus the never-underestimates flag,
+making the overcount visible as data.
+
+Exact heavy hitters (``token_heavy_hitters``) answers "which tokens
+are frequent" with exact counts; this entry answers "how frequent is
+ANY given token" from O(D*W) state — the two complementary faces of
+frequency at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, spread
+from .core import REGISTRY
+
+#: sketch geometry: D hash rows x W buckets (tiny on purpose so the
+#: fixture actually collides and the overestimate lane is non-vacuous;
+#: production sizes W ~ e/eps)
+CMS_D = 3
+CMS_W = 32
+#: probe set: the exact top-K tokens (count desc, token asc)
+CMS_PROBE_K = 20
+
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def _h_sql(row: int) -> str:
+    """DuckDB bucket hash for sketch row ``row`` over column ``tok``."""
+    return (
+        f"CAST(('0x' || substr(md5('r{row}:' || tok), 1, 8)) AS BIGINT)"
+        f" % {CMS_W}"
+    )
+
+
+def _h_col(row: int):
+    """Spark twin of :func:`_h_sql`."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"r{row}:"), F.col("tok"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % CMS_W
+    )
+
+
+@REGISTRY.add(
+    "cms_token_frequency",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ), exact AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), probes AS (
+      SELECT tok, cnt FROM exact
+      ORDER BY cnt DESC, tok ASC LIMIT {CMS_PROBE_K}
+    ), cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {r} AS r, {_h_sql(r)} AS b, COUNT(*) AS c"
+          f" FROM toks GROUP BY 2"
+          for r in range(CMS_D)
+      )}
+    )
+    SELECT p.tok AS token,
+           CAST(p.cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(cells.c) AS BIGINT) AS cms_est,
+           CAST(CASE WHEN MIN(cells.c) >= p.cnt THEN 1 ELSE 0 END AS INT)
+             AS never_underestimates
+    FROM probes p
+    JOIN cells ON (
+      {" OR ".join(
+          f"(cells.r = {r} AND cells.b = {_h_sql(r).replace('tok', 'p.tok')})"
+          for r in range(CMS_D)
+      )}
+    )
+    GROUP BY p.tok, p.cnt
+    """,
+    doc=f"Count-min sketch ({CMS_D} md5-derived hash rows x {CMS_W} "
+    "buckets) over the document token stream, probed at the exact "
+    f"top-{CMS_PROBE_K} tokens: per probe the exact count, the CMS "
+    "point estimate (min over rows of the bucket counters), and the "
+    "never-underestimates flag the structure guarantees. The sketch "
+    "is one grouped count keyed by (row, bucket) — map-side partial "
+    "aggregation collapses every task to at most "
+    f"{CMS_D}x{CMS_W} counters before the exchange, the elementwise-"
+    "mergeable bounded-memory shape that answers point-frequency "
+    "queries at 100 TB without a vocabulary-sized shuffle (the "
+    "complementary face of token_heavy_hitters' exact top-k). The "
+    "hash family is engine-neutral md5 arithmetic, so the oracle "
+    "rebuilds the IDENTICAL sketch and the estimates compare "
+    "cell-exact — geometry deliberately tiny so collisions are real "
+    "and the overestimate is visible as data, not prose.",
+    tags=("sketch", "cms", "frequency", "documents"),
+)
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents").select("text"))
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"), lambda t: t != F.lit("")
+            )
+        ).alias("tok")
+    ).localCheckpoint()  # ONE tokenize pass feeds exact + all D rows
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = (
+        exact.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(CMS_PROBE_K)
+        .localCheckpoint()  # K rows; broadcast side of the probe join
+    )
+    # the sketch: one generator per token occurrence emits its D
+    # (row, bucket) cells; groupBy folds partials map-side so no task
+    # ships more than D*W counters
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), _h_col(r).alias("b")
+                        )
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.r", "cell.b")
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # probe lookup: attach each probe's D bucket ids, join the sketch
+    # on (r, b) — the probe side is K*D rows, hint-free (AQE
+    # broadcasts it at runtime)
+    probe_cells = probes.select(
+        "tok",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), _h_col(r).alias("b"))
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "cnt", "cell.r", "cell.b")
+    return (
+        probe_cells.join(cells, ["r", "b"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("c").alias("est"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("cnt").cast("long").alias("exact_cnt"),
+            F.col("est").cast("long").alias("cms_est"),
+            (F.col("est") >= F.col("cnt"))
+            .cast("int")
+            .alias("never_underestimates"),
+        )
+    )

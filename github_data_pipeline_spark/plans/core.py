@@ -184,6 +184,10 @@ def all_plans() -> Registry:
     # unit-only IVM face, now oracle-scored against a from-scratch
     # DuckDB rebuild)
     from . import lsh_incremental_plans  # noqa: F401
+    # ...and the count-min sketch frequency estimator (cell-exact:
+    # the md5 hash family is engine-neutral, so the oracle rebuilds
+    # the identical sketch)
+    from . import cms_plans  # noqa: F401
     # round-10 session-2, third wave: OHLC arg-extreme downsampling +
     # median/MAD robust outlier gate. These two land at positions
     # 50-51 — one past the window edge (the r8 cube's spot) — and stay
@@ -742,5 +746,27 @@ def all_plans() -> Registry:
     #   seven-check report assembly (1-row violation aggregates) is
     #   the same shape seq_packing_manifest now scores in-window.
     REGISTRY.demote("dq_referential_audit")
+    # ...and one more for cms_token_frequency (cms_plans' in-window
+    # import position above):
+    # - classifier_pr_curve: green r9/r10; classifier_roc_auc (stays
+    #   in-window) is the rank-sum INTEGRAL of the same score
+    #   distribution over the same classifier, and the per-threshold
+    #   SUM(CASE) sweep shape stays scored by gh_pr_issue_state_join's
+    #   conditional-count family; the curve values stay cell-exact
+    #   under the local checker (CORRECTNESS_TAIL.json) and pinned by
+    #   tests/test_classifier_plans.py.
+    REGISTRY.demote("classifier_pr_curve")
+    # ...and one more for stream_interval_join_outer (the ninth
+    # drained gate class, stream_rollup_plans position):
+    # - rollup_incremental_merge: green r9/r10; the incremental-view-
+    #   maintenance family keeps THREE in-window proofs
+    #   (kmv_incremental_merge — sketch merge == from-scratch;
+    #   incremental_split_update — cluster-keyed split maintenance;
+    #   lsh_incremental_index NEW — the non-additive bucketed face),
+    #   and the base+delta partial-aggregate shape stays scored by
+    #   cdc_apply_changes (keyed change application, in-window); the
+    #   additive-rollup equality stays cell-exact under the local
+    #   checker (CORRECTNESS_TAIL.json).
+    REGISTRY.demote("rollup_incremental_merge")
 
     return REGISTRY

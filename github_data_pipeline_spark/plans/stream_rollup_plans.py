@@ -654,3 +654,148 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""SELECT nationkey, events, value_cents FROM {name}
             ORDER BY nationkey ASC"""
     )
+
+
+# --- round 11: stream-stream LEFT OUTER interval join (state eviction) ----
+#
+# The ninth drained gate class: the OUTER lane of the stream-stream
+# interval join — unmatched purchases must emit exactly once, with
+# null click columns, and only after the watermark PROVES no future
+# click can match. That is the state-eviction contract the inner gate
+# cannot exercise: the engine derives the purchase row's expiry from
+# the join condition (click_ts <= purchase_ts means no click arriving
+# after the watermark passes purchase_ts can ever match, so the
+# purchase row expires at purchase_ts < watermark), holds later
+# purchases in state, and flushes the expired ones in the trailing
+# no-data micro-batch.
+# Everything is deterministic for a bounded drain, so the oracle
+# states the exact contract: the null lane is (no matching click
+# exists) AND (purchase_ts < min(max click_ts, max purchase_ts)
+# - watermark_delay) — measured to the row on the fixture
+# (sf0.01: 1946 of 1948 truly-unmatched purchases expire; 2 sit
+# above the final watermark and are correctly withheld — the
+# candidate thresholds only separate at this SF, which is what
+# pinned the formula to `< watermark`, not `< watermark - horizon`).
+#
+# Bucketed-probe subtlety, handled explicitly: the scale rewrite
+# explodes each purchase into two (user, bucket) probe rows, and
+# outer emission is PER JOIN ROW — a purchase matched via one bucket
+# still leaves an unmatched null row from its other probe, and a
+# fully-unmatched purchase leaves up to two identical null rows. The
+# post-drain fold keeps matched rows and exactly one null row per
+# purchase that matched nowhere — the correct outer semantics on top
+# of the bucketed shape (documented here because ANY bucketized
+# outer join at 100 TB needs this fold).
+
+
+@_add(
+    "stream_interval_join_outer",
+    f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'click'
+    ), wm AS (
+      SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+             - INTERVAL 30 minutes AS w
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           STRFTIME(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+           p.cents AS value_cents,
+           c.event_id AS click_id,
+           STRFTIME(c.ts, '{_TS_FMT_DUCK}') AS click_ts,
+           c.cents AS click_cents
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts > p.ts - INTERVAL {_ATTR_HORIZON}
+     AND c.ts <= p.ts
+    UNION ALL
+    SELECT p.event_id,
+           p.user_id,
+           STRFTIME(p.ts, '{_TS_FMT_DUCK}'),
+           p.cents,
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT)
+    FROM p, wm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM c WHERE c.user_id = p.user_id
+        AND c.ts > p.ts - INTERVAL {_ATTR_HORIZON} AND c.ts <= p.ts)
+      AND p.ts < wm.w
+    """,
+    doc="Stream-stream LEFT OUTER interval join drained for real — "
+    "the state-EVICTION gate the inner join cannot exercise: every "
+    "purchase with no same-user click in the preceding hour emits "
+    "exactly one null-click row, and only once the watermark proves "
+    "no future click can match (the engine's derived expiry, "
+    "purchase_ts < watermark, flushed by the trailing no-data "
+    "micro-batch). The oracle states that contract exactly: "
+    "matched pairs = the batch interval join; the null lane = "
+    "unmatched AND purchase_ts below the final watermark (min of "
+    "both sides' max event time, minus the 30-min delay) — so "
+    "cell-equality pins the emission rule to the row, including the "
+    "purchases the engine correctly WITHHOLDS. The bucketed probe "
+    "emits outer rows per probe ROW, so the post-drain fold keeps "
+    "one null row per nowhere-matched purchase — the fold any "
+    "bucketized outer join needs at 100 TB. State stays arrival-rate "
+    "x horizon per side, same as the inner gate.",
+    tags=("streaming", "rangejoin", "temporal", "outer"),
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import (
+        attribution_stream,
+        events_state_shards,
+        read_events_stream,
+    )
+
+    name = "stream_interval_join_outer_sink"
+    spark.catalog.dropTempView(name)
+    stream = attribution_stream(
+        read_events_stream(spark, sf_dir),
+        horizon=_ATTR_HORIZON,
+        closed="right",
+        how="left_outer",
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", events_state_shards(sf_dir))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_blocking(q, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # the bucketed-probe outer fold (see module comment): matched rows
+    # pass through; null rows survive only for purchases with no
+    # matched row anywhere, deduped to one per purchase
+    return spark.sql(
+        f"""
+        WITH matched AS (
+          SELECT purchase_id, user_id,
+                 date_format(purchase_ts, "{_TS_FMT_SPARK}") AS purchase_ts,
+                 value_cents, click_id,
+                 date_format(click_ts, "{_TS_FMT_SPARK}") AS click_ts,
+                 click_cents
+          FROM {name} WHERE click_id IS NOT NULL
+        ), nulls AS (
+          SELECT DISTINCT purchase_id, user_id,
+                 date_format(purchase_ts, "{_TS_FMT_SPARK}") AS purchase_ts,
+                 value_cents,
+                 CAST(NULL AS BIGINT) AS click_id,
+                 CAST(NULL AS STRING) AS click_ts,
+                 CAST(NULL AS BIGINT) AS click_cents
+          FROM {name}
+          WHERE click_id IS NULL
+            AND purchase_id NOT IN (SELECT purchase_id FROM matched)
+        )
+        SELECT * FROM matched UNION ALL SELECT * FROM nulls
+        ORDER BY purchase_id ASC, coalesce(click_id, -1) ASC
+        """
+    )

@@ -225,7 +225,10 @@ def _interval_seconds(horizon: str) -> int:
 
 
 def attribution_stream(
-    events: DataFrame, horizon: str = "1 hour", closed: str = "both"
+    events: DataFrame,
+    horizon: str = "1 hour",
+    closed: str = "both",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each ``purchase`` attributed to the
     same user's ``click`` events within the preceding ``horizon``.
@@ -304,7 +307,7 @@ def attribution_stream(
         & (F.col("probe_bucket") == F.col("c_bucket"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & lo,
-        "inner",
+        how,
     ).select(
         "purchase_id",
         "user_id",
