@@ -188,6 +188,10 @@ def all_plans() -> Registry:
     # the md5 hash family is engine-neutral, so the oracle rebuilds
     # the identical sketch)
     from . import cms_plans  # noqa: F401
+    # ...and sorted-neighborhood near-dup discovery (the sixth dedup
+    # design point: window-over-sorted-order candidates, bounded by
+    # construction)
+    from . import snm_plans  # noqa: F401
     # round-10 session-2, third wave: OHLC arg-extreme downsampling +
     # median/MAD robust outlier gate. These two land at positions
     # 50-51 — one past the window edge (the r8 cube's spot) — and stay
@@ -768,5 +772,16 @@ def all_plans() -> Registry:
     #   additive-rollup equality stays cell-exact under the local
     #   checker (CORRECTNESS_TAIL.json).
     REGISTRY.demote("rollup_incremental_merge")
+    # ...and one more for snm_neardup_pairs (snm_plans' in-window
+    # import position above):
+    # - events_retention_cohorts: green r8/r9/r10; the
+    #   distinct-then-aggregate reshape stays scored in-window by
+    #   doc_source_lang_cube (grouping sets over the same
+    #   distinct-reshape class) and the per-user temporal grouping by
+    #   stream_sessionization (in-window gate over the same events
+    #   users); the cohort triangle stays cell-exact under the local
+    #   checker (CORRECTNESS_TAIL.json) and its streamscale smoke row
+    #   stands in SCALING.md.
+    REGISTRY.demote("events_retention_cohorts")
 
     return REGISTRY
