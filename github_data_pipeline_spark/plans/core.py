@@ -783,5 +783,14 @@ def all_plans() -> Registry:
     #   checker (CORRECTNESS_TAIL.json) and its streamscale smoke row
     #   stands in SCALING.md.
     REGISTRY.demote("events_retention_cohorts")
+    # ...and one more for doc_length_percentile_cont (registers at
+    # quantile_plans' in-window position):
+    # - doc_gates_unpivot_long: green r7-r10; the unpivot/stack
+    #   reshape lowers to the SAME Expand operator doc_source_lang_cube
+    #   (in-window) exercises via grouping sets, and the gate columns
+    #   it reshapes stay scored by the classifier family in-window and
+    #   doc_repetition_gates in the tail (cell-exact under the local
+    #   checker, CORRECTNESS_TAIL.json).
+    REGISTRY.demote("doc_gates_unpivot_long")
 
     return REGISTRY

@@ -295,3 +295,131 @@ def doc_length_quantiles_histogram(
             for q in QUANTILES
         ],
     )
+
+
+# --- round 11: exact-integer PERCENTILE_CONT -------------------------------
+#
+# The quantile family's third face: percentile_disc picks an element
+# (doc_length_percentiles), the two-pass histogram pins the same
+# element without sort buffers (doc_length_quantiles_histogram) — and
+# PERCENTILE_CONT interpolates between the two straddling elements,
+# which every engine evaluates in floating point (q*(n-1) with q an
+# inexact double literal: the same half-boundary hazard the histogram
+# entry's oracle was rewritten to avoid). With integer percents and
+# integer values the ANSI definition is EXACT RATIONAL arithmetic at
+# scale 100: rank*100 = q*(n-1) splits into idx = (q*(n-1)) div 100
+# and rem = (q*(n-1)) mod 100, and
+#
+#   percentile_cont * 100 = lo * (100 - rem) + hi * rem
+#
+# where lo/hi are the elements at ranks idx+1 and idx+2 (1-based) —
+# an integral both engines compute bit-identically, no doubles
+# anywhere. row_number's tie order among equal values never matters:
+# the VALUE at any rank of a sorted-by-value sequence is well-defined.
+
+
+@_add(
+    "doc_length_percentile_cont",
+    f"""
+    WITH vals AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ), t AS (
+      SELECT DISTINCT source, n, q,
+             (q * (n - 1)) // 100 + 1 AS lo_rn,
+             (q * (n - 1)) % 100 AS rem
+      FROM vals, (SELECT unnest([{", ".join(str(q) for q in QUANTILES)}])
+                  AS q) qs
+    )
+    SELECT t.source,
+           CAST(t.q AS BIGINT) AS q,
+           CAST(MIN(CASE WHEN v.rn = t.lo_rn THEN v.n_chars END)
+                  * (100 - t.rem)
+                + MIN(CASE WHEN v.rn = LEAST(t.lo_rn + 1, t.n)
+                      THEN v.n_chars END) * t.rem
+                AS BIGINT) AS pcont_x100
+    FROM t
+    JOIN vals v ON v.source = t.source
+               AND v.rn IN (t.lo_rn, LEAST(t.lo_rn + 1, t.n))
+    GROUP BY t.source, t.q, t.rem
+    """,
+    doc="ANSI PERCENTILE_CONT per source at p50/p90/p99, computed as "
+    "EXACT integer arithmetic at scale 100: the interpolation rank "
+    "q*(n-1) splits into integer index and remainder, and the "
+    "interpolated value times 100 is lo*(100-rem) + hi*rem over the "
+    "two straddling elements — no inexact 0.9/0.99 double literal "
+    "and no float multiply on either engine, so the hash-fragile "
+    "definition becomes hash-exact (the CONT face of the family "
+    "whose DISC faces are doc_length_percentiles and the two-pass "
+    "histogram). One rank window per group + a 3-row-per-group "
+    "rank-targeted semi-join; the scale path for the ranking itself "
+    "is the histogram entry's counts-only selection, unchanged.",
+    tags=("documents", "quantile", "interpolation"),
+)
+def doc_length_percentile_cont(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    w_rn = Window.partitionBy("source").orderBy(F.asc("n_chars"))
+    w_all = Window.partitionBy("source")
+    vals = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q).cast("long") for q in QUANTILES])
+    ).alias("q")
+    # break the self-join lineage ambiguity: t derives from vals, so
+    # rename every t column before joining back
+    t = (
+        vals.select(F.col("source").alias("t_source"), F.col("n").alias("tn"))
+        .distinct()
+        .select("t_source", "tn", qs)
+        .select(
+            "t_source",
+            "tn",
+            "q",
+            (F.expr("(q * (tn - 1)) div 100") + 1).alias("lo_rn"),
+            F.expr("(q * (tn - 1)) % 100").alias("rem"),
+        )
+    )
+    j = vals.join(
+        t,
+        (F.col("source") == F.col("t_source"))
+        & (
+            (F.col("rn") == F.col("lo_rn"))
+            | (F.col("rn") == F.least(F.col("lo_rn") + 1, F.col("tn")))
+        ),
+    ).select("source", "q", "rem", "lo_rn", "tn", "rn", "n_chars")
+    return (
+        j.groupBy("source", "q", "rem")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.col("lo_rn"), F.col("n_chars"))
+            ).alias("lo"),
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.least(F.col("lo_rn") + 1, F.col("tn")),
+                    F.col("n_chars"),
+                )
+            ).alias("hi"),
+        )
+        .select(
+            "source",
+            F.col("q").cast("long").alias("q"),
+            (
+                F.col("lo") * (F.lit(100) - F.col("rem"))
+                + F.col("hi") * F.col("rem")
+            )
+            .cast("long")
+            .alias("pcont_x100"),
+        )
+    )

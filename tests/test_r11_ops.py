@@ -87,3 +87,37 @@ def test_lsh_incremental_entry_has_both_lanes(spark, sf_dir):
     for r in rows:
         touches_odd = r["doc_a"] % 2 == 1 or r["doc_b"] % 2 == 1
         assert touches_odd == (r["from_increment"] == 1)
+
+
+def test_percentile_cont_integer_spec_matches_native(spark, sf_dir):
+    """The exact-integer PERCENTILE_CONT derivation must agree with a
+    native floating-point quantile_cont to within float noise — guards
+    the rank/remainder arithmetic against an off-by-one in the spec
+    itself (cross-engine equality alone would not catch a shared
+    mis-derivation)."""
+    import duckdb
+
+    from github_data_pipeline_spark.plans import all_plans
+
+    rows = all_plans()["doc_length_percentile_cont"].builder(
+        spark, sf_dir
+    ).collect()
+    mine = {(r["source"], r["q"]): r["pcont_x100"] for r in rows}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    native = con.execute(
+        """
+        SELECT source, 50 AS q, quantile_cont(n_chars, 0.50)
+        FROM documents GROUP BY source
+        UNION ALL SELECT source, 90, quantile_cont(n_chars, 0.90)
+        FROM documents GROUP BY source
+        UNION ALL SELECT source, 99, quantile_cont(n_chars, 0.99)
+        FROM documents GROUP BY source
+        """
+    ).fetchall()
+    assert len(native) == len(mine)
+    for s_, q_, v in native:
+        assert abs(mine[(s_, q_)] - 100 * v) < 1e-6, (s_, q_)
