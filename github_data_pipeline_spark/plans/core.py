@@ -792,5 +792,15 @@ def all_plans() -> Registry:
     #   doc_repetition_gates in the tail (cell-exact under the local
     #   checker, CORRECTNESS_TAIL.json).
     REGISTRY.demote("doc_gates_unpivot_long")
+    # ...and one more for local_supplier_revenue_q5 (registers at
+    # relational.py's in-window position):
+    # - lm_doc_typicality: green r8/r9/r10; the per-doc LM scoring
+    #   join stays covered in-window by lm_kn_trigram_probs (the
+    #   strictly richer 3-level model over the same bigram counts —
+    #   typicality consumes its bigram level) and in the tail by
+    #   doc_char_trigram_typicality (the same score-per-doc shape at
+    #   character level, cell-exact under the local checker,
+    #   CORRECTNESS_TAIL.json).
+    REGISTRY.demote("lm_doc_typicality")
 
     return REGISTRY

@@ -692,3 +692,87 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents("c_acctbal").alias("acctbal_cents"),
         )
     )
+
+
+# --- round 11: full TPC-H Q5 (six-table join with correlation pred) -------
+
+
+@_add(
+    "local_supplier_revenue_q5",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 1000000) AS BIGINT)) AS BIGINT)
+             AS revenue_micros,
+           CAST(COUNT(*) AS BIGINT) AS lineitems
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="Full TPC-H Q5 (local supplier volume): the six-table join "
+    "graph — customer-orders-lineitem-supplier-nation-region — with "
+    "the CROSS-FACT correlation predicate c_nationkey = s_nationkey "
+    "that makes Q5 the canonical join-REORDERING benchmark (the "
+    "customer side cannot be pruned until the supplier side binds, so "
+    "the optimizer must pick which fact-fact join runs first). "
+    "Declared as a plain join chain: Catalyst pushes the region/date "
+    "filters to the scans (PushedFilters on o_orderdate, r_name), "
+    "force-broadcasts only the constant dims (nation 25 rows, region "
+    "5), size-gates customer and supplier (SF-linear — broadcast at "
+    "test SFs, keyed shuffle at 100 TB), and the two fact-fact joins "
+    "shuffle on their natural keys (orderkey, then the "
+    "suppkey+nationkey compound). Money in integer micros "
+    "(functions/money.py); one aggregation, map-side combinable. The "
+    "four-table cousin (revenue_by_nation) stays as the simpler "
+    "chain; this is the shape AQE join reordering exists for.",
+    tags=("join", "agg", "tpch"),
+)
+def local_supplier_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    c = broadcast_if_bounded(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        parquet_row_bound(sf_dir, "customer"),
+    )
+    s = broadcast_if_bounded(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+        parquet_row_bound(sf_dir, "supplier"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    disc_price_micros = cents_of(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(disc_price_micros).alias("revenue_micros"),
+            F.count(F.lit(1)).alias("lineitems"),
+        )
+    )

@@ -57,10 +57,16 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/github_plans.py", "gh_issue_comments"): (
         1, "point-lookup fetch bounded by the requested key list"),
     ("plans/graph_plans.py", "events_triangle_census"): (
-        4, "1-row (|E|,W_total) threshold attach + three 1-row "
-           "scalar aggregates in the final stat assembly"),
-    ("plans/graph_plans.py", "events_bfs_reach"): (
-        1, "1-row (|E|,W_total) threshold attach"),
+        3, "three 1-row scalar aggregates in the final stat assembly"),
+    ("plans/graph_plans.py", "item_edges"): (
+        1, "1-row (|E|,W_total) threshold attach — the shared edge "
+           "builder factored out of the census/BFS entries in r11"),
+    ("plans/packing_plans.py", "seq_packing_manifest"): (
+        4, "four 1-row invariant aggregates (pack stats, dup/missing/"
+           "phantom counts) attached onto the 1-row corpus stats"),
+    ("plans/relational.py", "local_supplier_revenue_q5"): (
+        2, "nation (25 rows) and region (5 rows) constant dims — "
+           "customer/supplier use size-gated broadcast_if_bounded"),
     ("plans/hybrid_plans.py", "_hybrid"): (
         1, "single query vector (1 row)"),
     ("plans/lm_plans.py", "lm_kn_bigram_probs"): (
