@@ -192,6 +192,9 @@ def all_plans() -> Registry:
     # design point: window-over-sorted-order candidates, bounded by
     # construction)
     from . import snm_plans  # noqa: F401
+    # ...and the explicit Bloom-filter pre-join (the runtime-filter
+    # pattern, engine-neutral md5 bitmap, cell-exact report)
+    from . import bloom_plans  # noqa: F401
     # round-10 session-2, third wave: OHLC arg-extreme downsampling +
     # median/MAD robust outlier gate. These two land at positions
     # 50-51 — one past the window edge (the r8 cube's spot) — and stay
@@ -802,5 +805,16 @@ def all_plans() -> Registry:
     #   character level, cell-exact under the local checker,
     #   CORRECTNESS_TAIL.json).
     REGISTRY.demote("lm_doc_typicality")
+    # ...and one more for bloom_prejoin_report (bloom_plans' in-window
+    # import position above):
+    # - winnow_shared_fp_pairs: green r8/r9/r10; the posting-pair join
+    #   over shared fingerprints stays covered in-window by
+    #   jaccard_prefix_filter_pairs (exact df-ordered postings) and
+    #   snm_neardup_pairs (the bounded-candidate face), and in the
+    #   tail by doc_winnow_fingerprints + source_shingle_overlap
+    #   (cell-exact under the local checker); the persisted
+    #   fingerprint-artifact lifecycle stays pinned by
+    #   tests/test_winnow.py and the artifact cache tests.
+    REGISTRY.demote("winnow_shared_fp_pairs")
 
     return REGISTRY

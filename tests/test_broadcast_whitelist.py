@@ -61,6 +61,10 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/graph_plans.py", "item_edges"): (
         1, "1-row (|E|,W_total) threshold attach — the shared edge "
            "builder factored out of the census/BFS entries in r11"),
+    ("plans/bloom_plans.py", "bloom_prejoin_report"): (
+        3, "the Bloom filter itself (<= M/32 = 1024 constant-bounded "
+           "word rows) broadcast onto each of the K probe joins, plus "
+           "two 1-row stat attaches in the report assembly"),
     ("plans/packing_plans.py", "seq_packing_manifest"): (
         4, "four 1-row invariant aggregates (pack stats, dup/missing/"
            "phantom counts) attached onto the 1-row corpus stats"),
