@@ -816,5 +816,14 @@ def all_plans() -> Registry:
     #   fingerprint-artifact lifecycle stays pinned by
     #   tests/test_winnow.py and the artifact cache tests.
     REGISTRY.demote("winnow_shared_fp_pairs")
+    # ...and one more for part_bag_set_ops (relational.py's in-window
+    # position):
+    # - zorder_clustering_stats: green r9/r10; the physical-layout
+    #   family stays scored in-window by bucketed_priority_revenue
+    #   (the layout win that changes a PLAN, zero-exchange SMJ) while
+    #   the Morton-interleave arithmetic and clustering-factor
+    #   measurement stay pinned by tests/test_layout.py and the local
+    #   cell-exact tail check (CORRECTNESS_TAIL.json).
+    REGISTRY.demote("zorder_clustering_stats")
 
     return REGISTRY

@@ -776,3 +776,70 @@ def local_supplier_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("lineitems"),
         )
     )
+
+
+# --- round 11: bag-semantics set operations (EXCEPT/INTERSECT ALL) --------
+
+
+@_add(
+    "part_bag_set_ops",
+    """
+    WITH a AS (
+      SELECT l_partkey FROM lineitem WHERE l_shipdate < DATE '1997-01-01'
+    ), b AS (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    ), ea AS (
+      SELECT l_partkey, COUNT(*) AS c
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1
+    ), ia AS (
+      SELECT l_partkey, COUNT(*) AS c
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1
+    )
+    SELECT CAST(COALESCE(ea.l_partkey, ia.l_partkey) AS BIGINT)
+             AS partkey,
+           CAST(COALESCE(ea.c, 0) AS BIGINT) AS except_all_cnt,
+           CAST(COALESCE(ia.c, 0) AS BIGINT) AS intersect_all_cnt
+    FROM ea FULL JOIN ia ON ea.l_partkey = ia.l_partkey
+    """,
+    doc="BAG-semantics set operations with multiplicity, oracle-"
+    "checked: EXCEPT ALL (per-key count_A - count_B clamped at zero) "
+    "and INTERSECT ALL (min of the counts) between two overlapping "
+    "multiset projections of lineitem, folded to per-key "
+    "multiplicities. The set-semantics siblings (nation_set_ops, the "
+    "semi/anti membership entries) lower to anti/semi joins and "
+    "silently collapse duplicates — Spark's exceptAll/intersectAll "
+    "keep them, a distinction that once caused a real bug in this "
+    "repo (subtract vs exceptAll). Physically both lower to one "
+    "aggregation computing per-key counts on each side plus "
+    "replication of the surviving multiplicity — keyed exchanges "
+    "only, no row-at-a-time anything, scale-safe at any corpus "
+    "size. Both lanes non-vacuous on the fixture (keys appear with "
+    "different multiplicities on each side).",
+    tags=("setops", "bag", "join"),
+)
+def part_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("date")
+    ).select("l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    ea = (
+        a.exceptAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("ea_c"))
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("ia_c"))
+    )
+    return (
+        ea.join(ia, "l_partkey", "full_outer")
+        .select(
+            F.col("l_partkey").cast("long").alias("partkey"),
+            F.coalesce("ea_c", F.lit(0)).cast("long").alias("except_all_cnt"),
+            F.coalesce("ia_c", F.lit(0)).cast("long").alias(
+                "intersect_all_cnt"
+            ),
+        )
+    )
