@@ -63,7 +63,6 @@ def test_driver_window_invariants():
         # stream_restart_recovery — typicality class covered by
         # lm_doc_typicality + classifier_pr_curve in-window)
         "doc_hybrid_retrieval",
-        "doc_gates_unpivot_long",
         # round-8 rotation: the twelve entries that had never held a
         # driver-scored row — the eleven r7 tail additions plus the
         # newly oracle-backed approx_lineitem_stats (demoted to make
@@ -78,14 +77,13 @@ def test_driver_window_invariants():
         # / source_shingle_overlap rotated out in r10 with
         # strictly-stronger or consuming in-window successors — see the
         # round-10 block in plans/core.py)
-        "lm_doc_typicality",
+        # (r11 rotation: lm_doc_typicality, winnow_shared_fp_pairs,
+        # events_retention_cohorts, salted_priority_revenue and
+        # approx_lineitem_stats rotated out with in-window class
+        # coverage — see the round-11 blocks in plans/core.py)
         "lm_kn_trigram_probs",
-        "winnow_shared_fp_pairs",
         "ann_ivfpq_topk",
         "ann_pq_recall",
-        "events_retention_cohorts",
-        "salted_priority_revenue",
-        "approx_lineitem_stats",
         # (doc_hybrid_overlap_slice held a window slot in r8, earned
         # its green row, and rotated out in r9 for
         # zorder_clustering_stats — its overlap proof stays pinned by
@@ -94,12 +92,10 @@ def test_driver_window_invariants():
         # window slots immediately so round 9 starts with ZERO
         # rotation backlog (nine r03-r05-green entries demoted with
         # in-window class coverage; see plans/core.py)
-        "hard_negative_mining",
+        # (r11: hard_negative_mining, lm_bigram_lift,
+        # doc_dup_ngram_rate, dq_referential_audit and
+        # rollup_incremental_merge rotated out — plans/core.py r11)
         "stratified_sample_exact",
-        "lm_bigram_lift",
-        "doc_dup_ngram_rate",
-        "dq_referential_audit",
-        "rollup_incremental_merge",
         "stream_sliding_rollup",
         "stream_sessionization",
         "stream_watermark_dedup",
@@ -116,9 +112,10 @@ def test_driver_window_invariants():
         "stream_interval_join",
         "cdc_apply_changes",
         "salted_group_topk",
-        "classifier_pr_curve",
+        # (r11: classifier_pr_curve and zorder_clustering_stats
+        # rotated out — the ROC-AUC integral and the bucketed-join
+        # layout win keep their classes scored in-window)
         "json_roundtrip_events",
-        "zorder_clustering_stats",
         "stream_restart_recovery",
         # round-10 additions: all five in-window immediately (round-10
         # swap in plans/core.py — five r8/r9 greens demoted, each with
@@ -145,6 +142,25 @@ def test_driver_window_invariants():
         # twins and the property suite)
         "doc_length_quantiles_histogram",
         "stream_static_enrichment",
+        # (r11: doc_gates_unpivot_long rotated out — the Expand
+        # reshape stays scored by doc_source_lang_cube)
+        # round-11 rotation: the r10 third-wave trio earns its first
+        # driver rows, and every r11 addition lands in-window
+        # immediately (thirteen demotions with per-entry rationale in
+        # plans/core.py round-11 blocks)
+        "events_hourly_ohlc",
+        "events_robust_outliers",
+        "events_user_skew_report",
+        "seq_packing_manifest",
+        "lsh_incremental_index",
+        "cms_token_frequency",
+        "snm_neardup_pairs",
+        "stream_interval_join_outer",
+        "pca_topk_deflation",
+        "doc_length_percentile_cont",
+        "local_supplier_revenue_q5",
+        "bloom_prejoin_report",
+        "part_bag_set_ops",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry must carry an oracle (approx_lineitem_stats

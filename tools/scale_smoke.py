@@ -132,6 +132,20 @@ TARGETS = (
     # exchanges move only domain-bounded counts, so the exponent gap
     # between the two IS the operator's claim, measured
     "doc_length_quantiles_histogram",
+    # r11 additions over documents/embeddings: CMS collapses to D*W
+    # counters (should be flat-ish); SNM is two range-sorts + a
+    # bounded-candidate verify; packing's Arrow stage sees only id/count
+    # longs; the LSH-incremental proof re-runs banding over both halves;
+    # pcont is one rank window per group; the d=64 covariance pairs and
+    # the PCA entries scale with the embedding row count (driver-looped
+    # scans, d fixed)
+    "cms_token_frequency",
+    "snm_neardup_pairs",
+    "seq_packing_manifest",
+    "lsh_incremental_index",
+    "doc_length_percentile_cont",
+    "embedding_covariance_pairs",
+    "pca_power_iteration",
 )
 
 # the dedup family is what a hot band stresses; decontam rides along
