@@ -857,12 +857,12 @@ PPJ_T_NUM, PPJ_T_DEN = 4, 5
     "the df-capped entry the result is Jaccard over the TRUE sets — "
     "boilerplate shingles sort to the suffix and generate ZERO pairs "
     "instead of being semantically pruned. Candidates dedupe and "
-    "exact-verify against per-doc shingle-HASH arrays (the FULL "
-    "128-bit md5 as 16-byte binary — strings drop before anything "
-    "shuffles, ~8x less verify heap, and no truncation: collision "
-    "odds stay negligible past 1e9+ distinct shingles where a 60-bit "
-    "prefix would birthday; the raw-string oracle makes every gate "
-    "run a live no-collision witness) under the integer predicate "
+    "exact-verify against per-doc shingle-HASH arrays (120 md5 bits "
+    "as one DECIMAL(38,0) — strings drop before anything shuffles, "
+    "~8x less verify heap, and collision odds stay negligible past "
+    "1e9+ distinct shingles where a 60-bit prefix would birthday; "
+    "the raw-string oracle makes every gate run a live no-collision "
+    "witness) under the integer predicate "
     "inter*5 >= union*4; the double emits from one division. The "
     "oracle self-joins the FULL inverted index — the quadratic plan "
     "the prefix filter deletes; at 100 TB the candidate stream is "
@@ -876,21 +876,30 @@ PPJ_T_NUM, PPJ_T_DEN = 4, 5
 )
 def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)  # (doc_id, s): distinct per doc
-    # Drop shingle STRINGS before anything shuffles: the FULL 128-bit
-    # md5 as a 16-byte binary (NO truncation — a 60-bit prefix would
+    # Drop shingle STRINGS before anything shuffles: 120 bits of the
+    # md5 as TWO 60-bit longs packed into one DECIMAL(38,0) — no
+    # truncation worth worrying about (a single 60-bit prefix would
     # birthday-collide at ~1e9 distinct shingles, exactly the
-    # cardinality a 100-TB corpus exceeds; 2^128 collides at ~2^64,
-    # out of reach) is what the df join, the postings, and the verify
-    # arrays carry — still ~8x less heap per row than the raw 3-gram
-    # strings, which is what let the verify stage over a 1000-member
-    # hot cluster's ~5e5 candidate pairs OOM a test-sized JVM before
-    # this rework. The prefix lemma only needs A strict total order,
-    # so (df, h) under unsigned-lexicographic binary comparison serves
-    # exactly as (df, s) did; and because the ORACLE still self-joins
-    # the raw strings, every gate run is also a live no-collision
-    # witness — a collision would shrink a hashed set and fail
-    # cell-equality loudly, never silently.
-    shh = sh.select("doc_id", F.unhex(F.md5("s")).alias("h"))
+    # cardinality a 100-TB corpus exceeds; 2^120 collides at ~10^18,
+    # out of reach), ~8x less heap per row than the raw 3-gram
+    # strings (which OOMed the verify stage over a 1000-member hot
+    # cluster's ~5e5 candidate pairs before this rework), and a FIXED-
+    # WIDTH comparable the whole pipeline keys on. The full-16-byte
+    # BINARY form was tried first and measured 10x slower end-to-end
+    # (binary group/join keys miss the codegen fast paths longs and
+    # decimals get). The prefix lemma only needs A strict total order,
+    # so (df, h) serves exactly as (df, s) did; and because the ORACLE
+    # still self-joins the raw strings, every gate run is also a live
+    # no-collision witness — a collision would shrink a hashed set and
+    # fail cell-equality loudly, never silently.
+    h120 = (
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+        .cast("decimal(38,0)")
+        * F.lit(2**60).cast("decimal(38,0)")
+        + F.conv(F.substring(F.md5("s"), 16, 15), 16, 10)
+        .cast("decimal(38,0)")
+    )
+    shh = sh.select("doc_id", h120.alias("h"))
     df_tbl = shh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # (df, h)-sorted shingle-hash array per doc: one keyed join on the
     # hash (vocab-sized df table — no forced broadcast; AQE may

@@ -40,14 +40,25 @@ def test_pca_deflation_components_are_orthogonal(spark, sf_dir):
 
 def test_pca_deflation_first_component_matches_parent_entry(spark, sf_dir):
     """Component 0 of the deflation entry must be BIT-identical to the
-    single-component pca_power_iteration entry — same recurrence, same
-    fixed-point staging, no drift between the two renderings."""
+    single-component recurrence at the deflation iteration count —
+    same recurrence, same fixed-point staging, no drift between the
+    two renderings."""
     from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.plans.similarity_plans import (
+        PCA_DIMS,
+        PCA_TOPK_ITERS,
+        _pca_frame,
+    )
 
     reg = all_plans()
+    # the flagship entry keeps T=5; the deflation entry runs T=3 per
+    # component, so compare against the single-component recurrence at
+    # the SAME iteration count
     single = {
         r["dim"]: (r["eigvec_fp"], r["lambda_fp12"])
-        for r in reg["pca_power_iteration"].builder(spark, sf_dir).collect()
+        for r in _pca_frame(
+            spark, sf_dir, PCA_DIMS, iters=PCA_TOPK_ITERS
+        ).collect()
     }
     topk = {
         r["dim"]: (r["eigvec_fp"], r["lambda_fp12"])
