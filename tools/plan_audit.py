@@ -136,6 +136,11 @@ BNLJ_BY_DESIGN = {
     # five 1-row invariant aggregates (corpus stats, pack stats,
     # dup/missing/phantom counts) assembled 1x1 into the report row
     "seq_packing_manifest": "scalar-aggregate 1x1 cross join",
+    # three 1-row aggregates (build-key count, bits-set count, probe
+    # report) assembled 1x1 into the single report row; the K probe
+    # joins themselves are word-keyed equi-joins on the broadcast
+    # constant-size filter
+    "bloom_prejoin_report": "scalar-aggregate 1x1 cross join",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
