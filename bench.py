@@ -157,6 +157,13 @@ def main() -> None:
     # reports the plan's steady-state cost.
     timings: dict[str, float] = {}
     pass_totals: list[float] = []
+    # Per-pass probe bracketing (r11 verdict #2): a mid-run co-tenant
+    # arrival breaks mean-of-endpoints normalization (one measured
+    # case: idle 216 s pass + contended 354 s pass normalized to an
+    # impossible 95.9 s). Probe 32-way throughput immediately before
+    # pass 1 and after EACH pass, normalize each pass by ITS bracket
+    # mean, and report the min — stable under one contended pass.
+    pass_probes: list[float] = [_cpu_probe32_ms()]
     for _ in range(2):
         pass_total = 0.0
         for q in registry:
@@ -169,8 +176,28 @@ def main() -> None:
             pass_total += el
             timings[q.name] = min(el, timings.get(q.name, el))
         pass_totals.append(round(pass_total, 3))
+        pass_probes.append(_cpu_probe32_ms())
 
     total = round(sum(timings.values()), 3)
+    pass_normalized = [
+        round(
+            pt
+            * _PROBE32_REF_MS
+            / max((pass_probes[i] + pass_probes[i + 1]) / 2.0, 1e-9),
+            1,
+        )
+        for i, pt in enumerate(pass_totals)
+    ]
+    # headline normalization: the min-of-2 total (same basis as
+    # ``value``, comparable round-over-round) scaled by the bracket
+    # mean of the LEAST-contended pass — under one contended pass the
+    # per-query minima come from the idle pass, so its bracket is the
+    # machine speed that actually produced them
+    best = min(range(len(pass_normalized)), key=pass_normalized.__getitem__)
+    best_bracket = (pass_probes[best] + pass_probes[best + 1]) / 2.0
+    value_normalized = round(
+        total * _PROBE32_REF_MS / max(best_bracket, 1e-9), 1
+    )
     # Pass-spread telemetry. Even after the untimed warm-up pass, pass 1
     # systematically carries ~15-20% residual JIT/GC asymmetry on an
     # IDLE machine (measured r9: 159.9 vs 134.2 at loadavg 0.0), which
@@ -223,21 +250,81 @@ def main() -> None:
                 # 32-way throughput probe + the mechanical normalization
                 # (see _cpu_probe32_ms / _PROBE32_REF_MS): the
                 # single-thread probe cannot see a co-tenant stealing
-                # cores; this one can, and value_normalized is the
-                # idle-equivalent total it implies
+                # cores; this one can. Probes bracket EACH measured
+                # pass (start, between, end); pass_normalized carries
+                # each pass scaled by its own bracket mean, and
+                # value_normalized scales the min-of-2 headline total
+                # by the LEAST-contended pass's bracket — one
+                # contended pass cannot drag the figure, where the old
+                # mean-of-endpoints overcorrected (r11 verdict #2).
                 "cpu_probe32_ms_start": cpu_probe32_start,
-                "cpu_probe32_ms_end": (probe32_end := _cpu_probe32_ms()),
+                "cpu_probe32_ms_end": pass_probes[-1],
+                "cpu_probe32_ms_passes": pass_probes,
                 "probe32_ref_ms": _PROBE32_REF_MS,
-                "value_normalized": round(
-                    total
-                    * _PROBE32_REF_MS
-                    / max((cpu_probe32_start + probe32_end) / 2.0, 1e-9),
-                    1,
-                ),
+                "pass_normalized": pass_normalized,
+                "value_normalized": value_normalized,
             }
         ),
         flush=True,
     )
+
+
+def _recover_prev(prev: dict, progress_path: str) -> dict:
+    """Recover ``{"value", "queries", "source"}`` from a BENCH artifact.
+
+    The driver stores only the bench stdout's TAIL as a string, and at
+    142 queries the per-query map can be FRONT-truncated mid-object —
+    in round 11 the tail regex found nothing, ``prev_q`` was empty,
+    and the regression detector silently compared ZERO queries while
+    reporting ``"regressed": {}`` (r11 verdict #1). Recovery order:
+
+    1. a full ``queries`` map in the artifact itself;
+    2. a complete ``"queries": {...}`` object inside the tail string;
+    3. PROGRESS.jsonl's ``bench_delta.timings`` — the durable full map
+       every bench run appends for exactly this purpose. When the
+       artifact's total is recoverable, the entry whose ``total``
+       matches it identifies the exact run that produced the artifact;
+       otherwise the most recent entry stands in (source says so).
+    """
+    import re
+
+    out: dict = {"source": "artifact"}
+    if "queries" in prev:
+        out.update(value=prev.get("value"), queries=prev["queries"])
+        return out
+    tail = prev.get("tail", "")
+    m = re.search(r'"value": ([0-9.]+)', tail)
+    if m:
+        out["value"] = float(m.group(1))
+    mq = re.search(r'"queries": (\{[^}]*\})', tail)
+    if mq:
+        out["queries"] = json.loads(mq.group(1))
+        out["source"] = "artifact_tail"
+        return out
+    try:
+        with open(progress_path) as f:
+            entries = []
+            for line in f:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                if e.get("event") == "bench_delta" and e.get("timings"):
+                    entries.append(e)
+    except OSError:
+        return out
+    want = out.get("value")
+    for e in reversed(entries):
+        if want is not None and abs(e.get("total", -1) - want) < 0.01:
+            out["queries"] = e["timings"]
+            out["source"] = "progress_timings_total_matched"
+            return out
+    if entries:
+        e = entries[-1]
+        out["queries"] = e["timings"]
+        out.setdefault("value", e.get("total"))
+        out["source"] = "progress_timings_latest"
+    return out
 
 
 def _record_deltas(timings: dict[str, float], total: float) -> None:
@@ -257,16 +344,9 @@ def _record_deltas(timings: dict[str, float], total: float) -> None:
     try:
         with open(benches[-1]) as f:
             prev = json.load(f)
-        if "queries" not in prev and "tail" in prev:
-            # the driver stores the bench stdout's tail as a string —
-            # possibly truncated at the front, so extract the queries
-            # object and the total by hand
-            tail = prev["tail"]
-            m = re.search(r'"value": ([0-9.]+)', tail)
-            prev = {"value": float(m.group(1))} if m else {}
-            mq = re.search(r'"queries": (\{[^}]*\})', tail)
-            if mq:
-                prev["queries"] = json.loads(mq.group(1))
+        prev = _recover_prev(
+            prev, os.path.join(here, "PROGRESS.jsonl")
+        )
         prev_q = prev.get("queries", {})
         deltas = {
             name: round(t - prev_q[name], 3)
@@ -279,6 +359,11 @@ def _record_deltas(timings: dict[str, float], total: float) -> None:
         entry = {
             "event": "bench_delta",
             "vs": os.path.basename(benches[-1]),
+            # where the previous per-query map came from — a vacuous
+            # comparison (0 compared queries) is now impossible to
+            # mistake for "0 regressions"
+            "prev_source": prev.get("source"),
+            "compared_queries": len(deltas),
             "total": total,
             "prev_total": prev.get("value"),
             "new_queries": sorted(set(timings) - set(prev_q)),

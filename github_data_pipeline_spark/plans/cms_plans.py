@@ -41,13 +41,19 @@ CMS_W = 32
 #: probe set: the exact top-K tokens (count desc, token asc)
 CMS_PROBE_K = 20
 
-_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+# filtered form (the repo-wide standard, e.g. classifier_plans /
+# curation_plans): the unfiltered split would emit a phantom '' token
+# for an empty/whitespace-only document, silently diverging from the
+# Spark side (functions/text.tokens drops empties)
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 
 
-def _h_sql(row: int) -> str:
-    """DuckDB bucket hash for sketch row ``row`` over column ``tok``."""
+def _h_sql(row: int, col: str = "tok") -> str:
+    """DuckDB bucket hash for sketch row ``row`` over column ``col``
+    (parameterized instead of post-hoc string surgery, so a future
+    'tok' substring elsewhere in the expression cannot corrupt it)."""
     return (
-        f"CAST(('0x' || substr(md5('r{row}:' || tok), 1, 8)) AS BIGINT)"
+        f"CAST(('0x' || substr(md5('r{row}:' || {col}), 1, 8)) AS BIGINT)"
         f" % {CMS_W}"
     )
 
@@ -92,7 +98,7 @@ def _h_col(row: int):
     FROM probes p
     JOIN cells ON (
       {" OR ".join(
-          f"(cells.r = {r} AND cells.b = {_h_sql(r).replace('tok', 'p.tok')})"
+          f"(cells.r = {r} AND cells.b = {_h_sql(r, 'p.tok')})"
           for r in range(CMS_D)
       )}
     )

@@ -825,5 +825,23 @@ def all_plans() -> Registry:
     #   measurement stay pinned by tests/test_layout.py and the local
     #   cell-exact tail check (CORRECTNESS_TAIL.json).
     REGISTRY.demote("zorder_clustering_stats")
+    # round-12 swap: lsh_capped_star_components (new this round —
+    # registers at lsh_incremental_plans' in-window position, right
+    # after its uncapped sibling) takes a window slot so the capped
+    # star-fallback path earns a driver verdict immediately (it was
+    # the last unit-only dedup face, r11 verdict missing #3). One
+    # entry rotates out, green in CORRECTNESS_r11.json with its class
+    # covered in-window:
+    # - lsh_incremental_index: the SAME batch-only banding + persisted-
+    #   index equi-join machinery is re-executed in-window by
+    #   lsh_capped_star_components (the strictly harder face: adds
+    #   occupancy caps, stored-stats decisions, the star fallback, and
+    #   min-label closure vs a recursive-CTE oracle), and the
+    #   incremental-view-maintenance family keeps kmv_incremental_merge
+    #   and incremental_split_update in-window; the uncapped edge-set +
+    #   flag-attribution proof stays cell-exact under the local checker
+    #   (CORRECTNESS_TAIL.json) and pinned by
+    #   tests/test_neardup_incremental.py.
+    REGISTRY.demote("lsh_incremental_index")
 
     return REGISTRY

@@ -825,6 +825,27 @@ def neardup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPJ_T_NUM, PPJ_T_DEN = 4, 5
 
 
+def shingle_h120(col: str = "s") -> F.Column:
+    """120 md5 bits of a shingle/gram string packed into ONE
+    DECIMAL(38,0): two 60-bit hex halves combined as hi*2^60 + lo.
+
+    The canonical hashed-shingle key for every dedup verify path
+    (jaccard_prefix_filter_pairs, snm_neardup_pairs, and the tests
+    that re-derive prefixes): strings drop before anything shuffles,
+    decimals keep the codegen fast paths the 16-byte BINARY form
+    misses (measured 10x slower end-to-end), and 2^120 birthday-
+    collides at ~10^18 distinct shingles — out of reach where a
+    single 60-bit prefix would collide at ~1e9. Factored here so the
+    entry, its tests, and sibling plans key on ONE expression instead
+    of hand-synced copies.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    ) * F.lit(2**60).cast("decimal(38,0)") + F.conv(
+        F.substring(F.md5(col), 16, 15), 16, 10
+    ).cast("decimal(38,0)")
+
+
 @_add(
     "jaccard_prefix_filter_pairs",
     f"""
@@ -892,14 +913,7 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still self-joins the raw strings, every gate run is also a live
     # no-collision witness — a collision would shrink a hashed set and
     # fail cell-equality loudly, never silently.
-    h120 = (
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
-        .cast("decimal(38,0)")
-        * F.lit(2**60).cast("decimal(38,0)")
-        + F.conv(F.substring(F.md5("s"), 16, 15), 16, 10)
-        .cast("decimal(38,0)")
-    )
-    shh = sh.select("doc_id", h120.alias("h"))
+    shh = sh.select("doc_id", shingle_h120("s").alias("h"))
     df_tbl = shh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # (df, h)-sorted shingle-hash array per doc: one keyed join on the
     # hash (vocab-sized df table — no forced broadcast; AQE may

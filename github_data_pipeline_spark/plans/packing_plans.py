@@ -49,7 +49,11 @@ from .core import REGISTRY
 PACK_BUDGET = 96
 PACK_SHARDS = 8
 
-_TOKS = "string_split_regex(trim(text), '\\s+')"
+# filtered form (repo-wide standard): the bare split counts a phantom
+# '' token for empty/whitespace-only documents, while the Spark side
+# (T.token_count) drops empties — a silent gate break if an empty doc
+# ever enters a fixture
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 
 
 @REGISTRY.add(

@@ -678,6 +678,83 @@ def _tdiv(a: int, b: int) -> int:
 _DEC = "decimal(38,0)"
 
 
+def _pca_step(c: DataFrame, vdf: DataFrame) -> DataFrame:
+    """One power step y = sum_r c_r (c_r . v) as a 1-row ``yarr``
+    frame (array of the d DECIMAL accumulators in dim order).
+
+    Two structural choices kill the fixed per-step cost the driver
+    loop paid (r11: ~0.5-1.5 s/step of plan analysis + codegen at
+    d=64, the bench's top cost center):
+
+    * the iterate arrives as DATA — a 1-row ``varr`` array broadcast
+      onto the centered frame (allowlisted 1-row attach) — so the
+      step carries no per-iteration literals: every step in the chain
+      is structurally identical and Spark's codegen cache compiles it
+      once;
+    * the d accumulators are ROWS, not columns: the per-row dot
+      projects once, posexplode re-keys the centered coords by dim,
+      and ONE grouped sum folds (i, x*dot) — the oracle's own
+      relational shape. The expression tree is O(1) in d (the
+      64-column aggregate tree made chain ANALYSIS alone cost 4.5 s;
+      this one analyzes in 0.06 s/step). The groupBy shuffles d
+      partial rows per task — nothing at any scale.
+    """
+    dot = F.aggregate(
+        F.zip_with("c", "varr", lambda x, w: x * w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ex = (
+        c.crossJoin(F.broadcast(vdf.select("varr")))
+        .withColumn("dot", dot)
+        .select("dot", F.posexplode("c").alias("i", "x"))
+    )
+    y = ex.groupBy("i").agg(
+        F.sum(F.col("x").cast(_DEC) * F.col("dot")).alias("y")
+    )
+    return y.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, y))), s -> s.y)"
+        ).alias("yarr")
+    )
+
+
+def _pca_normalized(yarrdf: DataFrame) -> DataFrame:
+    """(varr, m) from the 1-row ``yarr`` frame: m = max|y| and
+    v' = (y * S) div m — the exact truncating-integer normalize,
+    in-plan (the same expression the final emission uses, so chain
+    steps and output cannot diverge)."""
+    S = COV_FP
+    return yarrdf.select(
+        "yarr",
+        F.expr("array_max(transform(yarr, t -> abs(t)))").alias("m"),
+    ).select(
+        F.expr(
+            f"transform(yarr, t -> CAST((t * {S}) div m AS BIGINT))"
+        ).alias("varr"),
+        "m",
+    )
+
+
+def _pca_v0(spark: SparkSession, dims: int) -> DataFrame:
+    return spark.range(1).select(
+        F.array(*[F.lit(COV_FP).cast("long")] * dims).alias("varr")
+    )
+
+
+def _power_chain(
+    spark: SparkSession, c: DataFrame, dims: int, iters: int
+) -> DataFrame:
+    """T chained power steps over the checkpointed centered frame,
+    returning the FINAL step's un-normalized 1-row yarr frame (callers
+    normalize/emit). All T steps are one lazy plan — no intermediate
+    collect() exists anywhere in the recurrence."""
+    vdf = _pca_v0(spark, dims)
+    for _t in range(iters - 1):
+        vdf = _pca_normalized(_pca_step(c, vdf))
+    return _pca_step(c, vdf)
+
+
 def _pca_frame(
     spark: SparkSession, sf_dir: str, dims: int, iters: int = PCA_ITERS
 ) -> DataFrame:
@@ -713,56 +790,27 @@ def _pca_frame(
         F.zip_with("fx", mean_arr, lambda x, m: x - m).alias("c")
     ).localCheckpoint()
 
-    def dot_col(v: list[int]):
-        varr = F.array(*[F.lit(x).cast("long") for x in v])
-        return F.aggregate(
-            F.zip_with("c", varr, lambda x, w: x * w),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def y_aggs():
-        # dot is its own projected column, so each of the d sums is ONE
-        # cast + multiply per row — O(d) per row per stage, not the
-        # O(d^2) of inlining the dot expression into every sum
-        return [
-            F.sum(
-                F.element_at("c", i + 1).cast(_DEC) * F.col("dot")
-            ).alias(f"y{i}")
-            for i in range(dims)
-        ]
-
-    v = [S] * dims
-    for _t in range(T - 1):  # driver-looped steps: d ints of state each
-        y = c.withColumn("dot", dot_col(v)).agg(*y_aggs()).collect()[0]
-        yi = [int(y[f"y{i}"]) for i in range(dims)]
-        m = max(abs(x) for x in yi)
-        v = [_tdiv(x * S, m) for x in yi]
-
-    # final step in-plan: the last normalize + eigenvalue estimate run
-    # distributed on the 1-row aggregate, then unpivot to d rows
-    one = (
-        c.withColumn("dot", dot_col(v))
-        .agg(*y_aggs())
-        .withColumn(
-            "m", F.greatest(*[F.abs(F.col(f"y{i}")) for i in range(dims)])
-        )
-    )
-    structs = [
-        F.struct(
-            F.lit(i).cast("long").alias("dim"),
-            F.expr(f"CAST((y{i} * {S}) div m AS BIGINT)").alias("eigvec_fp"),
+    # The whole T-step recurrence is ONE lazy plan (see _pca_step: the
+    # iterate flows as a 1-row broadcast so steps are literal-free and
+    # codegen-cached; the d accumulators are rows so analysis is O(1)
+    # in d). r11's driver loop paid ~0.5-1.5 s of fixed plan-analysis
+    # + JIT per step; the chain runs the same exact arithmetic in
+    # ~1.8 s total at sf0.1 (was ~8 s).
+    one = _pca_normalized(_power_chain(spark, c, dims, T))
+    return (
+        one.select(
+            F.posexplode("varr").alias("dim", "eigvec_fp"),
             F.expr(
                 f"CAST(m div CAST({n} AS {_DEC}) div"
                 f" CAST({S} AS {_DEC}) AS BIGINT)"
             ).alias("lambda_fp12"),
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.col("eigvec_fp").cast("long").alias("eigvec_fp"),
+            "lambda_fp12",
             F.lit(n).cast("long").alias("n"),
         )
-        for i in range(dims)
-    ]
-    return (
-        one.select(F.explode(F.array(*structs)).alias("r"))
-        .select("r.*")
         .orderBy(F.asc("dim"))
     )
 
@@ -966,68 +1014,70 @@ def pca_topk_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("fx", mean_arr, lambda x, m: x - m).alias("c")
     ).localCheckpoint()
 
-    def dot_col(v: list[int]):
-        varr = F.array(*[F.lit(x).cast("long") for x in v])
-        return F.aggregate(
-            F.zip_with("c", varr, lambda x, w: x * w),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def y_aggs():
-        return [
-            F.sum(
-                F.element_at("c", i + 1).cast(_DEC) * F.col("dot")
-            ).alias(f"y{i}")
-            for i in range(d)
-        ]
-
-    out: list[tuple[int, list[int], int]] = []
+    # Per component: the T-step power recurrence runs as ONE lazy plan
+    # (the literal-free chain — see _pca_step), materialized once into
+    # a 1-row (varr, m) checkpoint because it feeds BOTH the output
+    # union and the deflation projection. Deflation likewise flows the
+    # finished component as data (q = v.v computed from the same row),
+    # so no driver collect exists anywhere in the K x T recurrence —
+    # driver state is K 1-row checkpoints, not K*T round trips.
+    finals: list[DataFrame] = []
     for comp in range(K):
-        v = [S] * d
-        vfin: list[int] = []
-        lam = 0
-        for t in range(T):
-            y = cur.withColumn("dot", dot_col(v)).agg(*y_aggs()).collect()[0]
-            yi = [int(y[f"y{i}"]) for i in range(d)]
-            m = max(abs(x) for x in yi)
-            if t < T - 1:
-                v = [_tdiv(x * S, m) for x in yi]
-            else:
-                vfin = [_tdiv(x * S, m) for x in yi]
-                lam = _tdiv(_tdiv(m, n), S)
-        out.append((comp, vfin, lam))
+        fin = _pca_normalized(
+            _power_chain(spark, cur, d, T)
+        ).localCheckpoint()
+        finals.append(
+            fin.select(
+                F.lit(comp).cast("long").alias("component"), "varr", "m"
+            )
+        )
         if comp < K - 1:
-            q = sum(x * x for x in vfin)
             # c and dot are longs; x*q and dot*w exceed int64, so the
             # numerator stages through decimal and `div` lands the
             # quotient (|c'| <= ~4e6) back in BIGINT
-            vlits = ", ".join(f"CAST({x} AS BIGINT)" for x in vfin)
+            vq = fin.select(
+                "varr",
+                F.aggregate(
+                    F.zip_with("varr", "varr", lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("q"),
+            )
+            dot = F.aggregate(
+                F.zip_with("c", "varr", lambda x, w: x * w),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
             defl = (
-                f"zip_with(c, array({vlits}), (x, w) -> "
-                f"CAST((CAST(x AS {_DEC}) * {q}"
+                f"zip_with(c, varr, (x, w) -> "
+                f"CAST((CAST(x AS {_DEC}) * q"
                 f" - CAST(dot AS {_DEC}) * w)"
-                f" div CAST({q} AS {_DEC}) AS BIGINT))"
+                f" div CAST(q AS {_DEC}) AS BIGINT))"
             )
             cur = (
-                cur.withColumn("dot", dot_col(vfin))
+                cur.crossJoin(F.broadcast(vq))
+                .withColumn("dot", dot)
                 .select(F.expr(defl).alias("c"))
                 .localCheckpoint()  # n x d longs; next component's base
             )
 
-    structs = [
-        F.struct(
-            F.lit(comp).cast("long").alias("component"),
-            F.lit(i).cast("long").alias("dim"),
-            F.lit(vfin[i]).cast("long").alias("eigvec_fp"),
-            F.lit(lam).cast("long").alias("lambda_fp12"),
-        )
-        for comp, vfin, lam in out
-        for i in range(d)
-    ]
+    rows = finals[0]
+    for f2 in finals[1:]:
+        rows = rows.unionByName(f2)
     return (
-        spark.range(1)
-        .select(F.explode(F.array(*structs)).alias("r"))
-        .select("r.*")
+        rows.select(
+            "component",
+            F.posexplode("varr").alias("dim", "eigvec_fp"),
+            F.expr(
+                f"CAST(m div CAST({n} AS {_DEC}) div"
+                f" CAST({S} AS {_DEC}) AS BIGINT)"
+            ).alias("lambda_fp12"),
+        )
+        .select(
+            "component",
+            F.col("dim").cast("long").alias("dim"),
+            F.col("eigvec_fp").cast("long").alias("eigvec_fp"),
+            "lambda_fp12",
+        )
         .orderBy(F.asc("component"), F.asc("dim"))
     )

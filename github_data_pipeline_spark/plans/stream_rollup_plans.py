@@ -676,6 +676,14 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # above the final watermark and are correctly withheld — the
 # candidate thresholds only separate at this SF, which is what
 # pinned the formula to `< watermark`, not `< watermark - horizon`).
+# The boundary itself is no longer pinned by SF measurement alone:
+# tests/test_streaming_incremental.py::
+# test_outer_attribution_watermark_boundary_exact places purchases AT
+# the watermark (withheld), 1 ms below (emitted), and 1 us below
+# (withheld — the engine evicts at ts <= wm - 1ms in MILLISECOND
+# precision, so strict `<` is exact only at >= 1 ms timestamp
+# granularity, which the fixtures satisfy). A Spark semantics change
+# fails that named assertion, not this oracle's hash.
 #
 # Bucketed-probe subtlety, handled explicitly: the scale rewrite
 # explodes each purchase into two (user, bucket) probe rows, and

@@ -1,0 +1,91 @@
+"""Bench regression-detector recovery (r11 verdict #1).
+
+The driver stores only the TAIL of bench stdout in BENCH_r*.json; at
+142 queries the per-query map can be front-truncated mid-object, the
+tail regex finds nothing, and the detector silently compared ZERO
+queries while reporting an empty (vacuous) ``regressed`` map. These
+tests pin the recovery ladder in bench._recover_prev: full artifact →
+complete tail map → PROGRESS.jsonl ``bench_delta.timings`` fallback
+(total-matched entry preferred over merely-latest).
+"""
+
+from __future__ import annotations
+
+import json
+
+from bench import _recover_prev
+
+_TIMINGS = {"q_alpha": 1.5, "q_beta": 2.25, "q_gamma": 0.75}
+
+
+def _progress_file(tmp_path, entries):
+    p = tmp_path / "PROGRESS.jsonl"
+    lines = ['{"event": "note", "msg": "unrelated"}', "not json at all"]
+    lines += [json.dumps(e) for e in entries]
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_full_artifact_short_circuits(tmp_path):
+    prev = {"value": 4.5, "queries": _TIMINGS}
+    got = _recover_prev(prev, _progress_file(tmp_path, []))
+    assert got["queries"] == _TIMINGS
+    assert got["value"] == 4.5
+    assert got["source"] == "artifact"
+
+
+def test_complete_tail_map_parses(tmp_path):
+    tail = (
+        '{"metric": "total_query_wall_seconds", "value": 4.5, '
+        '"queries": ' + json.dumps(_TIMINGS) + ', "sf": 0.1}'
+    )
+    got = _recover_prev({"tail": tail}, _progress_file(tmp_path, []))
+    assert got["queries"] == _TIMINGS
+    assert got["source"] == "artifact_tail"
+
+
+def test_truncated_tail_falls_back_to_progress_total_match(tmp_path):
+    """The r11 case: the tail is FRONT-truncated mid-map (no complete
+    '"queries": {...}' object survives), but the summary line's value
+    does — the fallback must pick the PROGRESS entry whose total
+    matches that value, not merely the latest entry."""
+    right_run = {
+        "event": "bench_delta",
+        "total": 227.81,
+        "timings": _TIMINGS,
+    }
+    later_local_run = {
+        "event": "bench_delta",
+        "total": 150.0,
+        "timings": {"q_alpha": 99.0},
+    }
+    progress = _progress_file(tmp_path, [right_run, later_local_run])
+    # front-truncated: starts mid-way through the per-query map, then
+    # the complete compact summary line (which has no queries map)
+    tail = (
+        '": 0.812, "q_gamma": 0.75}, "sf": 0.1}\n'
+        '{"metric": "total_query_wall_seconds", "value": 227.81, '
+        '"unit": "sec", "n_queries": 142, "sf": 0.1}'
+    )
+    got = _recover_prev({"tail": tail}, progress)
+    assert got["queries"] == _TIMINGS
+    assert got["value"] == 227.81
+    assert got["source"] == "progress_timings_total_matched"
+
+
+def test_truncated_tail_without_value_uses_latest_progress(tmp_path):
+    latest = {"event": "bench_delta", "total": 150.0, "timings": _TIMINGS}
+    progress = _progress_file(
+        tmp_path,
+        [{"event": "bench_delta", "total": 1.0, "timings": {"old": 1.0}}, latest],
+    )
+    got = _recover_prev({"tail": '": 0.812}'}, progress)
+    assert got["queries"] == _TIMINGS
+    assert got["value"] == 150.0
+    assert got["source"] == "progress_timings_latest"
+
+
+def test_no_recovery_path_reports_empty(tmp_path):
+    missing = str(tmp_path / "nope.jsonl")
+    got = _recover_prev({"tail": '": 0.812}'}, missing)
+    assert "queries" not in got

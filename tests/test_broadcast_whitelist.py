@@ -101,6 +101,12 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
         1, "per-nation averages — <=25 rows by key domain"),
     ("plans/similarity_plans.py", "ann_topk"): (
         2, "fixed N_QUERIES query sets (brute + ivf variants)"),
+    ("plans/similarity_plans.py", "_pca_step"): (
+        1, "the power-iteration iterate — ONE row (d-element array) "
+           "flowing as data so the step plan is literal-free"),
+    ("plans/similarity_plans.py", "pca_topk_deflation"): (
+        1, "the finished component (varr, q) — ONE checkpointed row "
+           "attached for the deflation projection"),
     ("plans/sketch_plans.py", "sketch_over"): (
         3, "1-row exact/sample/sketch attaches"),
     ("plans/sketch_plans.py", "kmv_incremental_merge"): (

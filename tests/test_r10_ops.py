@@ -213,12 +213,13 @@ def test_prefix_postings_strictly_smaller_than_full_index(spark, sf_dir):
         PPJ_T_DEN,
         PPJ_T_NUM,
         _shingles,
+        shingle_h120,
     )
 
     sh = _shingles(spark, sf_dir)
-    # the builder's hashed form: strings drop before anything shuffles
-    # (full 128-bit md5 as binary, same as the entry)
-    shh = sh.select("doc_id", F.unhex(F.md5("s")).alias("h"))
+    # the entry's OWN hashed form (shared helper — the test keys on the
+    # same 120-bit DECIMAL expression, so it cannot drift from the plan)
+    shh = sh.select("doc_id", shingle_h120("s").alias("h"))
     df_tbl = shh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     arrs = (
         shh.join(df_tbl, "h")

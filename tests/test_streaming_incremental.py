@@ -355,6 +355,90 @@ def test_streaming_sliding_matches_batch(spark, sf_dir):
     assert sum(v[0] for v in got.values()) == 4 * total_events
 
 
+def test_outer_attribution_watermark_boundary_exact(spark, tmp_path):
+    """ADVICE-r11: the `stream_interval_join_outer` oracle hard-codes
+    Spark's state-eviction boundary as STRICT (`p.ts < watermark`).
+    This fixture places one unmatched purchase EXACTLY at the final
+    watermark and one 1 ms below it, so a Spark version change to <=
+    eviction semantics fails HERE with a named assertion instead of as
+    an opaque oracle hash mismatch (if it ever does: flip the oracle's
+    `p.ts < wm.w` in plans/stream_rollup_plans.py to `<=` in step).
+
+    Measured engine detail (Spark 4.1, WatermarkSupport): the eviction
+    predicate is `event_time <= watermark - 1ms` at MILLISECOND
+    precision, so a purchase 1 microsecond below the watermark is
+    still withheld (pinned below) — the oracle's strict `<` is exact
+    only at >= 1 ms timestamp granularity, which the events fixtures
+    satisfy. If the sub-ms assertion fires, a fixture grew sub-ms
+    timestamps or the engine changed precision: re-derive the oracle
+    boundary before touching anything else."""
+    import datetime as dt
+
+    from github_data_pipeline_spark.streaming.jobs import (
+        attribution_stream,
+        run_available_now,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    wm = base - dt.timedelta(minutes=30)  # final watermark = max ts - 30m
+
+    def ev(eid, ts, typ, user):
+        return (eid, ts, user, typ, 1.0, "{}")
+
+    rows = [
+        # advance BOTH sides' max event time to `base`, pinning the
+        # global watermark at min(max click, max purchase) - 30m = wm
+        ev(900, base, "click", 99),
+        ev(901, base, "purchase", 98),
+        # unmatched purchase EXACTLY at the watermark: Spark's derived
+        # expiry is purchase_ts < watermark (strict), so it is WITHHELD
+        ev(1, wm, "purchase", 1),
+        # unmatched purchase one MILLISECOND below: expired, emits one
+        # null-click row (the oracle's `p.ts < wm` lane)
+        ev(2, wm - dt.timedelta(milliseconds=1), "purchase", 2),
+        # unmatched purchase one MICROSECOND below: below the watermark
+        # yet withheld — the engine evicts at ts <= wm - 1ms in ms
+        # precision, the measured sub-ms subtlety documented above
+        ev(3, wm - dt.timedelta(microseconds=1), "purchase", 3),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = run_available_now(
+        attribution_stream(
+            stream, horizon="1 hour", closed="right", how="left_outer"
+        ),
+        "attr_wm_boundary",
+        output_mode="append",
+    )
+    # bucketed-probe fold: a nowhere-matched purchase may emit up to
+    # two identical null rows (one per probe) — dedupe by purchase_id
+    null_pids = {r["purchase_id"] for r in out if r["click_id"] is None}
+    matched_pids = {r["purchase_id"] for r in out if r["click_id"] is not None}
+    assert matched_pids == set(), "no click matches any purchase here"
+    assert 2 in null_pids, (
+        "purchase 1ms below the watermark must emit its null row"
+    )
+    assert 1 not in null_pids, (
+        "purchase EXACTLY at the watermark must be withheld — Spark's "
+        "eviction is strict (purchase_ts < watermark). If this fires "
+        "after a Spark upgrade, the engine moved to <= semantics: flip "
+        "the stream_interval_join_outer oracle's `p.ts < wm.w` to `<=`."
+    )
+    assert 3 not in null_pids, (
+        "sub-ms boundary: the engine evicts at ts <= watermark - 1ms "
+        "in millisecond precision, so 1us below the watermark is "
+        "withheld; the oracle's strict `<` assumes >= 1ms fixture "
+        "granularity — re-derive the boundary if this changes"
+    )
+    assert 901 not in null_pids, "above-watermark purchase is withheld"
+
+
 def test_attribution_stream_matches_oracle_checked_batch(spark, sf_dir):
     """VERDICT-r5 #6: batch==stream parity for the bucketed range join
     itself — the streaming attribution join, run with the batch

@@ -141,6 +141,14 @@ BNLJ_BY_DESIGN = {
     # joins themselves are word-keyed equi-joins on the broadcast
     # constant-size filter
     "bloom_prejoin_report": "scalar-aggregate 1x1 cross join",
+    # the power-iteration iterate flows as a 1-row broadcast array
+    # attach per chained step (r12: literal-free steps so the codegen
+    # cache compiles one step shape; no driver round-trips) — each
+    # "join" moves one row
+    "pca_power_iteration": "1-row iterate broadcast attach per step",
+    # same iterate attaches, plus the finished component's 1-row
+    # (varr, q) attach for each deflation projection
+    "pca_topk_deflation": "1-row iterate/component broadcast attach",
 }
 
 # Queries whose builders execute work (streaming drains) rather than
