@@ -23,6 +23,16 @@ Exact heavy hitters (``token_heavy_hitters``) answers "which tokens
 are frequent" with exact counts; this entry answers "how frequent is
 ANY given token" from O(D*W) state — the two complementary faces of
 frequency at scale.
+
+``stream_cms_equality`` (r12) is the sketch's STREAMING face and the
+tenth drained gate class: the same D x W grid built incrementally by a
+``foreachBatch`` drain over a multi-file document stream — each
+micro-batch folds to at most D*W counter rows before anything reaches
+the driver, and the grids merge by elementwise addition (the monoid
+property IS the entry's claim). The DuckDB oracle rebuilds the sketch
+from scratch over the whole corpus; cell equality proves the
+incremental build loses and invents nothing, batch boundaries
+included.
 """
 
 from __future__ import annotations
@@ -184,3 +194,125 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("never_underestimates"),
         )
     )
+
+
+def docs_stream_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """The documents table re-persisted as FOUR range-split files —
+    the multi-file layout the streaming gate needs so an availableNow
+    drain with maxFilesPerTrigger=1 runs >= 4 real micro-batches
+    (the fixture tables are single files = single batches). Built once
+    per sf_dir under the artifact cache, atomic promote-by-rename."""
+    import os
+    import shutil
+
+    from .artifacts import artifact_cache_path
+
+    path = artifact_cache_path(sf_dir, "docs_stream4", "files4:v1")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        docs.repartitionByRange(4, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def _batch_cells(df: DataFrame) -> DataFrame:
+    """(r, b, c) counter cells of the CMS grid for one document frame
+    — shared by the batch probe entry and the per-micro-batch fold so
+    the streamed and from-scratch sketches cannot drift."""
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"), lambda t: t != F.lit("")
+            )
+        ).alias("tok")
+    )
+    return (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(r).alias("r"), _h_col(r).alias("b"))
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.r", "cell.b")
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@REGISTRY.add(
+    "stream_cms_equality",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ), cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {r} AS r, {_h_sql(r)} AS b, COUNT(*) AS c"
+          f" FROM toks GROUP BY 2"
+          for r in range(CMS_D)
+      )}
+    )
+    SELECT CAST(r AS INT) AS r, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS cnt
+    FROM cells ORDER BY r ASC, b ASC
+    """,
+    doc=f"Streaming count-min sketch == from-scratch rebuild (the "
+    "tenth drained gate class, and the cheapest: state is the "
+    f"{CMS_D}x{CMS_W} counter grid). The document corpus streams as "
+    ">= 4 real micro-batches (range-split file source, "
+    "maxFilesPerTrigger=1, availableNow); a foreachBatch drain folds "
+    f"each batch to at most {CMS_D}x{CMS_W} (row, bucket, count) "
+    "cells BEFORE anything reaches the driver and merges grids by "
+    "elementwise addition — the mergeable-monoid property that makes "
+    "CMS a 100-TB streaming frequency oracle is exercised as the "
+    "proof itself. The DuckDB oracle rebuilds the identical sketch "
+    "from scratch over the whole corpus (same engine-neutral md5 "
+    "hash family); cell equality pins that the incremental build "
+    "loses and invents nothing across batch boundaries. "
+    "tests/test_r12_ops.py pins non-vacuity (>= 2 non-empty "
+    "micro-batches actually folded).",
+    tags=("streaming", "sketch", "cms", "incremental"),
+)
+def stream_cms_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import drain_blocking
+
+    path = docs_stream_artifact(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).option("maxFilesPerTrigger", 1).parquet(path)
+    grid: dict[tuple[int, int], int] = {}
+    folded_batches: list[int] = []
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        rows = _batch_cells(batch_df).collect()  # <= D*W rows
+        if rows:
+            folded_batches.append(len(rows))
+        for row in rows:
+            key = (int(row["r"]), int(row["b"]))
+            grid[key] = grid.get(key, 0) + int(row["c"])
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_blocking(q, "stream_cms_equality")
+    # expose the fold count for the non-vacuity test (driver-local
+    # telemetry, not part of the compared result)
+    stream_cms_equality.last_fold_batches = len(folded_batches)  # type: ignore[attr-defined]
+    data = sorted((r, b, c) for (r, b), c in grid.items())
+    return spark.createDataFrame(
+        data, "r int, b long, cnt long"
+    ).orderBy(F.asc("r"), F.asc("b"))

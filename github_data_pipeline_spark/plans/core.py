@@ -195,6 +195,12 @@ def all_plans() -> Registry:
     # ...and the explicit Bloom-filter pre-join (the runtime-filter
     # pattern, engine-neutral md5 bitmap, cell-exact report)
     from . import bloom_plans  # noqa: F401
+    # round-12 addition, imported at an in-window position so it earns
+    # a driver verdict immediately (matching demotion in the round-12
+    # swap block below): dynamic partition pruning proved by the
+    # executed scan's own telemetry vs a purely-relational oracle —
+    # the fourth physical-layout lever made oracle-scorable
+    from . import dpp_plans  # noqa: F401
     # round-10 session-2, third wave: OHLC arg-extreme downsampling +
     # median/MAD robust outlier gate. These two land at positions
     # 50-51 — one past the window edge (the r8 cube's spot) — and stay
@@ -843,5 +849,30 @@ def all_plans() -> Registry:
     #   (CORRECTNESS_TAIL.json) and pinned by
     #   tests/test_neardup_incremental.py.
     REGISTRY.demote("lsh_incremental_index")
+    # ...and one more slot for dpp_partition_prune_report (dpp_plans'
+    # in-window import position above — the fourth physical-layout
+    # lever made oracle-scorable):
+    # - doc_hybrid_retrieval: green r7-r11 (five consecutive driver
+    #   rows); every component class keeps an in-window scorer — the
+    #   BM25 1-row corpus-stats attach shape by lm_kn_trigram_probs'
+    #   type-total attaches, the vector side by ann_ivfpq_topk +
+    #   ann_pq_recall (same bucket-probe + re-rank machinery), and the
+    #   <=K-row rank fusion by salted_group_topk's two-phase top-k;
+    #   the fusion entry itself stays cell-exact under the local
+    #   checker (CORRECTNESS_TAIL.json) next to its overlap-proof
+    #   slice twin (doc_hybrid_overlap_slice, tail since r9).
+    REGISTRY.demote("doc_hybrid_retrieval")
+    # ...and one more for stream_cms_equality (the TENTH drained gate
+    # class — foreachBatch incremental CMS == from-scratch rebuild —
+    # registered at cms_plans' in-window position above):
+    # - ann_pq_recall: green r8-r11; the ANN family keeps
+    #   ann_ivfpq_topk in-window (the same PQ codebook + ADC scoring
+    #   behind the IVF probe — the composed, strictly richer plan),
+    #   and the recall-gate measurement class stays cell-exact in the
+    #   tail TWICE (ann_pq_recall itself and ann_recall, which scores
+    #   brute/IVF/LSH against exact ground truth in one query —
+    #   CORRECTNESS_TAIL.json); the brute-force ground-truth shape
+    #   remains allowlisted and pinned by tests/test_pq.py.
+    REGISTRY.demote("ann_pq_recall")
 
     return REGISTRY

@@ -1,0 +1,185 @@
+"""Registry entry: dynamic partition pruning, proved by scan telemetry.
+
+The last classic 100-TB scan lever without an oracle-scored entry
+(after bucketing, Z-order and the Bloom pre-join): a fact table
+PARTITIONED on a dimension key must, when joined to a filtered
+dimension, physically read ONLY the partitions whose keys survive the
+dimension filter — the dimensional filter reaches the fact scan at
+RUNTIME (Spark's DynamicPartitionPruning: the dim side's broadcast is
+reused as an IN-subquery partition filter on the fact's file index).
+
+What makes this entry honest rather than a restated expectation: the
+``partitions_read`` / ``rows_scanned`` cells come from the EXECUTED
+scan's own metrics (``numPartitions`` / ``numOutputRows`` on the fact
+FileSourceScan — engine telemetry, not recomputation), while the
+DuckDB oracle derives the same numbers purely relationally (distinct
+surviving partition keys; rows belonging to them). Cell equality
+therefore proves the scan never touched a pruned partition: had DPP
+fallen back to a full scan (e.g. the fact side accidentally elected as
+the broadcast build side — the failure mode found while building this
+entry: a small fact broadcasts, the subquery degrades to
+``dynamicpruningexpression(true)``, and all partitions read), the
+engine would report partitions_read == partitions_total and the gate
+hash-mismatches loudly.
+
+The partitioned fact is a per-sf_dir artifact (orders enriched with
+the customer's nation key, written ``partitionBy(nationkey)`` under
+the artifact cache — the layout a 100-TB warehouse maintains so that
+region-scoped queries prune ~4/5 of the fact without any predicate on
+the fact itself). tests/test_r12_ops.py pins the plan-shape half: the
+fact scan's PartitionFilters carries a live dynamicpruning expression,
+not the fallback literal.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import cents
+from ..sources.tables import load_table
+from .artifacts import artifact_cache_path
+from .core import REGISTRY
+
+#: the region whose nations survive the dimensional filter (ASIA = 5
+#: of the 25 key-domain-bounded nations at every TPC-H scale factor)
+DPP_REGION = "ASIA"
+
+
+def partitioned_fact_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """orders x customer -> (o_orderkey, cents, nationkey), persisted
+    partitioned BY nationkey — built once per sf_dir (same atomic
+    promote-by-rename discipline as verified_pair_artifact)."""
+    path = artifact_cache_path(sf_dir, "dpp_fact", "nationkey:v1")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        fact = orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).select(
+            "o_orderkey",
+            cents("o_totalprice").alias("price_cents"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        fact.write.mode("overwrite").partitionBy("nationkey").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another run promoted its identical copy first
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def region_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation keys of DPP_REGION — the filtered dimension whose
+    broadcast DPP reuses as the fact's runtime partition filter."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            region, nation.n_regionkey == region.r_regionkey
+        )
+        .filter(F.col("r_name") == DPP_REGION)
+        .select(F.col("n_nationkey").alias("nationkey"))
+    )
+
+
+def pruned_fact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DPP-shaped query: partitioned fact joined to the filtered
+    dim, revenue summed. The dim broadcast is FORCED (key-domain
+    bounded, <= 25 rows) because at fixture scale the FACT is small
+    enough that Spark otherwise elects it as the build side — and a
+    fact-side build degrades the DPP subquery to the no-op fallback.
+    At 100 TB the size asymmetry makes the same choice automatically;
+    the hint pins the production shape at every SF."""
+    fact = spark.read.parquet(partitioned_fact_artifact(spark, sf_dir))
+    return fact.join(F.broadcast(region_dim(spark, sf_dir)), "nationkey").agg(
+        F.sum("price_cents").cast("long").alias("revenue_cents"),
+    )
+
+
+def scan_metrics(df: DataFrame, path_marker: str) -> dict[str, int]:
+    """Walk the EXECUTED plan (post-AQE) for the scan whose location
+    contains ``path_marker`` and return its SQL metrics — the engine's
+    own telemetry of what the scan physically touched."""
+    out: dict[str, int] = {}
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if "Scan" in name and path_marker in node.toString():
+            m = node.metrics()
+            it = m.keysIterator()
+            while it.hasNext():
+                k = it.next()
+                out[k] = m.apply(k).value()
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        if name.startswith("AdaptiveSparkPlan"):
+            walk(node.executedPlan())
+        if "QueryStage" in name:
+            walk(node.plan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+@REGISTRY.add(
+    "dpp_partition_prune_report",
+    f"""
+    WITH fact AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), asia AS (
+      SELECT n_nationkey FROM nation
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = '{DPP_REGION}'
+    ), surviving AS (
+      SELECT * FROM fact
+      WHERE nationkey IN (SELECT n_nationkey FROM asia)
+    )
+    SELECT '{DPP_REGION}' AS region,
+           CAST((SELECT COUNT(DISTINCT nationkey) FROM fact) AS BIGINT)
+             AS partitions_total,
+           CAST((SELECT COUNT(DISTINCT nationkey) FROM surviving)
+                AS BIGINT) AS partitions_read,
+           CAST((SELECT COUNT(*) FROM surviving) AS BIGINT)
+             AS rows_scanned,
+           CAST((SELECT SUM(price_cents) FROM surviving) AS BIGINT)
+             AS revenue_cents
+    """,
+    doc=f"Dynamic partition pruning proved by scan TELEMETRY: a fact "
+    "table partitioned on the customer's nation key, joined to the "
+    f"nation dim filtered to region {DPP_REGION} (5 of 25 key-domain-"
+    "bounded nations), revenue summed. partitions_read and "
+    "rows_scanned are read from the EXECUTED fact scan's own metrics "
+    "(numPartitions / numOutputRows — what the engine physically "
+    "touched, not a recomputation); the oracle derives the same "
+    "numbers purely relationally from the data. Cell equality proves "
+    "the runtime dim-broadcast reuse filter reached the fact's file "
+    "index and the scan never opened a pruned partition — if DPP "
+    "degraded to a full scan the engine would report 25/25 partitions "
+    "and the gate would hash-mismatch. This is the fourth physical-"
+    "layout lever made oracle-scorable (bucketed join, Z-order, Bloom "
+    "pre-join, now DPP), and the one that deletes ~4/5 of the fact IO "
+    "for region-scoped queries at 100 TB with zero predicates on the "
+    "fact itself.",
+    tags=("layout", "dpp", "join", "report"),
+)
+def dpp_partition_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = pruned_fact_agg(spark, sf_dir)
+    revenue = int(q.collect()[0]["revenue_cents"])  # executes the scan
+    m = scan_metrics(q, "dpp_fact")
+    fact = spark.read.parquet(partitioned_fact_artifact(spark, sf_dir))
+    total = fact.select("nationkey").distinct().count()
+    return spark.range(1).select(
+        F.lit(DPP_REGION).alias("region"),
+        F.lit(total).cast("long").alias("partitions_total"),
+        F.lit(int(m["numPartitions"])).cast("long").alias("partitions_read"),
+        F.lit(int(m["numOutputRows"])).cast("long").alias("rows_scanned"),
+        F.lit(revenue).cast("long").alias("revenue_cents"),
+    )

@@ -42,7 +42,13 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..sources.tables import load_table, spread
 from .core import REGISTRY
-from .dedup_plans import _GRAMS, _TOKS, PPJ_T_DEN, PPJ_T_NUM
+from .dedup_plans import (
+    _GRAMS,
+    _TOKS,
+    PPJ_T_DEN,
+    PPJ_T_NUM,
+    shingle_h120,
+)
 
 #: window span (each record compares to the next W-1 in sorted order)
 SNM_W = 4
@@ -114,9 +120,12 @@ def _pass_sql(largest: bool) -> str:
     "and lead() scans sorted runs sequentially. Recall is honestly "
     "the method's: a pair is found only if a pass sorts it within "
     "the window (corpus-complete discovery is "
-    "jaccard_prefix_filter_pairs' contract). The oracle replays both "
-    "passes with identical window machinery and the identical "
-    "verify predicate — cell-exact.",
+    "jaccard_prefix_filter_pairs' contract). Verification joins "
+    "candidates against per-doc 120-bit DECIMAL gram-hash arrays "
+    "(the shared shingle_h120 key — strings drop before anything "
+    "shuffles); the oracle replays both passes with identical window "
+    "machinery and intersects the RAW gram strings, so every gate "
+    "run is also a live no-collision witness — cell-exact.",
     tags=("dedup", "snm", "window", "documents"),
 )
 def snm_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,9 +162,20 @@ def snm_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         snm_pass("k_small").unionByName(snm_pass("k_large")).distinct()
     )
+    # verify against HASHED gram arrays (the shared 120-bit
+    # DECIMAL(38,0) key — dedup_plans.shingle_h120): gram strings drop
+    # before the candidate join, so no dedup verify path ships raw
+    # string arrays (the prefix-filter sibling moved after a measured
+    # OOM; SNM's candidates are linear-bounded, but the hashed form is
+    # uniform). The ORACLE intersects the raw strings, so every gate
+    # run doubles as a live no-collision witness — a collision would
+    # shrink a hashed set and fail cell-equality loudly.
     grams = d.select(
         "doc_id",
-        F.array_distinct(T.word_ngrams(T.tokens("text"), 3)).alias("g"),
+        F.transform(
+            F.array_distinct(T.word_ngrams(T.tokens("text"), 3)),
+            lambda s: shingle_h120(s),
+        ).alias("g"),
     )
     ga = grams.select(
         F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")

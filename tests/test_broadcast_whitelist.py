@@ -61,6 +61,11 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/graph_plans.py", "item_edges"): (
         1, "1-row (|E|,W_total) threshold attach — the shared edge "
            "builder factored out of the census/BFS entries in r11"),
+    ("plans/dpp_plans.py", "pruned_fact_agg"): (
+        1, "nation-region dim filtered to one region — <= 25 rows by "
+           "key domain; the forced hint pins the dim as the build side "
+           "so DPP's broadcast reuse exists at every SF (a fact-side "
+           "build degrades the pruning subquery to the no-op fallback)"),
     ("plans/bloom_plans.py", "bloom_prejoin_report"): (
         3, "the Bloom filter itself (<= M/32 = 1024 constant-bounded "
            "word rows) broadcast onto each of the K probe joins, plus "

@@ -58,11 +58,10 @@ def test_driver_window_invariants():
         "incremental_split_update",
         "events_item_pagerank",
         "bpe_learned_merges",
-        # round-7 rotation survivors (first scored in r07;
-        # doc_char_trigram_typicality rotated out in r9 for
-        # stream_restart_recovery — typicality class covered by
-        # lm_doc_typicality + classifier_pr_curve in-window)
-        "doc_hybrid_retrieval",
+        # (round-7 rotation survivor doc_hybrid_retrieval rotated out
+        # in r12 for dpp_partition_prune_report after five consecutive
+        # greens — every component class keeps an in-window scorer;
+        # see the round-12 block in plans/core.py)
         # round-8 rotation: the twelve entries that had never held a
         # driver-scored row — the eleven r7 tail additions plus the
         # newly oracle-backed approx_lineitem_stats (demoted to make
@@ -83,7 +82,9 @@ def test_driver_window_invariants():
         # coverage — see the round-11 blocks in plans/core.py)
         "lm_kn_trigram_probs",
         "ann_ivfpq_topk",
-        "ann_pq_recall",
+        # (ann_pq_recall rotated out in r12 for stream_cms_equality —
+        # the composed PQ+IVF plan stays in-window; the recall-gate
+        # class stays cell-exact twice in the tail)
         # (doc_hybrid_overlap_slice held a window slot in r8, earned
         # its green row, and rotated out in r9 for
         # zorder_clustering_stats — its overlap proof stays pinned by
@@ -163,10 +164,17 @@ def test_driver_window_invariants():
         "local_supplier_revenue_q5",
         "bloom_prejoin_report",
         "part_bag_set_ops",
-        # round-12 addition: in-window immediately (r12 swap in
-        # plans/core.py — lsh_incremental_index demoted, its class
-        # covered by this strictly harder capped-components entry)
+        # round-12 additions: in-window immediately (r12 swaps in
+        # plans/core.py — lsh_incremental_index demoted for the
+        # strictly harder capped-components entry;
+        # doc_hybrid_retrieval demoted for the DPP telemetry entry
+        # with every component class still scored in-window)
         "lsh_capped_star_components",
+        "dpp_partition_prune_report",
+        # ...and the tenth drained gate class (ann_pq_recall demoted —
+        # ann_ivfpq_topk keeps the composed PQ+IVF plan in-window; the
+        # recall-gate class stays cell-exact twice in the tail)
+        "stream_cms_equality",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry must carry an oracle (approx_lineitem_stats

@@ -178,6 +178,14 @@ HOTBAND_TARGETS = (
     # RARE unique-suffix shingles pair them, so output grows with the
     # cluster, candidates must not grow with df
     "jaccard_prefix_filter_pairs",
+    # r12: SNM under the mega-cluster — the boilerplate docs share
+    # their smallest-3/largest-3 token keys, so the whole cluster
+    # sorts ADJACENT in both passes; the W-window bound (candidates <=
+    # corpus x (W-1) x 2 by construction) is exactly what must hold
+    # where posting/bucket methods need df caps, and the hashed-gram
+    # verify (shared shingle_h120) is what keeps the candidate join's
+    # payload fixed-width while the cluster's gram df explodes
+    "snm_neardup_pairs",
 )
 
 # grouped/stateful per-user work is what a hot key stresses;
@@ -441,6 +449,28 @@ def _drain_funnel(spark, sf_dir: str) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _run_packing_partition_mode(spark, sf_dir: str) -> None:
+    """The packing step's PRODUCTION shape: ``pack_sequences`` with the
+    default ``spark_partition_id()`` shard key — zero extra shuffle,
+    docs-per-shard bounded by the input partitioning. The registry
+    entry pins ``pmod(doc_id, 8)`` for oracle determinism, which at
+    factor 30 concentrates ~factor x n_docs/8 docs into each of 8
+    fixed shards and drives the per-shard FFD loop super-linear (the
+    r11 SCALING caveat: exponent 0.84 was the fixture-shard artifact).
+    This target measures the partition-id mode the SCALING method note
+    claims returns the stage to ~linear — as data, not prose."""
+    from github_data_pipeline_spark.operators.packing import pack_sequences
+    from github_data_pipeline_spark.plans.packing_plans import PACK_BUDGET
+    from github_data_pipeline_spark.sources.tables import load_table, spread
+
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    pack_sequences(d, budget=PACK_BUDGET).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def time_queries(
     spark, sf_dir: str, names: tuple[str, ...], reps: int = 2
 ) -> dict[str, float]:
@@ -457,6 +487,8 @@ def time_queries(
                 _drain_interval_fold(spark, sf_dir)
             elif name == "funnel_stream_drain":
                 _drain_funnel(spark, sf_dir)
+            elif name == "seq_packing_partition_mode":
+                _run_packing_partition_mode(spark, sf_dir)
             else:
                 registry[name].builder(spark, sf_dir).write.format(
                     "noop"
@@ -509,6 +541,12 @@ def main() -> int:
         help="SCALING.md section tag (default: the skew mode); pass a "
         "distinct tag so a subset/deep-factor run doesn't overwrite "
         "the mode's full section",
+    )
+    ap.add_argument(
+        "--desc",
+        default=None,
+        help="with --tag: replaces the generic deep-factor blurb so the "
+        "subset section states what it exists to measure",
     )
     args = ap.parse_args()
 
@@ -628,8 +666,8 @@ def main() -> int:
     title, desc = headers[args.skew]
     tag = args.tag or args.skew
     if args.tag:
-        title = f"## Deep-factor check ({args.skew} mode, factor {args.factor})"
-        desc = (
+        title = f"## Subset check ({args.skew} mode, factor {args.factor})"
+        desc = args.desc or (
             "subset re-run at a deeper factor to confirm the worst\n"
             "exponents from the full-mode section hold (or caps engage)\n"
             "beyond factor 30."
