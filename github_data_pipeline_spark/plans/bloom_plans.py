@@ -184,6 +184,13 @@ def bloom_prejoin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int")
         hits = h if hits is None else hits + h
     matched = build.select(F.col("k"), F.lit(1).alias("is_match"))
+    # BOOKKEEPING join, not the production pattern: this SF-linear
+    # left join exists only to label is_match so the report can show
+    # real false positives next to true matches. A production pre-join
+    # ships ONLY the <= M/32 filter words to the probe side — the
+    # whole point is that the build side's keys never travel — and the
+    # actual verify join runs downstream on the (much smaller) set of
+    # bloom-passing rows. Unhinted on purpose: AQE picks the strategy.
     scored = (
         tested.withColumn("pass", (hits == BLOOM_K).cast("int"))
         .join(matched, "k", "left")

@@ -667,14 +667,11 @@ def _pca_oracle(dims: int) -> str:
     )
 
 
-def _tdiv(a: int, b: int) -> int:
-    """Integer division truncating toward zero — Spark's DECIMAL div
-    and DuckDB's HUGEINT // semantics (Python's // floors, which
-    diverges on negative operands)."""
-    q = abs(a) // abs(b)
-    return -q if (a < 0) != (b < 0) else q
-
-
+# All PCA-family integer division runs IN-PLAN as Spark's DECIMAL
+# `div` (truncates toward zero, same as DuckDB's HUGEINT `//`). The
+# driver-side _tdiv twin was deleted in r12 when the last collect()
+# left the family — the recurrence, the means, and the eigenvalue all
+# flow as data now.
 _DEC = "decimal(38,0)"
 
 
@@ -755,61 +752,80 @@ def _power_chain(
     return _pca_step(c, vdf)
 
 
-def _pca_frame(
-    spark: SparkSession, sf_dir: str, dims: int, iters: int = PCA_ITERS
-) -> DataFrame:
-    S, T = COV_FP, iters
+def _pca_centered(
+    spark: SparkSession, sf_dir: str, dims: int
+) -> tuple[DataFrame, DataFrame]:
+    """(c, stats1): the checkpointed centered fixed-point frame and a
+    checkpointed 1-row (mu ARRAY<BIGINT>, n) stats frame.
+
+    LONG-staged hot path: centered coordinates (|c| <= ~2S) and the
+    per-row dot (|dot| <= d * 2S * S ~ 1.3e14 at d=64, inside int64 up
+    to d ~ 3e4) stay primitive longs; only the y accumulation widens
+    to DECIMAL(38,0). The per-dim means are computed RELATIONALLY
+    (posexplode + grouped sum — the same O(1)-tree shape as _pca_step;
+    the 65-column aggregate this replaces cost ~2 s of analysis +
+    codegen per builder call) and flow as DATA: no collect() exists
+    anywhere in the PCA family now. sx div cnt truncates toward zero
+    in both engines (Spark decimal div == DuckDB HUGEINT //)."""
+    S = COV_FP
     e = load_table(spark, sf_dir, "embeddings").select("embedding")
-    # LONG-staged hot path: centered coordinates (|c| <= ~2S) and the
-    # per-row dot (|dot| <= d * 2S * S ~ 1.3e14 at d=64, inside int64
-    # up to d ~ 3e4) stay primitive longs — the interpreted
-    # higher-order zip_with/aggregate over boxed BigDecimals was the
-    # measured bench cost (each y-stage re-evaluated ~128 decimal HOF
-    # ops per row). Only the y accumulation itself (n * c_i * dot
-    # exceeds int64 past n ~ 35k rows) widens to DECIMAL(38,0), as one
-    # cast-then-multiply per (row, dim) inside codegen'd aggregates.
     fparr = (
         f"transform(slice(embedding, 1, {dims}), v -> "
         f"CAST(FLOOR(CAST(v AS DOUBLE) * {S}) AS BIGINT))"
     )
     raw = e.select(F.expr(fparr).alias("fx"))
-    stats = raw.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.element_at("fx", i + 1).cast(_DEC)).alias(f"sx{i}")
-            for i in range(dims)
-        ],
-    ).collect()[0]
-    n = int(stats["n"])
-    means = [_tdiv(int(stats[f"sx{i}"]), n) for i in range(dims)]
-    mean_arr = F.array(*[F.lit(m).cast("long") for m in means])
-    # centered fixed-point vectors as ONE array column; checkpointed so
-    # the T iteration scans replay a d-array projection, not the
-    # parquet decode + stats lineage
-    c = raw.select(
-        F.zip_with("fx", mean_arr, lambda x, m: x - m).alias("c")
-    ).localCheckpoint()
+    st = (
+        raw.select(F.posexplode("fx").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast(_DEC)).alias("sx"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    stats1 = st.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i,"
+            " CAST(sx div cnt AS BIGINT) AS mu))), s -> s.mu)"
+        ).alias("mu"),
+        F.max("cnt").cast("long").alias("n"),
+    ).localCheckpoint()  # 1 row; feeds centering AND the final lambda
+    c = (
+        raw.crossJoin(F.broadcast(stats1.select("mu")))
+        .select(F.zip_with("fx", "mu", lambda x, m: x - m).alias("c"))
+        .localCheckpoint()
+    )
+    return c, stats1
 
+
+def _pca_frame(
+    spark: SparkSession, sf_dir: str, dims: int, iters: int = PCA_ITERS
+) -> DataFrame:
+    S, T = COV_FP, iters
+    c, stats1 = _pca_centered(spark, sf_dir, dims)
     # The whole T-step recurrence is ONE lazy plan (see _pca_step: the
     # iterate flows as a 1-row broadcast so steps are literal-free and
     # codegen-cached; the d accumulators are rows so analysis is O(1)
     # in d). r11's driver loop paid ~0.5-1.5 s of fixed plan-analysis
-    # + JIT per step; the chain runs the same exact arithmetic in
-    # ~1.8 s total at sf0.1 (was ~8 s).
-    one = _pca_normalized(_power_chain(spark, c, dims, T))
+    # + JIT per step for fresh-literal 64-aggregate trees — measured
+    # r12 at sf0.1: this entry ~8 s -> ~3 s, the deflation twin
+    # ~14.5 s -> ~6 s (steady-state builder+execute).
+    one = _pca_normalized(_power_chain(spark, c, dims, T)).crossJoin(
+        F.broadcast(stats1.select("n"))
+    )
     return (
         one.select(
             F.posexplode("varr").alias("dim", "eigvec_fp"),
             F.expr(
-                f"CAST(m div CAST({n} AS {_DEC}) div"
+                f"CAST(m div CAST(n AS {_DEC}) div"
                 f" CAST({S} AS {_DEC}) AS BIGINT)"
             ).alias("lambda_fp12"),
+            "n",
         )
         .select(
             F.col("dim").cast("long").alias("dim"),
             F.col("eigvec_fp").cast("long").alias("eigvec_fp"),
             "lambda_fp12",
-            F.lit(n).cast("long").alias("n"),
+            F.col("n").cast("long").alias("n"),
         )
         .orderBy(F.asc("dim"))
     )
@@ -992,27 +1008,9 @@ def _pca_topk_oracle(dims: int, k: int) -> str:
 )
 def pca_topk_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, S, T, K = PCA_DIMS, COV_FP, PCA_TOPK_ITERS, PCA_TOPK
-    e = load_table(spark, sf_dir, "embeddings").select("embedding")
-    # long-staged hot path — see _pca_frame: c and dot are primitive
-    # longs; only the y accumulation widens to decimal
-    fparr = (
-        f"transform(slice(embedding, 1, {d}), v -> "
-        f"CAST(FLOOR(CAST(v AS DOUBLE) * {S}) AS BIGINT))"
-    )
-    raw = e.select(F.expr(fparr).alias("fx"))
-    stats = raw.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.element_at("fx", i + 1).cast(_DEC)).alias(f"sx{i}")
-            for i in range(d)
-        ],
-    ).collect()[0]
-    n = int(stats["n"])
-    means = [_tdiv(int(stats[f"sx{i}"]), n) for i in range(d)]
-    mean_arr = F.array(*[F.lit(m).cast("long") for m in means])
-    cur = raw.select(
-        F.zip_with("fx", mean_arr, lambda x, m: x - m).alias("c")
-    ).localCheckpoint()
+    # long-staged centered frame + 1-row stats, shared with the parent
+    # entry (_pca_centered): the means flow as data, no collect()
+    cur, stats1 = _pca_centered(spark, sf_dir, d)
 
     # Per component: the T-step power recurrence runs as ONE lazy plan
     # (the literal-free chain — see _pca_step), materialized once into
@@ -1065,11 +1063,12 @@ def pca_topk_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f2 in finals[1:]:
         rows = rows.unionByName(f2)
     return (
-        rows.select(
+        rows.crossJoin(F.broadcast(stats1.select("n")))
+        .select(
             "component",
             F.posexplode("varr").alias("dim", "eigvec_fp"),
             F.expr(
-                f"CAST(m div CAST({n} AS {_DEC}) div"
+                f"CAST(m div CAST(n AS {_DEC}) div"
                 f" CAST({S} AS {_DEC}) AS BIGINT)"
             ).alias("lambda_fp12"),
         )

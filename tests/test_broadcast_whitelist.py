@@ -109,9 +109,17 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/similarity_plans.py", "_pca_step"): (
         1, "the power-iteration iterate — ONE row (d-element array) "
            "flowing as data so the step plan is literal-free"),
+    ("plans/similarity_plans.py", "_pca_centered"): (
+        1, "the 1-row (mu array, n) stats frame attached for "
+           "centering — the relational replacement of the 65-column "
+           "stats collect"),
+    ("plans/similarity_plans.py", "_pca_frame"): (
+        1, "the same 1-row stats frame attached for the final "
+           "eigenvalue emission"),
     ("plans/similarity_plans.py", "pca_topk_deflation"): (
-        1, "the finished component (varr, q) — ONE checkpointed row "
-           "attached for the deflation projection"),
+        2, "the finished component (varr, q) — ONE checkpointed row "
+           "attached per deflation projection — plus the 1-row stats "
+           "frame for the eigenvalue emission"),
     ("plans/sketch_plans.py", "sketch_over"): (
         3, "1-row exact/sample/sketch attaches"),
     ("plans/sketch_plans.py", "kmv_incremental_merge"): (

@@ -146,6 +146,17 @@ TARGETS = (
     "doc_length_percentile_cont",
     "embedding_covariance_pairs",
     "pca_power_iteration",
+    # r12 additions over documents: the capped-components entry bands
+    # both corpus halves + closes candidates (label rows only in the
+    # loop); the streaming CMS drain's state is DxW counters, so its
+    # growth must be the token scan, not state management; packing's
+    # production shard mode is the partition-id twin measured in the
+    # packing_prod subset section. (dpp_partition_prune_report is
+    # deliberately absent: its scaled axis is orders/customer, which
+    # this mode symlinks fixed — its scale story IS the pruning
+    # telemetry the entry itself reports.)
+    "lsh_capped_star_components",
+    "stream_cms_equality",
 )
 
 # the dedup family is what a hot band stresses; decontam rides along
@@ -186,6 +197,13 @@ HOTBAND_TARGETS = (
     # verify (shared shingle_h120) is what keeps the candidate join's
     # payload fixed-width while the cluster's gram df explodes
     "snm_neardup_pairs",
+    # r12: the capped incremental path under the mega-cluster is the
+    # entry's raison d'être — the hot cluster's band bucket blows past
+    # STAR_CAP in every batch, so the star fallback (not a clique)
+    # must bound pair fan-out linearly in cluster size, and the
+    # min-label closure must collapse the cluster in O(log n) rounds
+    # of (long, long) rows
+    "lsh_capped_star_components",
 )
 
 # grouped/stateful per-user work is what a hot key stresses;
