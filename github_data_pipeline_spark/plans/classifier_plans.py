@@ -481,3 +481,200 @@ def classifier_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (SUM(CAST(pos AS DECIMAL(38,0))) * SUM(neg)) AS BIGINT)"
         ).alias("auc_e6"),
     )
+
+
+# --- round 12: isotonic (PAV) calibration of the classifier ---------------
+#
+# The step between a trained quality classifier and a usable sampling
+# probability: raw scores are NOT probabilities, and the standard
+# fix (Zadrozny & Elkan 2002) is isotonic regression of the empirical
+# label rate onto the score order — pool-adjacent-violators (PAV).
+# PAV's textbook form is a sequential stack, but its SOLUTION has a
+# closed relational characterization (the minimax theorem of isotonic
+# L2 regression, Ayer et al. 1955; Robertson-Wright-Dykstra):
+#
+#   fit(k) = max_{i <= k} min_{j >= k} mean(label over bins i..j)
+#
+# which is pure joins + aggregates over prefix sums — no recursion, no
+# UDF, and both engines replay it bit-identically in exact integer
+# arithmetic. Scores coarsen to BIN-domain-bounded reliability bins
+# (score div CAL_BINW — bounded by the classifier's fixed-point score
+# range, NOT the corpus), so the triangular pair/triple joins are
+# B^2/B^3 over B <= ~30 rows: constant work at any corpus size, while
+# the only corpus-sized stage is the one scan that bins (score, label).
+#
+# Exactness of the fixed point: bin means are distinct fractions with
+# denominators <= corpus docs n, so two distinct means differ by
+# >= 1/n^2; the e12 truncation keeps them strictly ordered for
+# n <= 1e6 docs and the max-min over truncated values equals the
+# truncated max-min. (Past that, raise the fixed point with the
+# corpus; the fixture SFs sit 5+ orders inside the bound.)
+
+CAL_BINW = 1_000  # reliability-bin width in score fixed-point units
+CAL_FP = 10**12
+
+_CAL_SCORED_SQL = f"""f AS (
+      SELECT len(toks) AS t,
+        len(list_filter(toks, x -> list_contains([{_STOPS}], lower(x))))
+          AS s,
+        len(list_distinct(toks)) AS u,
+        COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS c
+      FROM (SELECT {_TOKS} AS toks FROM documents)
+    ), scored AS (
+      SELECT
+        CASE WHEN t = 0 THEN 0 ELSE
+          {W_STOP} * ((s * {FP_SCALE}) // t)
+          + {W_TTR} * ((u * {FP_SCALE}) // t)
+          + {W_LEN} * ((c * {LEN_SCALE}) // t)
+        END AS score,
+        CASE WHEN t BETWEEN 20 AND 400 AND s * 10 >= t
+             THEN 1 ELSE 0 END AS label
+      FROM f
+    )"""
+
+
+@_add(
+    "classifier_isotonic_calibration",
+    f"""
+    WITH {_CAL_SCORED_SQL}, b AS (
+      SELECT score // {CAL_BINW} AS bin,
+             SUM(label) AS pos, COUNT(*) AS cnt
+      FROM scored GROUP BY 1
+    ), pre AS (
+      SELECT bin, pos, cnt,
+             SUM(pos) OVER (ORDER BY bin) AS p,
+             SUM(cnt) OVER (ORDER BY bin) AS c
+      FROM b
+    ), pairs AS (
+      SELECT a.bin AS i, z.bin AS j,
+             ((z.p - a.p + a.pos) * {CAL_FP})
+               // (z.c - a.c + a.cnt) AS m
+      FROM pre a JOIN pre z ON a.bin <= z.bin
+    ), mins AS (
+      SELECT k.bin AS bin, pr.i AS i, MIN(pr.m) AS mn
+      FROM pairs pr JOIN pre k
+        ON pr.i <= k.bin AND k.bin <= pr.j
+      GROUP BY 1, 2
+    ), fit AS (
+      SELECT bin, MAX(mn) AS fit FROM mins GROUP BY bin
+    )
+    SELECT CAST(b.bin AS BIGINT) AS score_bin,
+           CAST(b.cnt AS BIGINT) AS docs,
+           CAST(b.pos AS BIGINT) AS pos,
+           CAST((b.pos * {CAL_FP}) // b.cnt AS BIGINT) AS rate_e12,
+           CAST(ft.fit AS BIGINT) AS fit_e12,
+           CAST(CASE WHEN LAG(ft.fit) OVER (ORDER BY b.bin) IS NULL
+                     OR ft.fit >= LAG(ft.fit) OVER (ORDER BY b.bin)
+                THEN 1 ELSE 0 END AS INT) AS monotone_ok
+    FROM b JOIN fit ft ON ft.bin = b.bin
+    ORDER BY score_bin ASC
+    """,
+    doc="Isotonic (PAV) calibration of the quality classifier — the "
+    "score-to-probability step every classifier-gated sampling "
+    "pipeline needs: empirical label rates per reliability bin "
+    f"(score div {CAL_BINW}; the fixture has 5-7 adjacent-rate "
+    "VIOLATIONS at every SF, so the pooling is non-vacuous) fitted "
+    "by the closed minimax form of isotonic L2 regression, "
+    "fit(k) = max over i<=k of min over j>=k of mean(label, bins "
+    "i..j) — PAV's exact solution as joins + aggregates over prefix "
+    "sums, no sequential stack, no UDF, replayed bit-identically by "
+    "both engines in e12 integer fixed point (distinct bin means "
+    "stay strictly ordered under truncation for corpora to 1e6 "
+    "docs). The per-row monotone_ok flag pins the defining "
+    "invariant. Scale: the only corpus-sized stage is one scan "
+    "binning (score, label); the triangular pair/triple joins are "
+    "B^2/B^3 over a SCORE-domain-bounded bin table (B <= ~30 — "
+    "bounded by the classifier's fixed-point range, not the corpus), "
+    "so calibration is constant work on top of the scan at 100 TB.",
+    tags=("classifier", "calibration", "isotonic", "quality"),
+)
+def classifier_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents").select("text"))
+    toks = T.tokens("text")
+    f = d.select(
+        F.size(toks).cast("long").alias("t"),
+        T.stopword_hits(toks).cast("long").alias("s"),
+        F.size(F.array_distinct(toks)).cast("long").alias("u"),
+        T.char_count(toks).cast("long").alias("c"),
+    )
+    score = F.when(F.col("t") == 0, F.lit(0).cast("long")).otherwise(
+        F.lit(W_STOP) * F.expr(f"(s * {FP_SCALE}) div t")
+        + F.lit(W_TTR) * F.expr(f"(u * {FP_SCALE}) div t")
+        + F.lit(W_LEN) * F.expr(f"(c * {LEN_SCALE}) div t")
+    )
+    label = (
+        (F.col("t").between(20, 400) & (F.col("s") * 10 >= F.col("t")))
+        .cast("long")
+    )
+    # the one corpus-sized stage: bin (score, label); everything after
+    # operates on the score-domain-bounded bin table
+    b = (
+        f.select(score.alias("score"), label.alias("label"))
+        .groupBy(F.expr(f"score div {CAL_BINW}").alias("bin"))
+        .agg(
+            F.sum("label").alias("pos"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .localCheckpoint()  # <= ~30 rows; feeds pre, the triple join
+        # and the output assembly
+    )
+    # unpartitioned running sums are safe here for the same reason as
+    # classifier_roc_auc's: the input is bin-domain-bounded, not the
+    # corpus
+    wcum = Window.orderBy(F.asc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = b.select(
+        "bin",
+        "pos",
+        "cnt",
+        F.sum("pos").over(wcum).alias("p"),
+        F.sum("cnt").over(wcum).alias("c"),
+    )
+    a = pre.alias("a")
+    z = pre.alias("z")
+    m = F.expr(
+        f"CAST((CAST(z.p - a.p + a.pos AS DECIMAL(38,0)) * {CAL_FP})"
+        " div CAST(z.c - a.c + a.cnt AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    pairs = a.join(z, F.col("a.bin") <= F.col("z.bin")).select(
+        F.col("a.bin").alias("i"), F.col("z.bin").alias("j"), m.alias("m")
+    )
+    k = pre.select(F.col("bin").alias("k"))
+    mins = (
+        pairs.join(
+            k, (F.col("i") <= F.col("k")) & (F.col("k") <= F.col("j"))
+        )
+        .groupBy("k", "i")
+        .agg(F.min("m").alias("mn"))
+    )
+    fit = mins.groupBy("k").agg(F.max("mn").alias("fit"))
+    wlag = Window.orderBy(F.asc("score_bin"))
+    out = (
+        b.join(fit, b["bin"] == fit["k"])
+        .select(
+            F.col("bin").cast("long").alias("score_bin"),
+            F.col("cnt").cast("long").alias("docs"),
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(
+                f"CAST((CAST(pos AS DECIMAL(38,0)) * {CAL_FP})"
+                " div CAST(cnt AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("rate_e12"),
+            F.col("fit").cast("long").alias("fit_e12"),
+        )
+    )
+    return out.select(
+        "*",
+        F.when(
+            F.lag("fit_e12").over(wlag).isNull()
+            | (F.col("fit_e12") >= F.lag("fit_e12").over(wlag)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("monotone_ok"),
+    ).orderBy(F.asc("score_bin"))

@@ -874,5 +874,20 @@ def all_plans() -> Registry:
     #   CORRECTNESS_TAIL.json); the brute-force ground-truth shape
     #   remains allowlisted and pinned by tests/test_pq.py.
     REGISTRY.demote("ann_pq_recall")
+    # ...and one more for classifier_isotonic_calibration (registers
+    # at classifier_plans' in-window position — isotonic PAV
+    # calibration via the closed minimax form, the score-to-
+    # probability step between the classifier family and the sampling
+    # entries):
+    # - events_bfs_reach: green r10/r11; the iterative graph-closure
+    #   class is now scored in-window by lsh_capped_star_components
+    #   (min-label pointer jumping vs a recursive-CTE oracle — the
+    #   same fixpoint-reachability machinery BFS exercises), the graph
+    #   family keeps events_item_pagerank (anchor) and
+    #   events_triangle_census in-window, and the shared edge builder
+    #   (_edges_sql/item_edges) is exercised by the census entry; BFS
+    #   stays cell-exact under the local checker
+    #   (CORRECTNESS_TAIL.json) and pinned by tests/test_graph_plans.py.
+    REGISTRY.demote("events_bfs_reach")
 
     return REGISTRY

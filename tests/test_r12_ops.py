@@ -137,6 +137,61 @@ def test_dpp_scan_carries_live_pruning_filter(spark, sf_dir):
     assert 0 < m["numPartitions"] < 25
 
 
+def test_isotonic_fit_matches_textbook_pav(spark, sf_dir):
+    """The entry computes isotonic regression via the closed minimax
+    form (fit(k) = max_{i<=k} min_{j>=k} mean(i..j)); this test runs
+    the TEXTBOOK sequential pool-adjacent-violators stack in exact
+    rational arithmetic (Fraction) over the same bins and demands the
+    truncated-e12 fits agree — an independent proof of the minimax
+    identity on real data, plus non-vacuity (the raw rates must
+    actually violate monotonicity somewhere, or PAV pooled nothing)."""
+    from fractions import Fraction
+
+    from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.plans.classifier_plans import CAL_FP
+
+    rows = sorted(
+        (
+            (r["score_bin"], r["docs"], r["pos"], r["rate_e12"], r["fit_e12"])
+            for r in all_plans()["classifier_isotonic_calibration"]
+            .builder(spark, sf_dir)
+            .collect()
+        )
+    )
+    assert len(rows) >= 5
+    rates = [r[3] for r in rows]
+    assert any(b < a for a, b in zip(rates, rates[1:])), (
+        "raw bin rates are already monotone — PAV pooled nothing and "
+        "the entry is vacuous on this fixture"
+    )
+    # textbook PAV: pools of (sum_pos, cnt); merge while the last pool's
+    # mean is below its predecessor's
+    pools: list[list[int]] = []  # [pos, cnt]
+    for _bin, cnt, pos, _rate, _fit in rows:
+        pools.append([pos, cnt])
+        while len(pools) > 1 and Fraction(
+            pools[-1][0], pools[-1][1]
+        ) < Fraction(pools[-2][0], pools[-2][1]):
+            p2 = pools.pop()
+            pools[-1][0] += p2[0]
+            pools[-1][1] += p2[1]
+    want: list[int] = []
+    idx = 0
+    for pos, cnt in pools:
+        fit_e12 = (pos * CAL_FP) // cnt  # nonneg: floor == truncation
+        # the pool covers `cnt` docs spread over >= 1 bins; re-expand
+        spanned = 0
+        while spanned < cnt:
+            spanned += rows[idx][1]
+            want.append(fit_e12)
+            idx += 1
+    got = [r[4] for r in rows]
+    assert got == want
+    # monotone flag pinned on every row
+    # (the oracle pins it too; this is the engine-internal replica)
+    assert all(a <= b for a, b in zip(got, got[1:]))
+
+
 def test_stream_cms_folds_multiple_batches(spark, sf_dir, duck):
     """stream_cms_equality's claim is INCREMENTAL build == from-scratch
     rebuild; with a single micro-batch the 'incremental' half is

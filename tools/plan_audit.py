@@ -146,6 +146,14 @@ BNLJ_BY_DESIGN = {
     # cache compiles one step shape; no driver round-trips) — each
     # "join" moves one row
     "pca_power_iteration": "1-row iterate broadcast attach per step",
+    # the isotonic minimax (fit(k) = max_i min_j mean(i..j)) runs as
+    # triangular range self-joins over the RELIABILITY-BIN table —
+    # bounded by the classifier's fixed-point score domain (B <= ~30
+    # rows), never the corpus; B^2 pairs and B^3 triples are constant
+    # work on top of the single binning scan
+    "classifier_isotonic_calibration": (
+        "bin-domain-bounded triangular self-joins (B <= ~30)"
+    ),
     # same iterate attaches, plus the finished component's 1-row
     # (varr, q) attach for each deflation projection
     "pca_topk_deflation": "1-row iterate/component broadcast attach",
