@@ -179,24 +179,8 @@ def main() -> None:
         pass_probes.append(_cpu_probe32_ms())
 
     total = round(sum(timings.values()), 3)
-    pass_normalized = [
-        round(
-            pt
-            * _PROBE32_REF_MS
-            / max((pass_probes[i] + pass_probes[i + 1]) / 2.0, 1e-9),
-            1,
-        )
-        for i, pt in enumerate(pass_totals)
-    ]
-    # headline normalization: the min-of-2 total (same basis as
-    # ``value``, comparable round-over-round) scaled by the bracket
-    # mean of the LEAST-contended pass — under one contended pass the
-    # per-query minima come from the idle pass, so its bracket is the
-    # machine speed that actually produced them
-    best = min(range(len(pass_normalized)), key=pass_normalized.__getitem__)
-    best_bracket = (pass_probes[best] + pass_probes[best + 1]) / 2.0
-    value_normalized = round(
-        total * _PROBE32_REF_MS / max(best_bracket, 1e-9), 1
+    pass_normalized, value_normalized = _normalize_passes(
+        total, pass_totals, pass_probes
     )
     # Pass-spread telemetry. Even after the untimed warm-up pass, pass 1
     # systematically carries ~15-20% residual JIT/GC asymmetry on an
@@ -266,6 +250,45 @@ def main() -> None:
             }
         ),
         flush=True,
+    )
+
+
+def _normalize_passes(
+    total: float,
+    pass_totals: list[float],
+    pass_probes: list[float],
+    ref_ms: float = _PROBE32_REF_MS,
+) -> tuple[list[float], float]:
+    """(pass_normalized, value_normalized) from per-pass probe
+    brackets.
+
+    Each pass normalizes by its own bracket mean (telemetry). The
+    headline ``value_normalized`` scales the min-of-2 ``total`` by
+    the bracket mean of the LEAST-contended pass — chosen by the
+    PROBES (the physical measurement), never by the normalized
+    outcome: picking the lowest normalized total is circular (a pass
+    bracketed by a high probe always "normalizes well", which is
+    exactly the mid-run-contention overcorrection r11 flagged in the
+    old mean-of-endpoints form). Under one contended pass the
+    per-query minima come from the idle pass, so its bracket is the
+    machine speed that actually produced them.
+    """
+    pass_normalized = [
+        round(
+            pt
+            * ref_ms
+            / max((pass_probes[i] + pass_probes[i + 1]) / 2.0, 1e-9),
+            1,
+        )
+        for i, pt in enumerate(pass_totals)
+    ]
+    best = min(
+        range(len(pass_totals)),
+        key=lambda i: pass_probes[i] + pass_probes[i + 1],
+    )
+    best_bracket = (pass_probes[best] + pass_probes[best + 1]) / 2.0
+    return pass_normalized, round(
+        total * ref_ms / max(best_bracket, 1e-9), 1
     )
 
 

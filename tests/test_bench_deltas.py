@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 
-from bench import _recover_prev
+from bench import _normalize_passes, _recover_prev
 
 _TIMINGS = {"q_alpha": 1.5, "q_beta": 2.25, "q_gamma": 0.75}
 
@@ -89,3 +89,29 @@ def test_no_recovery_path_reports_empty(tmp_path):
     missing = str(tmp_path / "nope.jsonl")
     got = _recover_prev({"tail": '": 0.812}'}, missing)
     assert "queries" not in got
+
+
+def test_normalization_picks_least_contended_pass_by_probe():
+    """r11 verdict #2's failure case: an idle pass followed by a
+    contended pass. The headline normalization must scale by the IDLE
+    pass's probe bracket (240, 240 -> factor 1.0), not be dragged by
+    the contended pass — and must never pick a pass because its high
+    bracket makes its normalized total LOOK small (the circular
+    overcorrection: 354 * 240/514 = 165 would beat the honest 216)."""
+    # probes: idle before+between (240), contended at the end (788)
+    pass_norm, value_norm = _normalize_passes(
+        total=216.0,  # min-of-2 ~= the idle pass's values
+        pass_totals=[216.0, 354.0],
+        pass_probes=[240.0, 240.0, 788.0],
+    )
+    assert value_norm == 216.0  # idle bracket = factor 1.0, stable
+    # telemetry still shows both per-pass figures
+    assert pass_norm[0] == 216.0
+    assert pass_norm[1] < 216.0  # the would-be overcorrection, visible
+    # symmetric case: contention during pass 1, idle pass 2
+    _, v2 = _normalize_passes(
+        total=216.0,
+        pass_totals=[354.0, 216.0],
+        pass_probes=[788.0, 240.0, 240.0],
+    )
+    assert v2 == 216.0

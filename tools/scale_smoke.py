@@ -157,6 +157,10 @@ TARGETS = (
     # telemetry the entry itself reports.)
     "lsh_capped_star_components",
     "stream_cms_equality",
+    # ...and isotonic calibration: one binning scan + B^2/B^3 joins
+    # over the score-domain-bounded bin table — the exponent must
+    # track the scan, with the minimax joins invisible at any factor
+    "classifier_isotonic_calibration",
 )
 
 # the dedup family is what a hot band stresses; decontam rides along
