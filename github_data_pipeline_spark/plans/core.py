@@ -201,6 +201,10 @@ def all_plans() -> Registry:
     # executed scan's own telemetry vs a purely-relational oracle —
     # the fourth physical-layout lever made oracle-scorable
     from . import dpp_plans  # noqa: F401
+    # ...and weak-supervision label aggregation (Snorkel-family
+    # majority baseline + per-LF diagnostics as one unpivoted 1-row
+    # counter aggregate)
+    from . import weaklabel_plans  # noqa: F401
     # round-10 session-2, third wave: OHLC arg-extreme downsampling +
     # median/MAD robust outlier gate. These two land at positions
     # 50-51 — one past the window edge (the r8 cube's spot) — and stay
@@ -889,5 +893,20 @@ def all_plans() -> Registry:
     #   stays cell-exact under the local checker
     #   (CORRECTNESS_TAIL.json) and pinned by tests/test_graph_plans.py.
     REGISTRY.demote("events_bfs_reach")
+    # ...and one more for weak_label_vote_report (weaklabel_plans'
+    # in-window import position above — the vote-matrix face of
+    # training-data selection):
+    # - stratified_sample_exact: green r8-r11 (four consecutive driver
+    #   rows); the deterministic-md5 selection discipline stays
+    #   cell-exact in the tail THREE ways (budget_sample_counts,
+    #   mixture_alpha_sampling, train_shard_manifest) and its
+    #   rank-window quota machinery stays scored in-window by
+    #   salted_group_topk (the same two-phase per-group rank window);
+    #   the data-SELECTION family it anchors gains two NEW in-window
+    #   faces this round (isotonic calibration — the score the
+    #   sampler consumes — and the weak-label vote matrix rotating
+    #   in); stays cell-exact under the local checker
+    #   (CORRECTNESS_TAIL.json) and pinned by tests/test_mining.py.
+    REGISTRY.demote("stratified_sample_exact")
 
     return REGISTRY

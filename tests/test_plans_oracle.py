@@ -96,7 +96,10 @@ def test_driver_window_invariants():
         # (r11: hard_negative_mining, lm_bigram_lift,
         # doc_dup_ngram_rate, dq_referential_audit and
         # rollup_incremental_merge rotated out — plans/core.py r11)
-        "stratified_sample_exact",
+        # (stratified_sample_exact rotated out in r12 for the
+        # weak-label vote report after four greens — md5-selection
+        # stays cell-exact three ways in the tail, rank-window quotas
+        # scored by salted_group_topk; see plans/core.py)
         "stream_sliding_rollup",
         "stream_sessionization",
         "stream_watermark_dedup",
@@ -181,6 +184,9 @@ def test_driver_window_invariants():
         # (events_bfs_reach demoted — iterative closure scored by the
         # capped-LSH components entry)
         "classifier_isotonic_calibration",
+        # ...and the weak-supervision vote-matrix report
+        # (stratified_sample_exact demoted with three tail twins)
+        "weak_label_vote_report",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry must carry an oracle (approx_lineitem_stats

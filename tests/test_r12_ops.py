@@ -192,6 +192,38 @@ def test_isotonic_fit_matches_textbook_pav(spark, sf_dir):
     assert all(a <= b for a, b in zip(got, got[1:]))
 
 
+def test_weak_label_votes_are_nonvacuous(spark, sf_dir):
+    """The vote report is only informative if the fixture exercises
+    the interesting lanes: real conflicts (some LF contradicted by
+    another), real abstention (some LF covers < 100%), both vote
+    polarities present somewhere, and overlap everywhere an LF votes
+    alongside another. Also pins the per-LF arithmetic invariants
+    (votes = pos + neg; conflict <= overlap <= votes)."""
+    from github_data_pipeline_spark.plans import all_plans
+    from github_data_pipeline_spark.plans.weaklabel_plans import WL_FP
+
+    rows = {
+        r["lf"]: r
+        for r in all_plans()["weak_label_vote_report"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["votes"] == r["pos"] + r["neg"], r
+        assert r["conflicts"] <= r["overlaps"] <= r["votes"], r
+        assert 0 <= r["majority_agree"] <= r["votes"], r
+    assert any(r["conflicts"] > 0 for r in rows.values()), (
+        "no LF ever conflicts with another — the conflict diagnostic "
+        "is vacuous on this fixture"
+    )
+    assert any(r["coverage_e6"] < WL_FP for r in rows.values()), (
+        "every LF covers 100% — abstention is vacuous"
+    )
+    assert any(r["pos"] > 0 for r in rows.values())
+    assert any(r["neg"] > 0 for r in rows.values())
+
+
 def test_stream_cms_folds_multiple_batches(spark, sf_dir, duck):
     """stream_cms_equality's claim is INCREMENTAL build == from-scratch
     rebuild; with a single micro-batch the 'incremental' half is

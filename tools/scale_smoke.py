@@ -161,6 +161,9 @@ TARGETS = (
     # over the score-domain-bounded bin table — the exponent must
     # track the scan, with the minimax joins invisible at any factor
     "classifier_isotonic_calibration",
+    # ...and the weak-label vote matrix: one scan computing K votes
+    # map-side + a 1-row counter aggregate — must track the scan
+    "weak_label_vote_report",
 )
 
 # the dedup family is what a hot band stresses; decontam rides along
