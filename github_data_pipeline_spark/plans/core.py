@@ -205,6 +205,19 @@ def all_plans() -> Registry:
     # majority baseline + per-LF diagnostics as one unpivoted 1-row
     # counter aggregate)
     from . import weaklabel_plans  # noqa: F401
+    # round-12 session-2 additions, imported at in-window positions so
+    # each earns a driver verdict THIS round (matching demotions in
+    # the round-12 session-2 swap block below): the TPC-H completion
+    # set — the seven plan-shape-diverse queries (Q7 disjunctive pair
+    # predicate, Q8 two-level conditional share, Q14 exact-ppm ratio,
+    # Q15 argmax-vs-global-max with ties, Q17 correlated-avg
+    # decorrelation, Q18 HAVING semi-filter, Q21 EXISTS+NOT-EXISTS
+    # double correlation) still expressible on the fixture's columns
+    from . import tpch_plans  # noqa: F401
+    # ...and Bradley-Terry pairwise-preference aggregation (the
+    # RLHF-preference face of training-data selection: per-user
+    # pairwise wins -> exact-integer MM strength iteration)
+    from . import preference_plans  # noqa: F401
     # round-10 session-2, third wave: OHLC arg-extreme downsampling +
     # median/MAD robust outlier gate. These two land at positions
     # 50-51 — one past the window edge (the r8 cube's spot) — and stay
@@ -908,5 +921,77 @@ def all_plans() -> Registry:
     #   in); stays cell-exact under the local checker
     #   (CORRECTNESS_TAIL.json) and pinned by tests/test_mining.py.
     REGISTRY.demote("stratified_sample_exact")
+
+    # round-12 session-2 swap: the TPC-H completion set (seven entries
+    # registered at tpch_plans' in-window import position above) plus
+    # Bradley-Terry preference aggregation (preference_plans) take
+    # window slots so all eight earn driver verdicts THIS round. Eight
+    # entries rotate out, every one green in CORRECTNESS_r11.json (and
+    # most for several consecutive rounds), each with its operator
+    # class still scored in-window:
+    # - doc_length_quantiles_histogram: green r5-r12; the quantile
+    #   family keeps doc_length_percentile_cont in-window (the exact-
+    #   rational PERCENTILE_CONT, strictly harder than the disc cuts),
+    #   and the width_bucket histogram shape stays cell-exact in the
+    #   tail next to doc_length_percentiles + orders_per_customer_
+    #   histogram (CORRECTNESS_TAIL.json).
+    REGISTRY.demote("doc_length_quantiles_histogram")
+    # - kmv_incremental_merge: green r9-r12; the mergeable-sketch IVM
+    #   contract (merge(sketch(A), sketch(B)) == sketch(A ∪ B)) is now
+    #   scored in-window by stream_cms_equality (the same monoid
+    #   discipline, drained through a real foreachBatch restart), the
+    #   KMV estimator stays cell-exact in the tail (kmv_sketch_stats),
+    #   and the incremental-merge family keeps incremental_split_update
+    #   and cdc_apply_changes in-window.
+    REGISTRY.demote("kmv_incremental_merge")
+    # - classifier_roc_auc: green r10-r12; the classifier-eval family
+    #   keeps classifier_isotonic_calibration in-window (it consumes
+    #   the SAME score column the AUC ranks), the rank-sum machinery
+    #   stays scored by salted_group_topk's rank windows, and both
+    #   curve faces stay cell-exact in the tail (classifier_pr_curve,
+    #   classifier_roc_auc itself under the local checker).
+    REGISTRY.demote("classifier_roc_auc")
+    # - events_triangle_census: green r10-r12; the graph family keeps
+    #   events_item_pagerank (anchor) and lsh_capped_star_components
+    #   (iterative closure) in-window; the census's oriented-edge
+    #   self-join machinery stays cell-exact in the tail next to
+    #   events_bfs_reach (CORRECTNESS_TAIL.json) and pinned by
+    #   tests/test_graph_plans.py.
+    REGISTRY.demote("events_triangle_census")
+    # - embedding_covariance_pairs: green r10-r12; the PCA pair
+    #   (pca_power_iteration + pca_topk_deflation) stays in-window and
+    #   CONSUMES the same centered-covariance machinery every
+    #   iteration; both explicit covariance faces stay cell-exact in
+    #   the tail (embedding_covariance, the pairs entry itself).
+    REGISTRY.demote("embedding_covariance_pairs")
+    # - events_hourly_ohlc: green r11-r12; its arg-extreme-per-bucket
+    #   selection is now scored in-window by top_supplier_q15 (argmax
+    #   against the global max with ties — the same exact-integer
+    #   arg-extreme discipline) plus the rank-window anchors; OHLC
+    #   stays cell-exact in the tail.
+    REGISTRY.demote("events_hourly_ohlc")
+    # - events_robust_outliers: green r11-r12; the exact-quantile
+    #   machinery it gates on stays in-window via
+    #   doc_length_percentile_cont, and both outlier faces stay
+    #   cell-exact in the tail (events_value_outliers z-score,
+    #   median/MAD itself).
+    REGISTRY.demote("events_robust_outliers")
+    # - events_user_skew_report: green r11-r12; the skew-handling
+    #   class keeps salted_group_topk in-window (the remedy whose
+    #   diagnosis this report is), salted_priority_revenue stays
+    #   cell-exact in the tail, and the report itself remains under
+    #   the local checker.
+    REGISTRY.demote("events_user_skew_report")
+    # - gh_pr_issue_state_join: green r6-r12 (seven consecutive driver
+    #   rows, the longest-tenured non-anchor); the Scenario-4/9 state
+    #   join machinery keeps THREE in-window GitHub twins
+    #   (gh_prs_with_linked_issues — the same linker join graph,
+    #   gh_cross_repo_links, gh_blame_file_summary) plus the scenario
+    #   unit suite (tests/test_linkers.py, tests/test_scenarios.py);
+    #   the entry stays cell-exact under the local checker. Its slot
+    #   goes to discounted_revenue_q19 (the ninth session-2 addition —
+    #   cross-table disjunctive brackets with explicit per-scan
+    #   weakenings, a pushdown lever no other entry exercises).
+    REGISTRY.demote("gh_pr_issue_state_join")
 
     return REGISTRY

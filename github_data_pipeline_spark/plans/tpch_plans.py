@@ -1,0 +1,779 @@
+"""TPC-H completion set: the plan-shape-diverse queries the relational
+family did not yet cover, each expressible on the driver fixture (which
+ships no ``partsupp`` and no ``l_commitdate``/``l_receiptdate``/
+``l_shipmode`` columns — Q2/Q9/Q11/Q12/Q16/Q20 are therefore out of
+scope; Q17/Q19/Q21 are adapted to the available columns with the SAME
+logical plan shape as the spec query).
+
+Why these seven: each exercises a distinct optimizer/runtime lever that
+the existing entries (Q1 pricing_summary, Q3 shipping_priority, Q4
+urgent_orders_with_late_items, Q5 local_supplier_revenue_q5, Q10
+top_customers_by_revenue, Q13 orders_per_customer_histogram, Q22-anti
+customers_without_orders) do not:
+
+* Q7  — a DISJUNCTIVE join predicate over a region PAIR: the filter
+  cannot be pushed into either dimension alone, only the two-name
+  union can; the pair constraint evaluates post-join.
+* Q8  — two-level conditional aggregation (market share): numerator is
+  a predicated slice of the SAME aggregated rows, one pass, no re-scan.
+* Q14 — conditional-ratio aggregation with exact integer parts-per-
+  million division (promo revenue share).
+* Q15 — argmax against a GLOBAL scalar max with ties kept: the max is
+  a 1-row aggregate joined back on an EQUI condition (value equality),
+  so Spark picks BroadcastHashJoin, not a nested loop.
+* Q17 — correlated per-group AVG decorrelated into an aggregate +
+  join-back, compared EXACTLY in integers (5*qty*cnt < sum_qty avoids
+  the avg division entirely).
+* Q18 — HAVING on a fact-side aggregate used as a semi-filter join-back.
+* Q19 — a disjunction of conjunctive brackets mixing columns from BOTH
+  join sides, with the per-table weakenings stated explicitly so the
+  scans stay pruned (Catalyst cannot derive them from the OR itself).
+* Q21 — the EXISTS + NOT EXISTS double correlation (suppliers who were
+  the SOLE late supplier on a multi-supplier order), decorrelated into
+  two keyed aggregations and one join — no correlated re-scans.
+
+All money flows through exact integer micros (functions/money.py), so
+results are partitioning-independent and hash-stable. Reference parity:
+the reference repo (``/root/reference``, a GitHub-data pipeline) has no
+relational engine; these queries extend the analytics surface beyond it
+exactly as SURVEY.md §2.3-2.6 prescribe for the TPC-H-ish fixture.
+
+Scale notes (100 TB): every join here is either dimension-broadcast
+(nation/supplier/part at fixture SFs, size-gated by
+``broadcast_if_bounded`` so they fall back to shuffle joins when the
+dimension outgrows the executor budget) or a fact-fact equi join that
+shuffles once on its natural key; every aggregate is partial-before-
+shuffle (map-side combine); no driver-side loops, no Python stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import cents_of
+from ..operators.hints import broadcast_if_bounded, parquet_row_bound
+from ..sources.tables import load_table
+from .core import REGISTRY
+
+_add = REGISTRY.add
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_MICROS = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Q7: volume shipping between a nation pair (disjunctive join predicate)
+# --------------------------------------------------------------------------
+
+
+@_add(
+    "volume_shipping_q7",
+    """
+    SELECT r1.r_name AS supp_region,
+           r2.r_name AS cust_region,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 1000000) AS BIGINT)) AS BIGINT)
+             AS revenue_micros,
+           CAST(COUNT(*) AS BIGINT) AS lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+        OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+      AND l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate <  DATE '1998-01-01'
+    GROUP BY r1.r_name, r2.r_name, EXTRACT(YEAR FROM l.l_shipdate)
+    """,
+    doc="TPC-H Q7 (volume shipping): revenue between a PAIR of trade "
+    "regions by shipping year, with the disjunctive pair predicate "
+    "(the spec's FRANCE<->GERMANY shape, lifted to ASIA<->EUROPE so "
+    "the slice stays non-vacuous at every fixture SF — sf0.001 ships "
+    "only ~10 suppliers, so any single-nation pair can be empty). "
+    "The single-side membership filter IS pushdown-able — each "
+    "broadcast nation+region dim is pre-filtered to the two region "
+    "names, so the fact joins see only qualifying rows — but the PAIR "
+    "constraint (excluding ASIA->ASIA and EUROPE->EUROPE) is "
+    "irreducibly post-join and evaluates as a cheap filter on the "
+    "joined stream. Date range prunes the lineitem scan "
+    "(PushedFilters). Both fact-fact joins shuffle once on their "
+    "natural keys; the year extraction is a scan-side expression, so "
+    "the final aggregate groups 2 x 2 x |years| cells, map-side "
+    "combinable. At 100 TB the pre-filtered dims stay tiny regardless "
+    "of SF — this plan's cost is one orderkey shuffle, by "
+    "construction.",
+    tags=("join", "agg", "tpch"),
+)
+def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    regions = ("ASIA", "EUROPE")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin(*regions))
+    nr = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "r_name"
+    )
+    n1 = nr.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("r_name").alias("supp_region")
+    )
+    n2 = nr.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("r_name").alias("cust_region")
+    )
+    s = broadcast_if_bounded(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+        parquet_row_bound(sf_dir, "supplier"),
+    ).join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+    c = broadcast_if_bounded(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        parquet_row_bound(sf_dir, "customer"),
+    ).join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair_ok = (
+        (F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE")
+    ) | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(pair_ok)
+        .groupBy(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                cents_of(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+            ).alias("revenue_micros"),
+            F.count(F.lit(1)).alias("lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8: national market share (two-level conditional aggregation)
+# --------------------------------------------------------------------------
+
+
+@_add(
+    "market_share_q8",
+    """
+    WITH all_orders AS (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                        * 1000000) AS BIGINT) AS volume_micros,
+             r1.r_name AS supp_region
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE r2.r_name = 'AMERICA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= DATE '1996-01-01'
+        AND o.o_orderdate <  DATE '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_region = 'ASIA'
+                         THEN volume_micros ELSE 0 END) AS BIGINT)
+             AS nation_micros,
+           CAST(SUM(volume_micros) AS BIGINT) AS total_micros,
+           CAST(CAST(SUM(CASE WHEN supp_region = 'ASIA'
+                              THEN volume_micros ELSE 0 END) AS HUGEINT)
+                * 1000000
+                // GREATEST(SUM(volume_micros), 1) AS BIGINT)
+             AS mkt_share_ppm
+    FROM all_orders
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 (national market share): of all ECONOMY-part order "
+    "volume delivered into the AMERICA market in 1996-1997, what share "
+    "came from ASIA-region suppliers, per order year (the spec's "
+    "single-nation numerator is lifted to the supplier REGION so the "
+    "slice stays non-vacuous at sf0.001's ~10 suppliers — the plan "
+    "shape is identical). The optimizer-"
+    "relevant shape: the numerator is a PREDICATED SLICE of the same "
+    "rows as the denominator, so one pass computes both via "
+    "conditional aggregation — no second scan, no self-join (the "
+    "naive spec phrasing re-aggregates a subquery). Seven-table join "
+    "graph: part/nation/region broadcast unconditionally (constant or "
+    "SF-invariant), supplier/customer size-gated, the two fact-fact "
+    "joins shuffle on orderkey/partkey. The share is exact integer "
+    "parts-per-million: numerator widened to 128-bit before the "
+    "multiply (micros x 1e6 overflows int64 beyond ~SF0.05), then "
+    "truncating integer division — bit-identical across engines, no "
+    "floating point anywhere. At 100 TB: the date+type filters reach "
+    "the scans (PushedFilters), and the aggregate carries |years| "
+    "rows per partition into the final exchange.",
+    tags=("join", "agg", "tpch"),
+)
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    p = broadcast_if_bounded(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey"),
+        parquet_row_bound(sf_dir, "part"),
+    )
+    s = broadcast_if_bounded(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+        parquet_row_bound(sf_dir, "supplier"),
+    )
+    c = broadcast_if_bounded(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        parquet_row_bound(sf_dir, "customer"),
+    )
+    reg = _t(spark, sf_dir, "region")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .join(reg, F.col("n_regionkey") == reg.r_regionkey)
+        .select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("r_name").alias("supp_region"),
+        )
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey")
+    )
+    r = reg.filter(F.col("r_name") == "AMERICA").select("r_regionkey")
+    vol = cents_of(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    base = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_rkey") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume_micros"),
+            "supp_region",
+        )
+    )
+    nation_sum = F.sum(
+        F.when(F.col("supp_region") == "ASIA", F.col("volume_micros")).otherwise(
+            F.lit(0)
+        )
+    )
+    total_sum = F.sum("volume_micros")
+    return (
+        base.groupBy("o_year")
+        .agg(
+            nation_sum.alias("nation_micros"),
+            total_sum.alias("total_micros"),
+        )
+        .select(
+            "o_year",
+            "nation_micros",
+            "total_micros",
+            F.expr(
+                "CAST(CAST(nation_micros AS DECIMAL(38,0)) * 1000000"
+                " div GREATEST(total_micros, 1) AS BIGINT)"
+            ).alias("mkt_share_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14: promotion revenue share (conditional ratio, exact ppm)
+# --------------------------------------------------------------------------
+
+
+@_add(
+    "promo_revenue_q14",
+    """
+    SELECT CAST(EXTRACT(MONTH FROM l.l_shipdate) AS BIGINT) AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                         * 1000000) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_micros,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 1000000) AS BIGINT)) AS BIGINT)
+             AS total_micros,
+           CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(ROUND(l.l_extendedprice
+                                              * (1 - l.l_discount)
+                                              * 1000000) AS BIGINT)
+                              ELSE 0 END) AS HUGEINT) * 1000000
+                // GREATEST(SUM(CAST(ROUND(l.l_extendedprice
+                                           * (1 - l.l_discount)
+                                           * 1000000) AS BIGINT)), 1)
+                AS BIGINT) AS promo_ppm
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate <  DATE '1997-01-01'
+    GROUP BY EXTRACT(MONTH FROM l.l_shipdate)
+    """,
+    doc="TPC-H Q14 (promotion effect), widened from the spec's single "
+    "month to all twelve 1996 ship months: the share of revenue from "
+    "PROMO-type parts, as an exact integer parts-per-million ratio. "
+    "Same one-pass conditional-aggregation discipline as Q8 — the "
+    "promo slice and the total are computed from the same joined rows "
+    "in one aggregate, never via two scans. part is a broadcast dim "
+    "carrying only (partkey, is-promo); the date filter prunes the "
+    "lineitem scan. The ppm division widens to 128-bit first "
+    "(DECIMAL(38,0) / HUGEINT) and truncates — bit-identical across "
+    "engines at any SF. At 100 TB this is one lineitem scan, one "
+    "broadcast hash join, one 12-group aggregate.",
+    tags=("join", "agg", "tpch"),
+)
+def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    ).select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+    p = broadcast_if_bounded(
+        _t(spark, sf_dir, "part").select(
+            "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+        ),
+        parquet_row_bound(sf_dir, "part"),
+    )
+    vol = cents_of(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.month("l_shipdate").cast("long").alias("ship_month"),
+            vol.alias("v"),
+            "is_promo",
+        )
+        .groupBy("ship_month")
+        .agg(
+            F.sum(F.when(F.col("is_promo"), F.col("v")).otherwise(F.lit(0))).alias(
+                "promo_micros"
+            ),
+            F.sum("v").alias("total_micros"),
+        )
+        .select(
+            "ship_month",
+            "promo_micros",
+            "total_micros",
+            F.expr(
+                "CAST(CAST(promo_micros AS DECIMAL(38,0)) * 1000000"
+                " div GREATEST(total_micros, 1) AS BIGINT)"
+            ).alias("promo_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15: top supplier (argmax against a global scalar max, ties kept)
+# --------------------------------------------------------------------------
+
+
+@_add(
+    "top_supplier_q15",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                 * 1000000) AS BIGINT)) AS BIGINT)
+               AS total_revenue_micros
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate <  DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT CAST(r.suppkey AS BIGINT) AS suppkey,
+           s.s_name AS supplier_name,
+           r.total_revenue_micros
+    FROM rev r
+    JOIN supplier s ON r.suppkey = s.s_suppkey
+    WHERE r.total_revenue_micros = (SELECT MAX(total_revenue_micros) FROM rev)
+    """,
+    doc="TPC-H Q15 (top supplier): quarterly revenue per supplier, then "
+    "every supplier whose revenue EQUALS the global maximum — the "
+    "spec's create-view + scalar-subquery phrasing, decorrelated to an "
+    "aggregate + join-back. The key plan point: the join-back "
+    "condition is VALUE EQUALITY against a 1-row max aggregate, an "
+    "equi-key Spark hash-joins (BroadcastHashJoin on the 1-row side) — "
+    "no window-over-everything, no nested loop, and ties are kept by "
+    "construction (the spec requires all maxima). rev is bounded by "
+    "|suppliers| rows post-aggregation, so the join-back input is "
+    "already tiny at any SF; the heavy work is the one partial-"
+    "aggregated suppkey shuffle over the date-pruned lineitem scan. "
+    "Exact integer micros make 'equals the max' well-defined — a "
+    "double SUM here would make tie detection partitioning-dependent.",
+    tags=("join", "agg", "topk", "tpch"),
+)
+def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                cents_of(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+            ).alias("total_revenue_micros")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue_micros").alias("max_revenue_micros"))
+    s = broadcast_if_bounded(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
+        parquet_row_bound(sf_dir, "supplier"),
+    )
+    return (
+        rev.join(
+            F.broadcast(mx),
+            rev.total_revenue_micros == mx.max_revenue_micros,
+        )
+        .join(s, rev.suppkey == s.s_suppkey)
+        .select(
+            F.col("suppkey").cast("long").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            "total_revenue_micros",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 (adapted): small-quantity revenue via correlated per-part average
+# --------------------------------------------------------------------------
+
+
+@_add(
+    "small_qty_revenue_q17",
+    """
+    WITH pl AS (
+      SELECT l.l_partkey,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS qty,
+             CAST(ROUND(l.l_extendedprice * 1000000) AS BIGINT)
+               AS price_micros
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#12'
+    ), st AS (
+      SELECT l_partkey,
+             CAST(SUM(qty) AS BIGINT) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pl GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(pl.price_micros) AS BIGINT)
+             AS small_qty_revenue_micros,
+           CAST(COUNT(*) AS BIGINT) AS small_qty_lineitems,
+           CAST(COUNT(DISTINCT pl.l_partkey) AS BIGINT) AS parts_hit
+    FROM pl
+    JOIN st ON pl.l_partkey = st.l_partkey
+    WHERE 5 * pl.qty * st.cnt < st.sum_qty
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue), adapted to the "
+    "fixture's columns (the spec's p_container filter is replaced by "
+    "the p_brand filter alone — same selectivity role, identical plan "
+    "shape): lineitems of Brand#12 parts whose quantity is below 20% "
+    "of that part's average quantity. The spec phrases this as a "
+    "CORRELATED scalar subquery (0.2 * avg over the same part); here "
+    "it is decorrelated into one per-part aggregate + join-back, and "
+    "the fractional-average comparison is made EXACT in integers: "
+    "qty < 0.2 * (sum/cnt)  <=>  5*qty*cnt < sum_qty (quantities are "
+    "integral, cnt > 0) — no division, no doubles, no rounding-edge "
+    "ambiguity between engines. Both the aggregate and the join-back "
+    "shuffle on partkey — AQE coalesces them onto one exchange "
+    "footprint; the brand filter reaches both scans via the broadcast "
+    "part dim. At 100 TB this is the canonical avg-correlation "
+    "pattern done scale-right: aggregate once, join back, never "
+    "re-scan per row.",
+    tags=("join", "agg", "tpch"),
+)
+def small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = broadcast_if_bounded(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey"),
+        parquet_row_bound(sf_dir, "part"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pl = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_partkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        cents_of(F.col("l_extendedprice"), 6).alias("price_micros"),
+    )
+    st = pl.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    joined = pl.join(st, "l_partkey").filter(
+        F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty")
+    )
+    return joined.agg(
+        F.sum("price_micros").alias("small_qty_revenue_micros"),
+        F.count(F.lit(1)).alias("small_qty_lineitems"),
+        F.countDistinct("l_partkey").alias("parts_hit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18: large-volume customers (HAVING as a semi-filter join-back)
+# --------------------------------------------------------------------------
+
+
+@_add(
+    "large_volume_customer_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) >= 250
+    )
+    SELECT c.c_name,
+           CAST(c.c_custkey AS BIGINT) AS custkey,
+           CAST(o.o_orderkey AS BIGINT) AS orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_price_cents,
+           big.sum_qty
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="TPC-H Q18 (large-volume customer): orders whose total line "
+    "quantity reaches 250 (fixture p99 is 262, so the gate is "
+    "selective but non-vacuous), enriched with customer and order "
+    "detail. The optimizer lever: HAVING on the fact-side aggregate "
+    "acts as a SEMI-FILTER — the aggregate collapses lineitem to one "
+    "row per order BEFORE any dimension join, so the enrichment joins "
+    "see only the few qualifying orders, not the raw fact. Spark "
+    "evaluates the HAVING as a post-aggregate filter on the already "
+    "partial-aggregated exchange; orders joins on the aggregate's own "
+    "key (orderkey, no re-shuffle of the big side under AQE), customer "
+    "is size-gated broadcast. No ORDER/LIMIT — the driver's sorted "
+    "hash-compare makes row order irrelevant, and keeping all "
+    "qualifying rows dodges the spec's top-100 tie ambiguity.",
+    tags=("join", "agg", "having", "tpch"),
+)
+def large_volume_customer_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") >= 250)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = broadcast_if_bounded(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        parquet_row_bound(sf_dir, "customer"),
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("o_orderkey").cast("long").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            cents_of(F.col("o_totalprice"), 2).alias("total_price_cents"),
+            "sum_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 (adapted): suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# --------------------------------------------------------------------------
+
+
+@_add(
+    "late_only_supplier_q21",
+    """
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 75 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ), ps AS (
+      SELECT l_orderkey, l_suppkey, MAX(late) AS late
+      FROM lo GROUP BY l_orderkey, l_suppkey
+    ), po AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_supp,
+             SUM(late) AS n_late
+      FROM ps GROUP BY l_orderkey
+    )
+    SELECT s.s_name AS supplier_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM ps
+    JOIN po ON ps.l_orderkey = po.l_orderkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    WHERE ps.late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting), adapted "
+    "to the fixture's columns: 'late' is shipped >= 75 days after the "
+    "order date (the fixture has no commitdate/receiptdate pair; 75 "
+    "days keeps ~1k sole-late orders at sf0.01 — selective and "
+    "non-vacuous). The spec phrases this as EXISTS (another supplier "
+    "on the order) AND NOT EXISTS (another LATE supplier on the "
+    "order) — the classic double correlation. Decorrelated into two "
+    "keyed aggregations: per (order, supplier) late flags, then per-"
+    "order supplier/late-supplier counts, then one orderkey join-back "
+    "and a pure filter (late AND n_supp>=2 AND n_late=1 <=> 'I am "
+    "late and no OTHER supplier is'). Every correlation becomes a "
+    "partial-aggregated orderkey shuffle — zero correlated re-scans, "
+    "the exact rewrite Catalyst cannot always find from the EXISTS "
+    "phrasing. Status filter prunes the orders scan; supplier is a "
+    "size-gated broadcast on the final ~|suppliers|-row aggregate.",
+    tags=("join", "agg", "semi", "anti", "tpch"),
+)
+def late_only_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    ps = lo.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
+    po = ps.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    s = broadcast_if_bounded(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
+        parquet_row_bound(sf_dir, "supplier"),
+    )
+    return (
+        ps.join(po, "l_orderkey")
+        .filter(
+            (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 (adapted): discounted revenue via disjunctive cross-table brackets
+# --------------------------------------------------------------------------
+
+
+@_add(
+    "discounted_revenue_q19",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 1000000) AS BIGINT)) AS BIGINT)
+             AS revenue_micros,
+           CAST(COUNT(*) AS BIGINT) AS lineitems,
+           CAST(SUM(CASE WHEN p.p_brand = 'Brand#12' THEN 1 ELSE 0 END)
+                AS BIGINT) AS bracket1_rows,
+           CAST(SUM(CASE WHEN p.p_brand = 'Brand#23' THEN 1 ELSE 0 END)
+                AS BIGINT) AS bracket2_rows,
+           CAST(SUM(CASE WHEN p.p_brand = 'Brand#3' THEN 1 ELSE 0 END)
+                AS BIGINT) AS bracket3_rows
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12'
+           AND l.l_quantity BETWEEN 1 AND 11
+           AND p.p_size BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#23'
+           AND l.l_quantity BETWEEN 10 AND 20
+           AND p.p_size BETWEEN 1 AND 25)
+       OR (p.p_brand = 'Brand#3'
+           AND l.l_quantity BETWEEN 20 AND 30
+           AND p.p_size BETWEEN 1 AND 35)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue): a DISJUNCTION of three "
+    "conjunctive brackets that each mix columns from BOTH join sides "
+    "(the spec's brand/container/quantity/shipmode triples, adapted to "
+    "the fixture's brand/size/quantity). The optimizer lever this "
+    "exercises: the cross-table OR cannot be pushed into either scan "
+    "as-is, but its per-table WEAKENINGS can — quantity ∈ [1,30] "
+    "(the union of the qty brackets) prunes the lineitem scan and "
+    "brand ∈ {12,23,3} prunes the part dim BEFORE the join, while the "
+    "exact three-bracket disjunction re-evaluates post-join. Catalyst "
+    "does not derive these weakenings from a cross-table OR on its "
+    "own, so the builder states them explicitly as redundant filters "
+    "— the scans read only candidate rows (PushedFilters on "
+    "l_quantity / p_brand), then the broadcast hash join + residual "
+    "filter finishes. Per-bracket row counts are emitted so the "
+    "oracle proves every bracket is non-vacuous (a disjunct nobody "
+    "matches is decoration). At 100 TB the weakened scan is the whole "
+    "game: 3/25ths of part and the qty band of lineitem instead of "
+    "two full scans.",
+    tags=("join", "agg", "filter", "tpch"),
+)
+def discounted_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brands = ("Brand#12", "Brand#23", "Brand#3")
+    # redundant per-table weakenings of the cross-table disjunction —
+    # these are implied by the OR below and exist to reach the scans
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = broadcast_if_bounded(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(*brands))
+        .select("p_partkey", "p_brand", "p_size"),
+        parquet_row_bound(sf_dir, "part"),
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 35)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            F.sum(
+                cents_of(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+            ).alias("revenue_micros"),
+            F.count(F.lit(1)).alias("lineitems"),
+            F.sum(
+                (F.col("p_brand") == "Brand#12").cast("long")
+            ).alias("bracket1_rows"),
+            F.sum(
+                (F.col("p_brand") == "Brand#23").cast("long")
+            ).alias("bracket2_rows"),
+            F.sum(
+                (F.col("p_brand") == "Brand#3").cast("long")
+            ).alias("bracket3_rows"),
+        )
+    )

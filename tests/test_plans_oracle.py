@@ -111,7 +111,9 @@ def test_driver_window_invariants():
         # r9 swap in plans/core.py — eight r03-r07 greens demoted;
         # embedding_covariance rotated out in r10, superseded by the
         # cell-equal pair formulation below)
-        "kmv_incremental_merge",
+        # (r12 session 2: kmv_incremental_merge rotated out — the
+        # mergeable-sketch IVM contract is scored in-window by
+        # stream_cms_equality; see plans/core.py)
         "curation_funnel_report",
         "stream_interval_join",
         "cdc_apply_changes",
@@ -124,7 +126,9 @@ def test_driver_window_invariants():
         # round-10 additions: all five in-window immediately (round-10
         # swap in plans/core.py — five r8/r9 greens demoted, each with
         # a strictly-stronger or consuming in-window successor)
-        "embedding_covariance_pairs",
+        # (r12 session 2: embedding_covariance_pairs rotated out — the
+        # in-window PCA pair consumes the same centered-covariance
+        # machinery every iteration)
         "pca_power_iteration",
         "stream_restart_keyed_ledger",
         "bucketed_priority_revenue",
@@ -136,8 +140,11 @@ def test_driver_window_invariants():
         # each with a strictly-stronger or consuming in-window
         # successor)
         "jaccard_prefix_filter_pairs",
-        "classifier_roc_auc",
-        "events_triangle_census",
+        # (r12 session 2: classifier_roc_auc and events_triangle_census
+        # rotated out — isotonic calibration consumes the same score
+        # column in-window; pagerank + capped-LSH closure keep the
+        # graph family scored)
+        
         # (events_bfs_reach rotated out in r12 for the isotonic
         # calibration entry — the iterative-closure class is scored
         # in-window by lsh_capped_star_components' pointer jumping)
@@ -146,7 +153,8 @@ def test_driver_window_invariants():
         # demoted — PII masking runs in-window inside the funnel's
         # cleaning stage; the scenario family keeps three in-window
         # twins and the property suite)
-        "doc_length_quantiles_histogram",
+        # (r12 session 2: doc_length_quantiles_histogram rotated out —
+        # the exact-rational PERCENTILE_CONT entry stays in-window)
         "stream_static_enrichment",
         # (r11: doc_gates_unpivot_long rotated out — the Expand
         # reshape stays scored by doc_source_lang_cube)
@@ -154,9 +162,11 @@ def test_driver_window_invariants():
         # driver rows, and every r11 addition lands in-window
         # immediately (thirteen demotions with per-entry rationale in
         # plans/core.py round-11 blocks)
-        "events_hourly_ohlc",
-        "events_robust_outliers",
-        "events_user_skew_report",
+        # (r12 session 2: the r10 third-wave trio — events_hourly_ohlc,
+        # events_robust_outliers, events_user_skew_report — rotated out
+        # after two driver-green rounds each; arg-extreme scored by
+        # top_supplier_q15, exact quantiles by percentile_cont, skew by
+        # salted_group_topk; see plans/core.py)
         "seq_packing_manifest",
         # (r12: lsh_incremental_index rotated out — its batch-only
         # banding + index equi-join machinery is re-executed in-window
@@ -187,6 +197,23 @@ def test_driver_window_invariants():
         # ...and the weak-supervision vote-matrix report
         # (stratified_sample_exact demoted with three tail twins)
         "weak_label_vote_report",
+        # round-12 session-2 additions: all eight in-window immediately
+        # (session-2 swap in plans/core.py — eight multi-round greens
+        # demoted, each with its class still scored in-window): the
+        # TPC-H completion set...
+        "volume_shipping_q7",
+        "market_share_q8",
+        "promo_revenue_q14",
+        "top_supplier_q15",
+        "small_qty_revenue_q17",
+        "large_volume_customer_q18",
+        "late_only_supplier_q21",
+        # ...and Bradley-Terry preference aggregation
+        "bt_preference_strengths",
+        # ...and Q19's cross-table disjunctive brackets with explicit
+        # per-scan weakenings (gh_pr_issue_state_join rotated out after
+        # seven greens — three linker twins stay in-window)
+        "discounted_revenue_q19",
     ):
         assert q in window, f"{q} fell out of the driver window"
     # every demoted entry must carry an oracle (approx_lineitem_stats
