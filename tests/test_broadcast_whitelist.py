@@ -76,6 +76,17 @@ WHITELIST: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/relational.py", "local_supplier_revenue_q5"): (
         2, "nation (25 rows) and region (5 rows) constant dims — "
            "customer/supplier use size-gated broadcast_if_bounded"),
+    ("plans/tpch_plans.py", "volume_shipping_q7"): (
+        2, "nation-x-region dims pre-filtered to the two regions "
+           "(<= 25 rows by key domain) on each join side — "
+           "supplier/customer use size-gated broadcast_if_bounded"),
+    ("plans/tpch_plans.py", "market_share_q8"): (
+        3, "nation-x-region supplier dim, nation customer dim, and the "
+           "one-region filter — all <= 25 rows by key domain; "
+           "part/supplier/customer use size-gated broadcast_if_bounded"),
+    ("plans/tpch_plans.py", "top_supplier_q15"): (
+        1, "the 1-row global-max aggregate joined back on value "
+           "equality (BroadcastHashJoin on an always-1-row side)"),
     ("plans/hybrid_plans.py", "_hybrid"): (
         1, "single query vector (1 row)"),
     ("plans/lm_plans.py", "lm_kn_bigram_probs"): (

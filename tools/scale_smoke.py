@@ -262,6 +262,33 @@ HOTKEY_TARGETS = (
 
 STREAM_TARGETS = ("stream_user_ledger",)
 
+# r12 session 2: the TPC-H completion set's growth axis is the FACT
+# tables (lineitem/orders), which every other mode symlinks fixed. The
+# tpch mode replicates both facts with offset orderkeys over FIXED
+# dims — the realistic 100 TB shape (facts grow, dimensions don't).
+# What each exponent certifies: Q7/Q8/Q14 that the multi-join + conditional
+# aggregate tracks the fact scan; Q15/Q17/Q18/Q21 that the
+# aggregate-then-join-back decorrelations stay linear when the
+# per-group row counts grow 30x (Q15's per-supplier revenue, Q17's
+# per-part stats, Q18's per-order qty, Q21's per-order supplier
+# flags); Q19 that the weakened scans keep the disjunction linear.
+# Q1/Q3/Q5/Q10-shape anchors ride along for a measured family row.
+TPCH_TARGETS = (
+    "volume_shipping_q7",
+    "market_share_q8",
+    "promo_revenue_q14",
+    "top_supplier_q15",
+    "small_qty_revenue_q17",
+    "large_volume_customer_q18",
+    "discounted_revenue_q19",
+    "late_only_supplier_q21",
+    "local_supplier_revenue_q5",
+    "pricing_summary",
+    "shipping_priority",
+    "top_customers_by_revenue",
+    "urgent_orders_with_late_items",
+)
+
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 HOT_TEXT = (
@@ -281,9 +308,13 @@ def build_scaled_dir(
     from github_data_pipeline_spark.sources.tables import TESTDATA_TABLES
 
     os.makedirs(out_dir, exist_ok=True)
-    scaled_tables = {"documents", "embeddings"}
-    if skew in ("hotkey", "streamscale"):
-        scaled_tables.add("events")
+    if skew == "tpch":
+        # fact growth over fixed dims: replicate lineitem/orders only
+        scaled_tables = {"lineitem", "orders"}
+    else:
+        scaled_tables = {"documents", "embeddings"}
+        if skew in ("hotkey", "streamscale"):
+            scaled_tables.add("events")
     for t in TESTDATA_TABLES:
         if t in scaled_tables:
             continue
@@ -292,6 +323,25 @@ def build_scaled_dir(
             os.symlink(os.path.join(base_sf, f"{t}.parquet"), link)
 
     id_off = 100_000_000
+    if skew == "tpch":
+        for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            base = spark.read.parquet(os.path.join(base_sf, f"{t}.parquet"))
+            copies = []
+            for i in range(factor):
+                copies.append(
+                    base.select(
+                        (F.col(key) + i * id_off).alias(key),
+                        *[c for c in base.columns if c != key],
+                    )
+                )
+            scaled = copies[0]
+            for d in copies[1:]:
+                scaled = scaled.unionByName(d)
+            scaled.repartition(32).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{t}.parquet")
+            )
+        return out_dir
+
     docs = spark.read.parquet(os.path.join(base_sf, "documents.parquet"))
     doc_copies = []
     for i in range(factor):
@@ -551,7 +601,7 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--skew",
-        choices=("none", "hotband", "hotkey", "streamscale"),
+        choices=("none", "hotband", "hotkey", "streamscale", "tpch"),
         default="none",
     )
     ap.add_argument(
@@ -613,6 +663,7 @@ def main() -> int:
             # grows; agg state stays nation-bounded by construction
             "stream_static_enrichment",
         ),
+        "tpch": TPCH_TARGETS,
     }[args.skew]
     if args.only:
         wanted = tuple(s.strip() for s in args.only.split(",") if s.strip())
@@ -686,6 +737,17 @@ def main() -> int:
             "its honest growth shape (per-user density fixed, entity\n"
             "count grows): range-join output grows linearly with users,\n"
             "and the gap-fill spine is entities x span by construction.",
+        ),
+        "tpch": (
+            "## Relational fact growth (TPC-H family)",
+            "lineitem and orders replicated with offset orderkeys over\n"
+            "FIXED dimensions — the realistic 100 TB shape (facts grow,\n"
+            "dims don't). Per-group row counts grow with the factor\n"
+            "(per-supplier revenue, per-part stats, per-order quantities,\n"
+            "per-customer orders), so linear exponents certify that the\n"
+            "aggregate-then-join-back decorrelations, the conditional\n"
+            "aggregates, and the weakened disjunctive scans all track the\n"
+            "fact scan rather than any per-group or per-pair blowup.",
         ),
     }
     title, desc = headers[args.skew]
