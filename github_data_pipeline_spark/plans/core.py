@@ -230,6 +230,15 @@ def all_plans() -> Registry:
     # ...plus the skew DIAGNOSIS twin of the salted-join entries
     # (same tail/rotation-candidate status as the pair above)
     from . import diagnostics_plans  # noqa: F401
+    # round-12 session-2, second wave: the streaming Bradley-Terry
+    # equality gate (eleventh drained gate class). Registers at a TAIL
+    # position DELIBERATELY — the session's nine-slot rotation already
+    # turned over 18% of the window, and every in-window non-anchor
+    # carries unique coverage; the entry ships tail-checked (local
+    # cell-exact at sf0.001 + sf0.01, tuned AND vanilla, pinned by
+    # tests/test_tpch_bt.py) and is the natural round-13 rotation
+    # candidate, exactly the r10-third-wave precedent.
+    from . import preference_stream_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row

@@ -147,6 +147,14 @@ def bt_preference_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", cents_of(F.col("value"), 6).alias("v")
     )
     ut = ev.groupBy("user_id", "event_type").agg(F.sum("v").alias("v"))
+    return bt_from_user_type_sums(ut)
+
+
+def bt_from_user_type_sums(ut: DataFrame) -> DataFrame:
+    """Comparison derivation + MM iteration from per-(user, type) value
+    sums in micros — shared by the batch entry and the streaming
+    equality gate (stream_bt_equality) so the two paths cannot drift
+    anywhere downstream of the sums."""
     a = ut.alias("a")
     b = ut.alias("b")
     pr = a.join(

@@ -63,9 +63,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-_MICROS = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)"
-
-
 # --------------------------------------------------------------------------
 # Q7: volume shipping between a nation pair (disjunctive join predicate)
 # --------------------------------------------------------------------------

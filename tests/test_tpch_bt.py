@@ -206,7 +206,7 @@ def test_bt_matches_pure_python_mm(spark, sf_dir):
     by_user: dict[int, dict[str, int]] = {}
     for r in ev:
         by_user.setdefault(r.user_id, {})[r.event_type] = r.v
-    edges: dict[tuple[str, str], list[int]] = {}
+    edges: dict[tuple[str, str], tuple[int, int]] = {}
     for sums in by_user.values():
         ts = sorted(sums)
         for a_i in range(len(ts)):
@@ -298,3 +298,28 @@ def test_q19_weakenings_are_implied_and_brackets_bite(spark, sf_dir):
     )
     assert plain.m == row.revenue_micros
     assert plain.c == row.lineitems
+
+
+def test_stream_bt_equality_matches_batch_and_merges_across_batches(
+    spark, sf_dir
+):
+    """The drained gate must equal the batch entry bit-for-bit, and the
+    equality must be earned: at least one (user, type) key has to
+    receive updates from >= 2 distinct micro-batches (the event_id
+    range split exists precisely so per-key sums accumulate across
+    batch boundaries — if every key settled in one batch, the gate
+    would prove nothing about incremental maintenance)."""
+    from github_data_pipeline_spark.plans.preference_stream_plans import (
+        stream_bt_equality,
+    )
+
+    streamed = {
+        r.event_type: (r.wins, r.comparisons, r.bt_strength)
+        for r in stream_bt_equality(spark, sf_dir).collect()
+    }
+    assert stream_bt_equality.last_multibatch_keys > 0
+    batch = {
+        r.event_type: (r.wins, r.comparisons, r.bt_strength)
+        for r in bt_preference_strengths(spark, sf_dir).collect()
+    }
+    assert streamed == batch
