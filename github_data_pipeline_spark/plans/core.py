@@ -239,6 +239,11 @@ def all_plans() -> Registry:
     # tests/test_tpch_bt.py) and is the natural round-13 rotation
     # candidate, exactly the r10-third-wave precedent.
     from . import preference_stream_plans  # noqa: F401
+    # ...and the schema-evolution scan (mergeSchema union of artifact
+    # generations where the old generation LACKS a column; oracle
+    # recomputes from the base table) — same tail/rotation-candidate
+    # status as its second-wave sibling above.
+    from . import evolution_plans  # noqa: F401
 
     # The driver verdicts only the first 50 entries. Round-4 rotation:
     # every demoted entry below already earned a fully-green driver row
