@@ -69,29 +69,27 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
 
 
 def minhash_signatures_from_arrays(grams: DataFrame) -> DataFrame:
-    """(doc_id, sig0..sigK-1) from (doc_id, g ARRAY<STRING>) — each
-    signature component is an ``array_min`` fold computed where the
-    document already lives, so signature computation needs NO shuffle
-    (the groupBy in the row-shaped twin). Identical values to
-    ``minhash_signatures(doc_shingles(...))``: min over the same
+    """(doc_id, sig0..sigK-1) from (doc_id, g ARRAY<STRING>) — explodes
+    the array and reuses the row-shaped aggregation. Identical values
+    to ``minhash_signatures(doc_shingles(...))``: min over the same
     distinct-shingle set under the same permutations.
 
-    Docs with no shingles (fewer than n tokens) are filtered, matching
-    the row path where they simply produce no rows to group.
+    The original form computed each signature as an ``array_min`` over
+    its own ``transform`` of the hash array — zero shuffles, but
+    higher-order functions run INTERPRETED (no whole-stage codegen, no
+    subexpression elimination), so the K=16 passes cost 5.3 s at sf0.1
+    where the exploded hash-aggregate path costs 1.4 s (measured r12,
+    local[32]): the groupBy's partial aggregation is map-side, its
+    shuffle carries only |docs| x K long columns, and the md5 + all 16
+    permutation minima evaluate in one codegen'd operator. At 100 TB
+    the shuffle stays |docs|-bounded (pre-aggregated), so the codegen
+    win dominates at every scale.
+
+    Docs with no shingles (fewer than n tokens) explode to no rows and
+    are filtered exactly as before.
     """
-    hashes = F.transform(F.col("g"), lambda s: shingle_hash(s))
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("_h"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
-            )
-        ).alias(f"sig{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS)
-    ]
-    return (
-        grams.filter(F.size("g") > 0)
-        .select("doc_id", hashes.alias("_h"))
-        .select("doc_id", *sig_cols)
+    return minhash_signatures(
+        grams.select("doc_id", F.explode("g").alias("s"))
     )
 
 
