@@ -102,10 +102,15 @@ def neardup_drop_stage(docs: DataFrame) -> DataFrame:
     bound the joins stay map-side, over it they degrade to doc_id-keyed
     shuffle joins that scale (AQE re-broadcasts at runtime if small).
     """
+    # One evaluation of the tokenize + 3-gram + distinct fold: grams
+    # feed THREE consumers (signatures, verify side a, verify side b)
+    # — uncheckpointed, each re-ran the fold over the full upstream
+    # (which in the funnel includes the repetition-gate array fold).
+    # Survivor-bounded like the stage's other materializations.
     grams = docs.select(
         "doc_id",
         F.array_distinct(T.word_ngrams(T.tokens("text"), 3)).alias("g"),
-    )
+    ).localCheckpoint()
     cands = lsh_candidates(
         band_index(minhash_signatures_from_arrays(grams))
     ).localCheckpoint()
@@ -259,7 +264,20 @@ def funnel_survivor_counts(
         scratch_dir=scratch_dir,
         name="funnel_survivors",
     )
-    rep = surv.filter(repetition_pred(F.col("toks"))).select("doc_id", "text")
+    # The repetition fold runs ONCE: keep only the surviving ids (a
+    # doc_id-only checkpoint, trivially bounded) and re-derive rep by
+    # semi-joining the already-checkpointed surv table. Downstream
+    # consumers (gram build, keeper anti-join, stage-4 count) would
+    # otherwise each re-run the n-gram fold over every survivor.
+    rep_ids = (
+        surv.filter(repetition_pred(F.col("toks")))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    n_rep = rep_ids.count()
+    rep = surv.join(
+        broadcast_if_bounded(rep_ids, n_rep), "doc_id", "left_semi"
+    ).select("doc_id", "text")
     kept = neardup_drop_stage(rep)
 
     def row(idx: int, name: str, df: DataFrame) -> DataFrame:
@@ -287,7 +305,7 @@ def funnel_survivor_counts(
         .unionByName(
             flag_row(3, "quality", F.col("lang_ok") & F.col("qual_ok"))
         )
-        .unionByName(row(4, "repetition", rep))
+        .unionByName(row(4, "repetition", rep_ids))
         .unionByName(row(5, "neardup_dropped", kept))
         .orderBy(F.asc("stage_idx"))
     )
