@@ -484,8 +484,9 @@ def _cov_pairs_oracle(dims: int) -> str:
     f"fixture's FULL d={COV_DIMS_FULL} — the 100x-in-dimension twin "
     "of embedding_covariance (which stays at its d=8 report slice): "
     "every row explodes to its upper-triangle fixed-point products "
-    "plus one per-dim sum entry (a single generator expression, no "
-    "self-join), partial aggregation collapses each task to at most "
+    "(two nested codegen generators over index sequences — no "
+    "self-join, no interpreted array build) plus a per-dim sum "
+    "branch, partial aggregation collapses each task to at most "
     f"{COV_DIMS_FULL * (COV_DIMS_FULL + 1) // 2}+{COV_DIMS_FULL} "
     "keyed rows before the one exchange, and the final covariance "
     "assembles from two joins against the d-row mean table — so "
@@ -507,30 +508,44 @@ def _cov_pairs_frame(
     spark: SparkSession, sf_dir: str, dims: int
 ) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    # Fixed-point coordinates as LONGs: the per-row pair products run
+    # in 64-bit integer arithmetic (exact for |v_i * v_j| <= ~9e6 at
+    # COV_FP=1e6 — four decades above unit-scale embeddings) and only
+    # the AGGREGATION buffer is DECIMAL(38,0), so corpus-scale sums
+    # keep their headroom while the n*d^2/2 multiplies stay cheap.
     fparr = (
         f"transform(slice(embedding, 1, {dims}), v -> "
-        f"CAST(FLOOR(CAST(v AS DOUBLE) * {COV_FP}) AS DECIMAL(38,0)))"
+        f"CAST(FLOOR(CAST(v AS DOUBLE) * {COV_FP}) AS BIGINT))"
     )
-    # one generator per row: upper-triangle products (dim_i <= dim_j)
-    # plus a per-dim sum entry keyed dim_j = -1 (so Sx rides the same
-    # explode + shuffle instead of a second scan)
-    pairs = (
-        f"flatten(transform(fx, (x, i) -> "
-        f"transform(slice(fx, i + 1, {dims} - i), (y, j) -> "
-        f"struct(CAST(i AS BIGINT) AS dim_i, CAST(i + j AS BIGINT) AS dim_j, "
-        f"CAST(x * y AS DECIMAL(38,0)) AS s))))"
+    base = e.select(F.expr(fparr).alias("fx"))
+    # Upper-triangle products via two NESTED GENERATORS over literal
+    # index sequences instead of one flatten(transform(transform(...)))
+    # array build: higher-order functions evaluate INTERPRETED (no
+    # whole-stage codegen), and building 2,144 structs per row through
+    # them measured 4.5-9.9 s at sf0.1 where this explode-explode
+    # shape (codegen end to end, generators pipelined — nothing
+    # materializes the d^2 fan-out) runs in ~2 s; identical rows. The
+    # per-dim sums ride a second, d-wide posexplode branch (the scan
+    # is re-read, but it is |corpus| rows against n*d^2/2 products).
+    prods_rows = (
+        base.select("fx", F.explode(F.expr(f"sequence(0, {dims - 1})")).alias("i"))
+        .select("fx", "i", F.explode(F.expr(f"sequence(i, {dims - 1})")).alias("j"))
+        .select(
+            F.col("i").cast("long").alias("dim_i"),
+            F.col("j").cast("long").alias("dim_j"),
+            (
+                F.expr("element_at(fx, i + 1)") * F.expr("element_at(fx, j + 1)")
+            ).alias("s"),
+        )
     )
-    sx = (
-        "transform(fx, (x, i) -> struct(CAST(i AS BIGINT) AS dim_i, "
-        "CAST(-1 AS BIGINT) AS dim_j, CAST(x AS DECIMAL(38,0)) AS s))"
+    sx_rows = base.select(F.posexplode("fx").alias("i", "x")).select(
+        F.col("i").cast("long").alias("dim_i"),
+        F.lit(-1).cast("long").alias("dim_j"),
+        F.col("x").alias("s"),
     )
-    exploded = (
-        e.select(F.expr(fparr).alias("fx"))
-        .select(F.explode(F.expr(f"concat({pairs}, {sx})")).alias("t"))
-        .select("t.*")
-    )
+    exploded = prods_rows.unionByName(sx_rows)
     g = exploded.groupBy("dim_i", "dim_j").agg(
-        F.sum("s").alias("s"),
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
         # every input row contributes exactly one entry per key, so any
         # group's count IS the corpus row count
         F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"),
