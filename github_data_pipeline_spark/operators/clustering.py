@@ -32,24 +32,28 @@ def _argmin_cluster(centroids: list[list[float]]):
     chained ``when(d_i < best, ...)`` fold, embeds the running best
     expression TWICE per step and grows 2^k: k=16 on 64-dim vectors
     OOMs the driver during analysis.
+
+    The expression is rendered as ONE SQL string parsed JVM-side, not
+    composed through the Column API: building k x dim literals through
+    py4j costs ~0.6 s of driver round-trips PER LLOYD ITERATION (every
+    iteration has fresh centroid literals, so nothing caches), where
+    the parser takes ~9 ms — a measured 2.7 -> 1.1 s on a 5-iteration
+    loop at sf0.1, bit-identical assignments. ``{x!r}D`` renders each
+    centroid component as a Spark DOUBLE literal from Python's
+    shortest round-tripping repr, so the parsed value is the exact
+    same IEEE double the F.lit form carried; the fold is the same
+    left-to-right aggregate, so distances are bit-identical too.
     """
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    cents_sql = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        for c in centroids
     )
-    scored = F.transform(
-        cents,
-        lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding"), c, lambda a, b: a.cast("double") - b
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v * v,
-            ).alias("d"),
-            i.alias("i"),
-        ),
+    best = F.expr(
+        f"array_min(transform(array({cents_sql}), (c, i) -> "
+        "struct(aggregate(zip_with(embedding, c, "
+        "(a, b) -> CAST(a AS DOUBLE) - b), "
+        "0.0D, (acc, v) -> acc + v * v) AS d, i AS i)))"
     )
-    best = F.array_min(scored)
     return best["i"], best["d"]
 
 
