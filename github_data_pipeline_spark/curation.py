@@ -85,7 +85,7 @@ def quality_stage(
     return docs.filter(quality_pred(T.tokens("text"), min_tokens, max_tokens))
 
 
-def neardup_drop_stage(docs: DataFrame) -> DataFrame:
+def neardup_drop_stage(docs: DataFrame, toks_col: str | None = None) -> DataFrame:
     """Keep one canonical doc per near-dup CLUSTER.
 
     LSH candidates first (band equi-join), exact shingle-set Jaccard
@@ -107,9 +107,13 @@ def neardup_drop_stage(docs: DataFrame) -> DataFrame:
     # — uncheckpointed, each re-ran the fold over the full upstream
     # (which in the funnel includes the repetition-gate array fold).
     # Survivor-bounded like the stage's other materializations.
+    # When the caller already materialized the token arrays (the funnel
+    # checkpoints them on its survivor boundary), read them instead of
+    # re-running the tokenizer regex over the survivor text.
+    toks = F.col(toks_col) if toks_col else T.tokens("text")
     grams = docs.select(
         "doc_id",
-        F.array_distinct(T.word_ngrams(T.tokens("text"), 3)).alias("g"),
+        F.array_distinct(T.word_ngrams(toks, 3)).alias("g"),
     ).localCheckpoint()
     cands = lsh_candidates(
         band_index(minhash_signatures_from_arrays(grams))
@@ -277,8 +281,8 @@ def funnel_survivor_counts(
     n_rep = rep_ids.count()
     rep = surv.join(
         broadcast_if_bounded(rep_ids, n_rep), "doc_id", "left_semi"
-    ).select("doc_id", "text")
-    kept = neardup_drop_stage(rep)
+    ).select("doc_id", "text", "toks")
+    kept = neardup_drop_stage(rep, toks_col="toks")
 
     def row(idx: int, name: str, df: DataFrame) -> DataFrame:
         return df.agg(

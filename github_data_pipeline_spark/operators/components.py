@@ -55,10 +55,23 @@ def connected_components(
     ).distinct()
     adj = adj.localCheckpoint(eager=True)
 
+    # Fused first propagation round: the identity labeling's round 1
+    # computes exactly min(node, min neighbor) through a join against a
+    # trivial label table — the same number comes out of ONE aggregate
+    # over adj (the node set of adj IS the node universe, and every
+    # initial label is the node id). For the dominant dense case (LSH
+    # cliques/stars, diameter 1) this init already IS the fixpoint, so
+    # the loop runs a single confirming round instead of
+    # propagate + confirm — one fewer join/groupBy/checkpoint/agg cycle
+    # per components call (measured across the 5 registry entries that
+    # resolve components).
     labels = (
-        adj.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        adj.groupBy("u")
+        .agg(F.min("v").alias("nbr"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("nbr")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     # convergence via the label-sum invariant: every update is
