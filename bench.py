@@ -292,7 +292,9 @@ def _normalize_passes(
     )
 
 
-def _recover_prev(prev: dict, progress_path: str) -> dict:
+def _recover_prev(
+    prev: dict, progress_path: str, runs_path: str | None = None
+) -> dict:
     """Recover ``{"value", "queries", "source"}`` from a BENCH artifact.
 
     The driver stores only the bench stdout's TAIL as a string, and at
@@ -303,11 +305,15 @@ def _recover_prev(prev: dict, progress_path: str) -> dict:
 
     1. a full ``queries`` map in the artifact itself;
     2. a complete ``"queries": {...}`` object inside the tail string;
-    3. PROGRESS.jsonl's ``bench_delta.timings`` — the durable full map
-       every bench run appends for exactly this purpose. When the
-       artifact's total is recoverable, the entry whose ``total``
-       matches it identifies the exact run that produced the artifact;
-       otherwise the most recent entry stands in (source says so).
+    3. PROGRESS.jsonl's ``bench_delta.timings``, then the COMMITTED
+       ``BENCH_RUNS.jsonl`` ledger — PROGRESS.jsonl is driver-managed
+       and ROTATED between sessions (observed in round 12: a fresh
+       session found zero bench_delta entries and the detector went
+       vacuous again), so every bench run also appends its full map
+       to the git-tracked ledger. When the artifact's total is
+       recoverable, the entry whose ``total`` matches it identifies
+       the exact run that produced the artifact; otherwise the most
+       recent entry stands in (source says so).
     """
     import re
 
@@ -324,29 +330,40 @@ def _recover_prev(prev: dict, progress_path: str) -> dict:
         out["queries"] = json.loads(mq.group(1))
         out["source"] = "artifact_tail"
         return out
-    try:
-        with open(progress_path) as f:
-            entries = []
-            for line in f:
-                try:
-                    e = json.loads(line)
-                except ValueError:
-                    continue
-                if e.get("event") == "bench_delta" and e.get("timings"):
-                    entries.append(e)
-    except OSError:
-        return out
+    entries: list[tuple[str, dict]] = []
+    for path, origin in (
+        (progress_path, "progress_timings"),
+        (runs_path, "bench_runs"),
+    ):
+        if not path:
+            continue
+        try:
+            with open(path) as f:
+                for line in f:
+                    try:
+                        e = json.loads(line)
+                    except ValueError:
+                        continue
+                    if (
+                        origin == "progress_timings"
+                        and e.get("event") != "bench_delta"
+                    ):
+                        continue
+                    if e.get("timings"):
+                        entries.append((origin, e))
+        except OSError:
+            continue
     want = out.get("value")
-    for e in reversed(entries):
+    for origin, e in reversed(entries):
         if want is not None and abs(e.get("total", -1) - want) < 0.01:
             out["queries"] = e["timings"]
-            out["source"] = "progress_timings_total_matched"
+            out["source"] = f"{origin}_total_matched"
             return out
     if entries:
-        e = entries[-1]
+        origin, e = entries[-1]
         out["queries"] = e["timings"]
         out.setdefault("value", e.get("total"))
-        out["source"] = "progress_timings_latest"
+        out["source"] = f"{origin}_latest"
     return out
 
 
@@ -362,13 +379,15 @@ def _record_deltas(timings: dict[str, float], total: float) -> None:
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
+    runs_path = os.path.join(here, "BENCH_RUNS.jsonl")
     if not benches:
+        _append_run_ledger(runs_path, timings, total)
         return
     try:
         with open(benches[-1]) as f:
             prev = json.load(f)
         prev = _recover_prev(
-            prev, os.path.join(here, "PROGRESS.jsonl")
+            prev, os.path.join(here, "PROGRESS.jsonl"), runs_path
         )
         prev_q = prev.get("queries", {})
         deltas = {
@@ -399,6 +418,36 @@ def _record_deltas(timings: dict[str, float], total: float) -> None:
         }
         with open(os.path.join(here, "PROGRESS.jsonl"), "a") as f:
             f.write(json.dumps(entry) + "\n")
+    except Exception:
+        pass  # best-effort diagnostics must never fail the bench
+    _append_run_ledger(runs_path, timings, total)
+
+
+def _append_run_ledger(
+    runs_path: str, timings: dict[str, float], total: float, keep: int = 12
+) -> None:
+    """Append this run's full per-query map to the committed
+    BENCH_RUNS.jsonl ledger (kept to the last ``keep`` runs).
+
+    PROGRESS.jsonl is driver-managed and rotated between sessions, so
+    it cannot be the only durable copy of the per-query map — this
+    ledger is git-tracked and survives rotation, making the regression
+    detector's recovery ladder work across rounds. Appended AFTER the
+    delta comparison so a run never total-matches itself."""
+    try:
+        lines: list[str] = []
+        try:
+            with open(runs_path) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        except OSError:
+            pass
+        lines.append(
+            json.dumps(
+                {"ts": round(time.time(), 1), "total": total, "timings": timings}
+            )
+        )
+        with open(runs_path, "w") as f:
+            f.write("\n".join(lines[-keep:]) + "\n")
     except Exception:
         pass  # best-effort diagnostics must never fail the bench
 

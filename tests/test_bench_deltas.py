@@ -85,6 +85,46 @@ def test_truncated_tail_without_value_uses_latest_progress(tmp_path):
     assert got["source"] == "progress_timings_latest"
 
 
+def test_rotated_progress_falls_back_to_runs_ledger(tmp_path):
+    """The round-12 case: the driver ROTATES PROGRESS.jsonl between
+    sessions, so a fresh session finds zero bench_delta entries and
+    the detector went vacuous again. The committed BENCH_RUNS.jsonl
+    ledger must recover the total-matched map."""
+    rotated = tmp_path / "PROGRESS.jsonl"
+    rotated.write_text('{"ts": 1.0, "wall_s": 5.0, "round": 12}\n')
+    runs = tmp_path / "BENCH_RUNS.jsonl"
+    runs.write_text(
+        json.dumps({"ts": 1.0, "total": 227.81, "timings": _TIMINGS})
+        + "\n"
+        + json.dumps({"ts": 2.0, "total": 150.0, "timings": {"q_alpha": 9.0}})
+        + "\n"
+    )
+    tail = (
+        '": 0.812, "q_gamma": 0.75}, "sf": 0.1}\n'
+        '{"metric": "total_query_wall_seconds", "value": 227.81, '
+        '"unit": "sec", "n_queries": 142, "sf": 0.1}'
+    )
+    got = _recover_prev({"tail": tail}, str(rotated), str(runs))
+    assert got["queries"] == _TIMINGS
+    assert got["source"] == "bench_runs_total_matched"
+    # without a recoverable value the LATEST ledger entry stands in
+    got2 = _recover_prev({"tail": '": 0.812}'}, str(rotated), str(runs))
+    assert got2["queries"] == {"q_alpha": 9.0}
+    assert got2["source"] == "bench_runs_latest"
+
+
+def test_run_ledger_appends_and_caps(tmp_path):
+    from bench import _append_run_ledger
+
+    p = str(tmp_path / "BENCH_RUNS.jsonl")
+    for i in range(15):
+        _append_run_ledger(p, {"q": float(i)}, float(i), keep=12)
+    lines = [json.loads(x) for x in open(p)]
+    assert len(lines) == 12
+    assert lines[-1]["total"] == 14.0 and lines[0]["total"] == 3.0
+    assert lines[-1]["timings"] == {"q": 14.0}
+
+
 def test_no_recovery_path_reports_empty(tmp_path):
     missing = str(tmp_path / "nope.jsonl")
     got = _recover_prev({"tail": '": 0.812}'}, missing)
