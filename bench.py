@@ -92,6 +92,36 @@ def _cpu_probe32_ms(nprocs: int = 32) -> float:
 _PROBE32_REF_MS = 240.0
 
 
+def _drop_leftover_rdd_blocks(spark) -> None:
+    """Unpersist every cached/localCheckpoint'd RDD left by the query
+    that just finished (non-blocking). Runs AFTER each noop save,
+    OUTSIDE the timed region.
+
+    Each bench iteration rebuilds its DataFrame from parquet, so
+    blocks pinned by completed queries are dead weight — but the
+    ContextCleaner only reclaims them on driver GC, and across 158
+    queries x 3 passes they crowd the unified memory region until the
+    big string hash-aggregations spill: doc_repetition_gates measured
+    5.63 s in the aged full-bench session vs 1.42 s in a fresh session
+    on identical code, token_heavy_hitters 4.66 vs 1.68 (r12 session
+    3). With this hook the full bench reproduces the fresh-session
+    numbers (-15.3 s summed across the registry, biggest single-query
+    effects -3.8/-2.6 s), so per-query figures measure the PLANS, not
+    the session's leak history. This frees state, never caches it:
+    every timed execution still computes from parquet alone."""
+    try:
+        it = (
+            spark.sparkContext._jsc.sc()
+            .getPersistentRDDs()
+            .values()
+            .iterator()
+        )
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:
+        pass  # measurement hygiene must never fail the bench
+
+
 def main() -> None:
     # sample BEFORE any Spark work: this is the EXTERNAL-contention
     # indicator. (Sampling after the warm-up pass reads back our own
@@ -132,6 +162,7 @@ def main() -> None:
         q.builder(spark, warm_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        _drop_leftover_rdd_blocks(spark)
     # ...and ONE untimed full pass at the TARGET sf. The r8 committed
     # bench (105.94 s) did not reproduce on the driver or the judge's
     # idle replays (123.2-123.4 s, two runs within 0.2%): repeated
@@ -148,6 +179,7 @@ def main() -> None:
         q.builder(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        _drop_leftover_rdd_blocks(spark)
 
     # Headline set = the oracle-checked queries (rows-only entries —
     # iterative k-means, approx sketches — are correctness-exempt
@@ -173,6 +205,7 @@ def main() -> None:
             df = q.builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             el = round(time.time() - t0, 3)
+            _drop_leftover_rdd_blocks(spark)
             pass_total += el
             timings[q.name] = min(el, timings.get(q.name, el))
         pass_totals.append(round(pass_total, 3))

@@ -43,6 +43,22 @@ def test_neardup_drop_stage_toks_col_parity(spark):
     assert plain == {1, 2, 3, 5}
 
 
+def test_bench_drops_leftover_rdd_blocks(spark):
+    """bench.py's untimed inter-query hygiene: after a query that
+    localCheckpoints finishes, the hook must release every pinned RDD
+    block (ContextCleaner alone only reclaims them on driver GC, and
+    the accumulated blocks measurably slow later hash aggregations in
+    the 158-query bench session)."""
+    from bench import _drop_leftover_rdd_blocks
+
+    df = spark.range(1000).localCheckpoint()
+    df.count()
+    sc = spark.sparkContext._jsc.sc()
+    assert sc.getPersistentRDDs().size() >= 1
+    _drop_leftover_rdd_blocks(spark)
+    assert sc.getPersistentRDDs().size() == 0
+
+
 def test_tagged_gram_stream_matches_hof_form(spark):
     """The repetition-gates gram stream moved from interpreted
     transform()-built gram arrays to nested codegen generators

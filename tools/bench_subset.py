@@ -32,11 +32,14 @@ def main() -> int:
 
     smallest = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     warm_dir = smallest if os.path.isdir(smallest) else sf_dir
+    from bench import _drop_leftover_rdd_blocks
+
     for d in (warm_dir, sf_dir):
         for n in names:
             registry[n].builder(spark, d).write.format("noop").mode(
                 "overwrite"
             ).save()
+            _drop_leftover_rdd_blocks(spark)
 
     timings: dict[str, float] = {}
     for _ in range(2):
@@ -47,6 +50,9 @@ def main() -> int:
                 "overwrite"
             ).save()
             el = round(time.time() - t0, 3)
+            # same untimed inter-query hygiene as bench.py (blocks of
+            # finished queries otherwise crowd later hash-aggs)
+            _drop_leftover_rdd_blocks(spark)
             timings[n] = min(el, timings.get(n, el))
     print(json.dumps({"queries": timings, "sf_dir": sf_dir}))
     return 0
