@@ -133,6 +133,32 @@ def analyze(
     mode: str = DEFAULT_MODE,
     guard_terms: list[str] | None = None,
 ) -> Column:
+    """Memoizing wrapper around :func:`_analyze_build`.
+
+    The porter tree is ~10k py4j round trips (~2 s) to construct and
+    is a deterministic function of (column name, mode, guard terms) —
+    cache the COLUMN TREE per process when the input is a plain
+    column name (r12, guide §5.3; see functions/colcache.py: plan
+    fragments only, never data).
+    """
+    if isinstance(c, str):
+        from .colcache import memo_col
+
+        key = (
+            "fulltext.analyze",
+            c,
+            mode,
+            None if guard_terms is None else tuple(guard_terms),
+        )
+        return memo_col(key, lambda: _analyze_build(c, mode, guard_terms))
+    return _analyze_build(c, mode, guard_terms)
+
+
+def _analyze_build(
+    c: Column | str,
+    mode: str = DEFAULT_MODE,
+    guard_terms: list[str] | None = None,
+) -> Column:
     """Analyzed token array — pure Catalyst in every mode.
 
     ``guard_terms`` (porter mode only) is a term-matching contract:

@@ -22,6 +22,8 @@ import hashlib
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .colcache import memoize_when_keyable
+
 MAX_PLANES = 16
 DIM = 64
 
@@ -46,9 +48,11 @@ def adaptive_n_planes(n_rows: int, target: int) -> int:
     return sum(1 for p in range(MAX_PLANES) if n_rows > target << p)
 
 
-def bucket_col(vec: Column, n_planes: int) -> Column:
+@memoize_when_keyable
+def bucket_col(vec: Column | str, n_planes: int) -> Column:
     """LSH bucket id from the first ``n_planes`` sign bits (0 planes ->
     constant bucket 0, the single-cell degenerate case)."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
     acc: Column = F.lit(0)
     for j in range(n_planes):
         signed = F.zip_with(

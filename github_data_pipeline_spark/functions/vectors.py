@@ -10,11 +10,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .colcache import memoize_when_keyable
+
 
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+@memoize_when_keyable
 def dot(a: Column | str, b: Column | str) -> Column:
     prods = F.zip_with(
         _col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")
@@ -22,14 +25,17 @@ def dot(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
+@memoize_when_keyable
 def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
 
+@memoize_when_keyable
 def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+@memoize_when_keyable
 def l2_distance(a: Column | str, b: Column | str) -> Column:
     diffs = F.zip_with(
         _col(a), _col(b), lambda x, y: x.cast("double") - y.cast("double")
@@ -40,6 +46,7 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
 # --- quantization (the ANN memory-scale path) ---------------------------
 
 
+@memoize_when_keyable
 def quantize_int8(v: Column | str) -> Column:
     """Per-vector max-abs int8 quantization: returns a struct
     ``(scale DOUBLE, q ARRAY<TINYINT>)`` with ``x ≈ q * scale``.

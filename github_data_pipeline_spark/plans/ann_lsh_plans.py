@@ -83,7 +83,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "embedding",
-        _bucket_col(F.col("embedding")).alias("bucket"),
+        _bucket_col("embedding").alias("bucket"),
     )
     return _topk(
         bucketed,
@@ -115,7 +115,7 @@ def _topk(e: DataFrame, method: str, join_cond) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            V.cosine(F.col("qvec"), F.col("embedding")).alias("cosine"),
+            V.cosine("qvec", "embedding").alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
@@ -373,7 +373,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-    bucketed = e.withColumn("bucket", _bucket_col(F.col("embedding")))
+    bucketed = e.withColumn("bucket", _bucket_col("embedding"))
     brute = _topk(
         bucketed, "brute", F.col("neighbor_id") != F.col("query_id")
     ).select(
@@ -392,7 +392,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "label",
             "qvec",
-            V.cosine(F.col("qvec"), F.col("cvec")).alias("pcos"),
+            V.cosine("qvec", "cvec").alias("pcos"),
         )
         .withColumn(
             "prank",
@@ -413,7 +413,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "prank",
-            V.cosine(F.col("qvec"), F.col("embedding")).alias("cosine"),
+            V.cosine("qvec", "embedding").alias("cosine"),
         )
     )
 
@@ -450,7 +450,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.col("p.h").alias("hdist"),
-            V.cosine(F.col("qvec"), F.col("embedding")).alias("cosine"),
+            V.cosine("qvec", "embedding").alias("cosine"),
         )
     )
 

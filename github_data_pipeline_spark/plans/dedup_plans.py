@@ -660,11 +660,11 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "embedding",
         V.norm("embedding").alias("nrm"),
-        bucket_col(F.col("embedding"), n_planes).alias("bucket"),
+        bucket_col("embedding", n_planes).alias("bucket"),
     )
     a = withnorm.alias("a")
     b = withnorm.alias("b")
-    cos = V.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+    cos = V.dot("a.embedding", "b.embedding") / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     scored = a.join(

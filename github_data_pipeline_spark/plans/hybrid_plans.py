@@ -152,7 +152,7 @@ def _hybrid(
         .crossJoin(F.broadcast(qvec))
         .select(
             F.col("vec_id").alias("doc_id"),
-            V.cosine(F.col("qvec"), F.col("embedding")).alias("cos"),
+            V.cosine("qvec", "embedding").alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("doc_id"))
         .limit(K_LIST)

@@ -111,7 +111,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_id",
             "negative_id",
             "neg_label",
-            V.cosine(F.col("avec"), F.col("embedding")).alias("cosine"),
+            V.cosine("avec", "embedding").alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= NEG_TOP_K)

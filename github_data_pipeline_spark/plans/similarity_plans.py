@@ -17,6 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ..functions.colcache import memo_col
 from ..sources.tables import load_table
 from .core import REGISTRY
 
@@ -96,7 +97,7 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("brute").alias("method"),
             "query_id",
             "neighbor_id",
-            V.cosine(F.col("qvec"), F.col("embedding")).alias("cosine"),
+            V.cosine("qvec", "embedding").alias("cosine"),
         )
     )
 
@@ -116,7 +117,7 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("ivf").alias("method"),
             "query_id",
             "neighbor_id",
-            V.cosine(F.col("qvec"), F.col("embedding")).alias("cosine"),
+            V.cosine("qvec", "embedding").alias("cosine"),
         )
     )
 
@@ -387,7 +388,22 @@ def _cov_oracle() -> str:
 )
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    # The 44-aggregate list and 36-struct projection are deterministic
+    # constants (~1.2-2.0 s of py4j construction per builder call in
+    # the r12 profile — the dominant cost of this entry, whose
+    # EXECUTION is ~0.3 s); memoize the fragments per process
+    # (guide §5.3 driver latency; functions/colcache.py — plan text,
+    # never data).
+    aggs, structs = memo_col(("similarity._cov_frags",), _cov_one_row_frags)
+    one = e.agg(*aggs)
+    return (
+        one.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy(F.asc("dim_i"), F.asc("dim_j"))
+    )
 
+
+def _cov_one_row_frags():
     def fp(i: int):
         # FLOOR, not ROUND — see the oracle twin's note
         # the column is float32: promote to DOUBLE before the multiply
@@ -403,7 +419,6 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.sum(fp(i) * fp(j)).alias(f"sxy_{i}_{j}"))
     for i in range(COV_DIMS):
         aggs.append(F.sum(fp(i)).alias(f"sx_{i}"))
-    one = e.agg(*aggs)
     structs = [
         F.struct(
             F.lit(i).cast("long").alias("dim_i"),
@@ -417,11 +432,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, j in _cov_pairs()
     ]
-    return (
-        one.select(F.explode(F.array(*structs)).alias("r"))
-        .select("r.*")
-        .orderBy(F.asc("dim_i"), F.asc("dim_j"))
-    )
+    return aggs, structs
 
 
 # --- round 10: the shuffle-keyed covariance formulation -------------------

@@ -43,6 +43,37 @@ def test_neardup_drop_stage_toks_col_parity(spark):
     assert plain == {1, 2, 3, 5}
 
 
+def test_column_fragment_memoization(spark):
+    """colcache memoizes deterministic Column trees: same key -> same
+    object (no py4j rebuild), different key -> different tree, and a
+    memoized fragment evaluates identically to a freshly built one
+    (Columns are immutable, so reuse across plans is safe)."""
+    from github_data_pipeline_spark.functions import vectors as Vx
+    from github_data_pipeline_spark.functions.colcache import _CACHE
+    from github_data_pipeline_spark.functions.fulltext import (
+        _analyze_build,
+        analyze,
+    )
+
+    assert analyze("text", "porter") is analyze("text", "porter")
+    assert analyze("text", "porter") is not analyze("text", "standard")
+    assert Vx.cosine("a", "b") is Vx.cosine("a", "b")
+    # Column args bypass the cache (identity cannot key it)
+    ca = F.col("a")
+    assert Vx.cosine(ca, ca) is not Vx.cosine(ca, ca)
+    assert any(k[0] == "fulltext.analyze" for k in _CACHE)
+
+    df = spark.createDataFrame(
+        [("Stemming makes analyzed tokens comparable tokens",)], "text string"
+    )
+    memoized = df.select(analyze("text", "porter").alias("t")).collect()
+    fresh = df.select(_analyze_build("text", "porter").alias("t")).collect()
+    assert memoized == fresh
+    # the same memoized fragment attaches to a second plan unchanged
+    again = df.select(analyze("text", "porter").alias("t")).collect()
+    assert again == fresh
+
+
 def test_bench_drops_leftover_rdd_blocks(spark):
     """bench.py's untimed inter-query hygiene: after a query that
     localCheckpoints finishes, the hook must release every pinned RDD
