@@ -83,6 +83,26 @@ def _h_col(row: int):
     )
 
 
+
+def _cell_gen():
+    """Memoized (r, bucket)-cell generator over column ``tok`` — the
+    same deterministic fragment feeds the sketch build and the probe
+    lookup (functions/colcache.py: plan fragments only, never data)."""
+    from ..functions.colcache import memo_col
+
+    return memo_col(
+        ("cms._cell_gen", CMS_D, CMS_W),
+        lambda: F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), _h_col(r).alias("b"))
+                    for r in range(CMS_D)
+                ]
+            )
+        ),
+    )
+
+
 @REGISTRY.add(
     "cms_token_frequency",
     f"""
@@ -151,16 +171,7 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ships more than D*W counters
     cells = (
         toks.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("r"), _h_col(r).alias("b")
-                        )
-                        for r in range(CMS_D)
-                    ]
-                )
-            ).alias("cell")
+            _cell_gen().alias("cell")
         )
         .select("cell.r", "cell.b")
         .groupBy("r", "b")
@@ -172,14 +183,7 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_cells = probes.select(
         "tok",
         "cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(r).alias("r"), _h_col(r).alias("b"))
-                    for r in range(CMS_D)
-                ]
-            )
-        ).alias("cell"),
+        _cell_gen().alias("cell"),
     ).select("tok", "cnt", "cell.r", "cell.b")
     return (
         probe_cells.join(cells, ["r", "b"])
