@@ -50,6 +50,13 @@ def _nullif_empty(c: Column) -> Column:
     return F.nullif(c, F.lit(""))
 
 
+# str-keyed call sites memoize their fragment per process (r12,
+# guide §5.3 — several gh-family builders rebuild these nested
+# regexp/HOF trees on every call; see functions/colcache.py)
+from .colcache import memoize_when_keyable  # noqa: E402
+
+
+@memoize_when_keyable
 def extract_issue_refs(text: Column | str) -> Column:
     """text -> ARRAY<STRUCT<full_repo, number, has_closing_kw>>.
 
@@ -88,6 +95,7 @@ def extract_issue_refs(text: Column | str) -> Column:
     return F.filter(flat, lambda r: r["number"].isNotNull())
 
 
+@memoize_when_keyable
 def extract_cross_repo_refs(text: Column | str) -> Column:
     """text -> ARRAY<STRUCT<target_repo, target_number>> (linkers.py:245-320).
 
@@ -111,6 +119,7 @@ def extract_cross_repo_refs(text: Column | str) -> Column:
     )
 
 
+@memoize_when_keyable
 def one_line(msg: Column | str) -> Column:
     """First line of a (possibly multi-line) message, trimmed.
 

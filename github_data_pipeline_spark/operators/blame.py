@@ -44,7 +44,7 @@ def blame_range_details(
         "age",
         F.col("commit.oid").alias("commit_sha"),
         F.col("commit.committedDate").alias("committed_date"),
-        one_line(F.col("commit.message")).alias("message"),
+        one_line("commit.message").alias("message"),
         author_key(
             F.col("commit.author.user.login"),
             F.col("commit.author.name"),

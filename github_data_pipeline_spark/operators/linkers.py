@@ -272,7 +272,7 @@ def find_issues_closed_by_commits(
         "sha",
         "html_url",
         "commit_author",
-        F.explode(extract_issue_refs(F.col("message"))).alias("ref"),
+        F.explode(extract_issue_refs("message")).alias("ref"),
     ).filter(F.col("ref.has_closing_kw"))
 
     refs = refs.withColumn(
@@ -362,7 +362,7 @@ def find_cross_repo_links(
         "created_at",
         "html_url",
         F.col("bucket.found_in").alias("found_in"),
-        F.explode(extract_cross_repo_refs(F.col("bucket.text"))).alias("ref"),
+        F.explode(extract_cross_repo_refs("bucket.text")).alias("ref"),
     ).filter(F.lower(F.col("ref.target_repo")) != repo_name.lower())
 
     if target_details is not None:
