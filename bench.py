@@ -2,16 +2,20 @@
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints the
-full per-query JSON line followed by a compact summary line LAST::
+full-precision per-query JSON line followed by a summary line LAST::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-    {"metric": "...", "value": N, "unit": "sec", "n_queries": K, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...rounded...},
+     "n_queries": K, "sf": ..., ...telemetry...}
 
-The compact line exists because the driver captures only the TAIL of
-stdout: at 65 queries the per-query map alone overflows that buffer
-(round-4 ``"parsed": null``), so the last line must always be one
-complete, small JSON object.  Per-query numbers live in the first line
-and in PROGRESS.jsonl's bench_delta entries.
+The summary line is the one the driver parses into its BENCH artifact.
+Since r13 it carries the per-query map too (rounded to 0.01 s): the
+driver's PERF per-query comparison had been vacuous for two rounds
+(``n_common: 0``) because the artifact keeps only a tail of stdout and
+the full map in the FIRST line was front-truncated (r12 verdict #1).
+Full-precision per-query numbers live in the first line, in
+PROGRESS.jsonl's bench_delta entries, and in the BENCH_RUNS.jsonl
+ledger.
 
 Each query is materialized through the no-op sink so the full plan
 (including projections) executes without driver-side collect overhead.
@@ -240,14 +244,21 @@ def main() -> None:
             }
         )
     )
-    # Compact summary LAST: the driver's tail buffer must end with one
-    # complete JSON object regardless of how many queries ran.
+    # Summary LAST: the driver parses this line into its BENCH
+    # artifact's ``parsed`` field. It now ALSO carries the per-query
+    # map (rounded to 0.01 s) — for two rounds the driver's PERF
+    # comparison was vacuous (``n_common: 0``) because the artifact
+    # kept only a 2000-char stdout tail and the full-precision map in
+    # the first line was front-truncated; putting the map in the
+    # parsed line makes the driver's per-query speedup/geomean
+    # computation work with zero contract change (r12 verdict #1).
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                "queries": {n: round(t, 2) for n, t in timings.items()},
                 "n_queries": len(timings),
                 "sf": sf_val,
                 "pass_totals": pass_totals,
@@ -386,6 +397,11 @@ def _recover_prev(
                         entries.append((origin, e))
         except OSError:
             continue
+    # merge the two sources by timestamp, not by source order: if one
+    # ledger append failed, an older bench_runs entry must not shadow a
+    # newer progress_timings entry as the presumed previous run.
+    # Entries without a ts (pre-r13 bench_delta lines) sort oldest.
+    entries.sort(key=lambda oe: oe[1].get("ts", 0.0))
     want = out.get("value")
     for origin, e in reversed(entries):
         if want is not None and abs(e.get("total", -1) - want) < 0.01:
@@ -433,6 +449,7 @@ def _record_deltas(timings: dict[str, float], total: float) -> None:
         }
         entry = {
             "event": "bench_delta",
+            "ts": round(time.time(), 1),
             "vs": os.path.basename(benches[-1]),
             # where the previous per-query map came from — a vacuous
             # comparison (0 compared queries) is now impossible to
@@ -479,8 +496,12 @@ def _append_run_ledger(
                 {"ts": round(time.time(), 1), "total": total, "timings": timings}
             )
         )
-        with open(runs_path, "w") as f:
+        # atomic replace: a crash mid-write must not truncate the ledger
+        # history the recovery ladder depends on
+        tmp_path = f"{runs_path}.tmp.{os.getpid()}"
+        with open(tmp_path, "w") as f:
             f.write("\n".join(lines[-keep:]) + "\n")
+        os.replace(tmp_path, runs_path)
     except Exception:
         pass  # best-effort diagnostics must never fail the bench
 

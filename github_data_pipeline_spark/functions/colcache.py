@@ -25,13 +25,42 @@ from typing import Any, Callable
 
 _CACHE: dict[tuple, Any] = {}
 
+# Identity token of the SparkContext whose gateway built the cached
+# fragments. A cached Column holds a py4j reference into one JVM: after
+# an in-process SparkContext restart those references fail opaquely
+# ("target object does not exist"), so the cache is valid only for the
+# context that built it and is cleared whenever the active context's
+# identity changes.
+_CTX_TOKEN: int | None = None
+
+
+def _freeze(value: Any) -> Any:
+    """Lists -> tuples (recursively) so cached multi-fragment values
+    cannot be mutated in place by one caller and silently poison every
+    later caller. Callers only ``*``-unpack or iterate these."""
+    if isinstance(value, (list, tuple)):
+        return tuple(_freeze(v) for v in value)
+    return value
+
 
 def memo_col(key: tuple, build: Callable[[], Any]) -> Any:
-    """Return the memoized Column (or list of Columns — any immutable
-    plan fragment) for ``key``, building it on miss."""
+    """Return the memoized Column (or tuple of Columns — any immutable
+    plan fragment) for ``key``, building it on miss. Tied to the ACTIVE
+    SparkContext: a context restart invalidates every cached fragment
+    (their py4j refs point into the dead JVM)."""
+    global _CTX_TOKEN
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    token = id(ctx) if ctx is not None else None
+    if token != _CTX_TOKEN:
+        _CACHE.clear()
+        _CTX_TOKEN = token
+    if token is None:  # no JVM to cache against — build passthrough
+        return build()
     col = _CACHE.get(key)
     if col is None:
-        col = _CACHE[key] = build()
+        col = _CACHE[key] = _freeze(build())
     return col
 
 
@@ -39,19 +68,27 @@ _KEYABLE = (str, int, float, bool, type(None))
 
 
 def memoize_when_keyable(fn):
-    """Decorator: memoize the Column result when every positional
-    argument is a plain hashable builder input (str column name, int
-    parameter, ...). Calls that pass Column objects build normally —
-    a Column's identity cannot key a cache safely."""
+    """Decorator: memoize the Column result when every argument is a
+    plain hashable builder input (str column name, int parameter, ...).
+    Calls that pass Column objects build normally — a Column's identity
+    cannot key a cache safely. Keyword arguments participate in the
+    cache key (sorted), so ``bucket_col(v, n_planes=4)`` and
+    ``bucket_col(v, 4)`` each memoize under their own key."""
     import functools
 
     @functools.wraps(fn)
-    def wrapper(*args):
-        if all(isinstance(a, _KEYABLE) for a in args):
-            return memo_col(
-                (fn.__module__, fn.__qualname__, args), lambda: fn(*args)
+    def wrapper(*args, **kwargs):
+        if all(isinstance(a, _KEYABLE) for a in args) and all(
+            isinstance(v, _KEYABLE) for v in kwargs.values()
+        ):
+            key = (
+                fn.__module__,
+                fn.__qualname__,
+                args,
+                tuple(sorted(kwargs.items())),
             )
-        return fn(*args)
+            return memo_col(key, lambda: fn(*args, **kwargs))
+        return fn(*args, **kwargs)
 
     return wrapper
 

@@ -327,6 +327,12 @@ COV_DIMS = 8
 #: the measured proof of the claim, not prose)
 COV_DIMS_FULL = 64
 COV_FP = 1_000_000  # per-coordinate fixed point
+# int64-exactness domain of the pairs formulation's per-row products:
+# |fx_i * fx_j| must stay under 2^63 ~ 9.22e18, so each fixed-pointed
+# component |v * COV_FP| must stay under 3e9, i.e. |v| < 3000 at
+# COV_FP=1e6 (unit-scale embeddings sit ~3.5 decades inside it).
+# _cov_pairs_frame enforces this with an assert_true per element.
+COV_PAIRS_MAX_ABS = 3000.0
 
 
 def _cov_pairs() -> list[tuple[int, int]]:
@@ -515,6 +521,24 @@ def embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cov_pairs_frame(spark, sf_dir, COV_DIMS_FULL)
 
 
+def _cov_fx_expr(dims: int, col: str = "embedding") -> str:
+    """SQL for the fixed-point LONG coordinate array, with the int64
+    exactness domain RUNTIME-ENFORCED, not assumed: each component must
+    satisfy |v| < COV_PAIRS_MAX_ABS (3000 -> |fx| <= 3e9 -> any pair
+    product <= 9e18 < 2^63 ~ 9.22e18), and a component outside it
+    raises via assert_true instead of silently wrapping int64 — the
+    `+ 0` guard term costs one abs/compare per element and keeps the
+    exactness claim self-enforcing on any future fixture."""
+    return (
+        f"transform(slice({col}, 1, {dims}), v -> "
+        f"CAST(FLOOR(CAST(v AS DOUBLE) * {COV_FP}) AS BIGINT)"
+        f" + CAST(coalesce(assert_true("
+        f"abs(CAST(v AS DOUBLE)) < {COV_PAIRS_MAX_ABS}, "
+        f"'embedding component outside the int64-exact covariance "
+        f"domain |v| < {COV_PAIRS_MAX_ABS}'), 0) AS BIGINT))"
+    )
+
+
 def _cov_pairs_frame(
     spark: SparkSession, sf_dir: str, dims: int
 ) -> DataFrame:
@@ -524,11 +548,7 @@ def _cov_pairs_frame(
     # COV_FP=1e6 — four decades above unit-scale embeddings) and only
     # the AGGREGATION buffer is DECIMAL(38,0), so corpus-scale sums
     # keep their headroom while the n*d^2/2 multiplies stay cheap.
-    fparr = (
-        f"transform(slice(embedding, 1, {dims}), v -> "
-        f"CAST(FLOOR(CAST(v AS DOUBLE) * {COV_FP}) AS BIGINT))"
-    )
-    base = e.select(F.expr(fparr).alias("fx"))
+    base = e.select(F.expr(_cov_fx_expr(dims)).alias("fx"))
     # Upper-triangle products via two NESTED GENERATORS over literal
     # index sequences instead of one flatten(transform(transform(...)))
     # array build: higher-order functions evaluate INTERPRETED (no
