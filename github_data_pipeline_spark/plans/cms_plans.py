@@ -201,23 +201,28 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_stream_artifact(spark: SparkSession, sf_dir: str) -> str:
-    """The documents table re-persisted as FOUR range-split files —
+    """The documents table re-persisted as TWO range-split files —
     the multi-file layout the streaming gate needs so an availableNow
-    drain with maxFilesPerTrigger=1 runs >= 4 real micro-batches
-    (the fixture tables are single files = single batches). Built once
+    drain with maxFilesPerTrigger=1 runs >= 2 real micro-batches
+    (the fixture tables are single files = single batches). Two is the
+    NON-VACUITY MINIMUM: one cross-boundary merge already proves the
+    incremental fold loses and invents nothing, and every extra
+    micro-batch is a fixed cycle of per-batch planning + state setup
+    + fold with no additional claim (r12 shipped 4; re-derived per
+    guide §1.4 — measure the computation the proof needs). Built once
     per sf_dir under the artifact cache, atomic promote-by-rename."""
     import os
     import shutil
 
     from .artifacts import artifact_cache_path
 
-    path = artifact_cache_path(sf_dir, "docs_stream4", "files4:v1")
+    path = artifact_cache_path(sf_dir, "docs_stream2", "files2:v1")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
         tmp = f"{path}.tmp.{os.getpid()}"
-        docs.repartitionByRange(4, "doc_id").write.mode(
+        docs.repartitionByRange(2, "doc_id").write.mode(
             "overwrite"
         ).parquet(tmp)
         try:
@@ -274,8 +279,10 @@ def _batch_cells(df: DataFrame) -> DataFrame:
     doc=f"Streaming count-min sketch == from-scratch rebuild (the "
     "tenth drained gate class, and the cheapest: state is the "
     f"{CMS_D}x{CMS_W} counter grid). The document corpus streams as "
-    ">= 4 real micro-batches (range-split file source, "
-    "maxFilesPerTrigger=1, availableNow); a foreachBatch drain folds "
+    ">= 2 real micro-batches (range-split file source, "
+    "maxFilesPerTrigger=1, availableNow — the non-vacuity minimum: "
+    "one cross-boundary merge proves the fold, and extra batches are "
+    "pure fixed cost); a foreachBatch drain folds "
     f"each batch to at most {CMS_D}x{CMS_W} (row, bucket, count) "
     "cells BEFORE anything reaches the driver and merges grids by "
     "elementwise addition — the mergeable-monoid property that makes "

@@ -5,9 +5,10 @@ A reward-model data pipeline never sees its comparisons all at once:
 events arrive continuously, and the per-(user, type) value sums the
 comparisons derive from must be maintained incrementally. The gate
 proves that maintenance loses and invents nothing: the events table
-streams as >= 4 real micro-batches (range-split by event_id so ONE
+streams as >= 2 real micro-batches (range-split by event_id so ONE
 user's events span batches — the artifact layout makes cross-batch
-merging unavoidable, not incidental), a genuine Structured Streaming
+merging unavoidable, not incidental; two batches are the non-vacuity
+minimum, see events_stream_artifact), a genuine Structured Streaming
 aggregation keeps per-(user, type) micros sums in the state store
 (update output mode), and a ``foreachBatch`` drain folds each batch's
 UPDATED keys into the final sums snapshot. The batch entry's shared
@@ -40,25 +41,29 @@ from .preference_plans import _bt_oracle, bt_from_user_type_sums
 
 
 def events_stream_artifact(spark: SparkSession, sf_dir: str) -> str:
-    """Events re-persisted as FOUR files range-split by event_id (NOT
+    """Events re-persisted as TWO files range-split by event_id (NOT
     by user_id — event ids are uncorrelated with users, so every
-    user's rows land in several files and the per-key sums genuinely
-    accumulate across micro-batches). Only the columns the gate needs
-    are kept, which also pins a stable stream schema regardless of the
-    fixture's ts physical type. Built once per sf_dir, atomic
-    promote-by-rename."""
+    user's rows land in both files and the per-key sums genuinely
+    accumulate across micro-batches). Two is the NON-VACUITY MINIMUM:
+    one batch boundary already forces cross-batch accumulation for
+    essentially every key, and each extra micro-batch is a fixed
+    cycle of planning + state-store work with no additional claim
+    (r12 shipped 4; re-derived per guide §1.4). Only the columns the
+    gate needs are kept, which also pins a stable stream schema
+    regardless of the fixture's ts physical type. Built once per
+    sf_dir, atomic promote-by-rename."""
     import os
     import shutil
 
     from .artifacts import artifact_cache_path
 
-    path = artifact_cache_path(sf_dir, "events_stream4", "files4:v1")
+    path = artifact_cache_path(sf_dir, "events_stream2", "files2:v1")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
         )
         tmp = f"{path}.tmp.{os.getpid()}"
-        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(tmp)
+        ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:
@@ -71,8 +76,10 @@ def events_stream_artifact(spark: SparkSession, sf_dir: str) -> str:
     _bt_oracle(),
     doc="Streaming Bradley-Terry == from-scratch rebuild (the eleventh "
     "drained gate class): per-(user, type) micros sums maintained by a "
-    "REAL streaming aggregation (update mode, state store) over >= 4 "
-    "micro-batches of an event_id-range-split stream, snapshot folded "
+    "REAL streaming aggregation (update mode, state store) over >= 2 "
+    "micro-batches of an event_id-range-split stream (the non-vacuity "
+    "minimum — one batch boundary forces cross-batch accumulation for "
+    "essentially every key), snapshot folded "
     "by foreachBatch (last cumulative value per updated key), then the "
     "batch entry's shared comparison + MM tail runs on the snapshot. "
     "The oracle is bt_preference_strengths' identical from-scratch "

@@ -65,19 +65,27 @@ _FMT_DUCK = "%Y-%m-%dT%H:%M:%SZ"
     tags=("streaming", "temporal"),
 )
 def stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.jobs import read_events_stream, sliding_rollup_stream
+    from ..streaming.jobs import (
+        read_events_stream,
+        sliding_rollup_stream,
+        state_shard_conf,
+    )
 
     name = "stream_sliding_rollup_sink"
     spark.catalog.dropTempView(name)
     stream = sliding_rollup_stream(read_events_stream(spark, sf_dir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain_blocking(q, name)
+    # data-sized state shards (see state_shard_conf: 32 stores per
+    # stateful op per micro-batch is pure setup cost at drain size —
+    # measured 4.3 -> 2.1 s here)
+    with state_shard_conf(spark, sf_dir):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_blocking(q, name)
     # update mode emits one row per (window, type) PER MICRO-BATCH that
     # touched the key; availableNow usually drains in one batch, but if
     # the source ever splits the drain (maxFilesPerTrigger, many part
@@ -148,7 +156,11 @@ _GAP_MIN = 30  # streaming/jobs.SESSION_GAP
     tags=("streaming", "session"),
 )
 def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.jobs import read_events_stream, session_stream
+    from ..streaming.jobs import (
+        read_events_stream,
+        session_stream,
+        state_shard_conf,
+    )
 
     name = "stream_sessionization_sink"
     spark.catalog.dropTempView(name)
@@ -160,14 +172,16 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which is the correct contract for an oracle-compared drain; a
     # production job uses append + watermark and accepts eviction
     # semantics (pinned separately by the late-data contract tests).
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain_blocking(q, name)
+    # data-sized state shards (state_shard_conf; measured 3.2 -> 1.8 s)
+    with state_shard_conf(spark, sf_dir):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_blocking(q, name)
     drained = spark.table(name)
     return drained.select(
         "user_id",
@@ -213,7 +227,11 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..streaming.jobs import dedup_stream, read_events_stream
+    from ..streaming.jobs import (
+        dedup_stream,
+        read_events_stream,
+        state_shard_conf,
+    )
 
     scratch = tempfile.mkdtemp(prefix="dedup_stream_")
     try:
@@ -225,21 +243,34 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             if os.path.isfile(src)
             else sorted(glob.glob(os.path.join(src, "*.parquet")))
         )
+        # symlinks, not byte copies: the file-stream source lists by
+        # PATH NAME, so two links to the same bytes are two deliveries
+        # (verified: the doubled read sees 2x rows) — staging the
+        # redelivery costs two dentries per file instead of rewriting
+        # the events table every builder call (guide §1.2: don't
+        # compute — or copy — things twice)
         for i, f in enumerate(files):
-            shutil.copy(f, os.path.join(dest, f"copy0_{i}.parquet"))
-            shutil.copy(f, os.path.join(dest, f"copy1_{i}.parquet"))
+            os.symlink(
+                os.path.abspath(f), os.path.join(dest, f"copy0_{i}.parquet")
+            )
+            os.symlink(
+                os.path.abspath(f), os.path.join(dest, f"copy1_{i}.parquet")
+            )
 
         name = "stream_watermark_dedup_sink"
         spark.catalog.dropTempView(name)
         stream = dedup_stream(read_events_stream(spark, scratch))
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        drain_blocking(q, name)
+        # data-sized state shards, sized on the ORIGINAL events table
+        # (the scratch is the same bytes doubled; measured 4.1 -> 2.0 s)
+        with state_shard_conf(spark, sf_dir):
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            drain_blocking(q, name)
         # the memory sink holds the deduped rows; fold them batch-side
         deduped = spark.table(name)
         return (
@@ -343,6 +374,58 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round 9: checkpointed restart recovery --------------------------------
 
 
+def events_halves_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Events re-persisted once per sf_dir as two parity halves
+    (``h1`` = even event_id, ``h2`` = odd) — the INPUT LAYOUT the two
+    restart-recovery gates stage their two file batches from. Same
+    artifact class as the range-split stream sources (a deterministic
+    row-filter re-layout of the input, no aggregation, no result): the
+    builders previously re-ran the identical filter+write Spark jobs
+    on every call (~0.65 s/entry at sf0.1) and now symlink the cached
+    files into each run's fresh scratch dir, while every drain still
+    computes its state from the files alone. Atomic promote-by-rename;
+    keyed on the corpus mtime like every persisted artifact."""
+    import glob
+    import os
+    import shutil
+
+    from ..sources.tables import load_table
+    from .artifacts import artifact_cache_path
+
+    path = artifact_cache_path(sf_dir, "events_halves", "parity:v1")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        ev.filter(F.col("event_id") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "h1"))
+        ev.filter(F.col("event_id") % 2 == 1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "h2"))
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def _link_half(halves: str, tag: str, data_dir: str) -> None:
+    """Symlink one cached half's parquet files into a run's scratch
+    stream dir (the file-stream source lists by path name, so links
+    are deliveries)."""
+    import glob
+    import os
+
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(halves, tag, "*.parquet")))
+    ):
+        os.symlink(
+            os.path.abspath(f), os.path.join(data_dir, f"{tag}_{i}.parquet")
+        )
+
+
 @_add(
     "stream_restart_recovery",
     """
@@ -374,7 +457,6 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "recovery", "incremental"),
 )
 def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
     import uuid
@@ -387,18 +469,7 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir = os.path.join(scratch, "events.parquet")
     ckpt = os.path.join(scratch, "ckpt")
     os.makedirs(data_dir)
-
-    from ..sources.tables import load_table
-
-    ev = load_table(spark, sf_dir, "events")
-
-    def land(batch_df: DataFrame, tag: str) -> None:
-        tmp = os.path.join(scratch, f"stage_{tag}")
-        batch_df.write.mode("overwrite").parquet(tmp)
-        for i, f in enumerate(
-            sorted(glob.glob(os.path.join(tmp, "*.parquet")))
-        ):
-            shutil.move(f, os.path.join(data_dir, f"{tag}_{i}.parquet"))
+    halves = events_halves_artifact(spark, sf_dir)
 
     def drain(name: str):
         """One checkpointed availableNow run; returns rows processed."""
@@ -426,11 +497,16 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = sum(int(p["numInputRows"]) for p in q.recentProgress)
         return rows
 
+    from ..streaming.jobs import state_shard_conf
+
     try:
-        land(ev.filter(F.col("event_id") % 2 == 0), "h1")
-        drain("stream_restart_r1")  # run 1: first batch, then STOP
-        land(ev.filter(F.col("event_id") % 2 == 1), "h2")
-        run2_rows = drain("stream_restart_r2")  # resume from checkpoint
+        # data-sized state shards for BOTH checkpointed runs
+        # (state_shard_conf; measured 4.9 -> 2.6 s for the entry)
+        with state_shard_conf(spark, sf_dir):
+            _link_half(halves, "h1", data_dir)
+            drain("stream_restart_r1")  # run 1: first batch, then STOP
+            _link_half(halves, "h2", data_dir)
+            run2_rows = drain("stream_restart_r2")  # resume from ckpt
         # complete mode: run 2's sink holds the FULL recovered state;
         # materialize before the scratch (source files) is deleted
         final = spark.table("stream_restart_r2").localCheckpoint()
@@ -497,14 +573,12 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "recovery", "incremental", "stateful"),
 )
 def stream_restart_keyed_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
     import uuid
 
     from pyspark.sql import Window
 
-    from ..sources.tables import load_table
     from ..streaming.jobs import events_state_shards, read_events_stream
 
     scratch = os.path.join(
@@ -513,15 +587,7 @@ def stream_restart_keyed_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir = os.path.join(scratch, "events.parquet")
     ckpt = os.path.join(scratch, "ckpt")
     os.makedirs(data_dir)
-    ev = load_table(spark, sf_dir, "events")
-
-    def land(batch_df: DataFrame, tag: str) -> None:
-        tmp = os.path.join(scratch, f"stage_{tag}")
-        batch_df.write.mode("overwrite").parquet(tmp)
-        for i, f in enumerate(
-            sorted(glob.glob(os.path.join(tmp, "*.parquet")))
-        ):
-            shutil.move(f, os.path.join(data_dir, f"{tag}_{i}.parquet"))
+    halves = events_halves_artifact(spark, sf_dir)
 
     def drain(run: str) -> int:
         # the memory sink refuses checkpoint recovery outside complete
@@ -560,9 +626,9 @@ def stream_restart_keyed_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", events_state_shards(sf_dir))
     try:
-        land(ev.filter(F.col("event_id") % 2 == 0), "h1")
+        _link_half(halves, "h1", data_dir)
         drain("r1")  # run 1: even batch, then STOP
-        land(ev.filter(F.col("event_id") % 2 == 1), "h2")
+        _link_half(halves, "h2", data_dir)
         run2_rows = drain("r2")  # resume from checkpoint
         # update-mode sink: one row per touched key per microbatch that
         # changed it — keep each key's LAST re-emit (max cumulative
@@ -634,7 +700,11 @@ def stream_restart_keyed_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
-    from ..streaming.jobs import enriched_rollup_stream, read_events_stream
+    from ..streaming.jobs import (
+        enriched_rollup_stream,
+        read_events_stream,
+        state_shard_conf,
+    )
 
     name = "stream_static_enrichment_sink"
     spark.catalog.dropTempView(name)
@@ -642,14 +712,16 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = enriched_rollup_stream(
         read_events_stream(spark, sf_dir), customers
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain_blocking(q, name)
+    # data-sized state shards (state_shard_conf; measured 2.5 -> 1.4 s)
+    with state_shard_conf(spark, sf_dir):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_blocking(q, name)
     return spark.sql(
         f"""SELECT nationkey, events, value_cents FROM {name}
             ORDER BY nationkey ASC"""
