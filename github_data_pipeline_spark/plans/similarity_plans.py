@@ -1065,6 +1065,16 @@ def pca_topk_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # finished component as data (q = v.v computed from the same row),
     # so no driver collect exists anywhere in the K x T recurrence —
     # driver state is K 1-row checkpoints, not K*T round trips.
+    # A FUSED variant was measured and REJECTED (r13, guide §1.1 —
+    # measure, then decide): riding the finished component's 1-row
+    # (varr, m, q) on the deflation plan so ONE localCheckpoint lands
+    # both the next base and the output component (K-1 fewer serial
+    # driver actions) produced bit-identical rows but NO win at sf0.1
+    # (interleaved min-of-4: 6.16 s two-action form vs 6.27 s fused
+    # under like contention) — the saved round trips are offset by the
+    # per-row (varr, m) attachment widening the checkpoint, and at
+    # scale that duplication grows with n while the round trips do
+    # not. The two-action form stays.
     finals: list[DataFrame] = []
     for comp in range(K):
         fin = _pca_normalized(
