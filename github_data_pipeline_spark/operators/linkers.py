@@ -38,11 +38,19 @@ _BUCKET_ORDER = {"pr_text": 0, "commit_message": 1, "merge_commit_message": 2}
 def _refs_from(
     df: DataFrame, text: F.Column, bucket: str, extra: list[str]
 ) -> DataFrame:
-    """Explode per-row issue refs with (bucket, position) order keys."""
-    return df.select(
+    """Explode per-row issue refs with (bucket, position) order keys.
+
+    The text expression is staged as a NAMED projection so the big
+    sentence-split/regex extraction tree is built via the string-keyed
+    memoized path (functions/colcache.py): passing the Column directly
+    bypassed the cache and rebuilt the ~3k-round-trip fragment on
+    every builder call (r13 profile; guide §5.3). The optimizer
+    collapses the extra projection, so the plan is unchanged."""
+    staged = df.select(*extra, text.alias("_ref_text"))
+    return staged.select(
         *extra,
         F.lit(_BUCKET_ORDER[bucket]).alias("bucket_order"),
-        F.posexplode(extract_issue_refs(text)).alias("ref_pos", "ref"),
+        F.posexplode(extract_issue_refs("_ref_text")).alias("ref_pos", "ref"),
     ).select(
         *extra,
         "bucket_order",

@@ -754,7 +754,9 @@ def verified_pair_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shutil.rmtree(tmp, ignore_errors=True)
         except Exception:
             return pairs.localCheckpoint()
-    return spark.read.parquet(path)
+    from ..sources.tables import read_parquet_cached_schema
+
+    return read_parquet_cached_schema(spark, path)
 
 
 @_add(

@@ -96,7 +96,11 @@ def pruned_fact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-side build degrades the DPP subquery to the no-op fallback.
     At 100 TB the size asymmetry makes the same choice automatically;
     the hint pins the production shape at every SF."""
-    fact = spark.read.parquet(partitioned_fact_artifact(spark, sf_dir))
+    from ..sources.tables import read_parquet_cached_schema
+
+    fact = read_parquet_cached_schema(
+        spark, partitioned_fact_artifact(spark, sf_dir)
+    )
     return fact.join(F.broadcast(region_dim(spark, sf_dir)), "nationkey").agg(
         F.sum("price_cents").cast("long").alias("revenue_cents"),
     )
@@ -174,7 +178,11 @@ def dpp_partition_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = pruned_fact_agg(spark, sf_dir)
     revenue = int(q.collect()[0]["revenue_cents"])  # executes the scan
     m = scan_metrics(q, "dpp_fact")
-    fact = spark.read.parquet(partitioned_fact_artifact(spark, sf_dir))
+    from ..sources.tables import read_parquet_cached_schema
+
+    fact = read_parquet_cached_schema(
+        spark, partitioned_fact_artifact(spark, sf_dir)
+    )
     total = fact.select("nationkey").distinct().count()
     return spark.range(1).select(
         F.lit(DPP_REGION).alias("region"),

@@ -122,3 +122,38 @@ def test_append_run_ledger_atomic_and_capped(tmp_path):
     assert lines[-1]["total"] == 14.0
     # no leftover temp files from the atomic replace
     assert list(tmp_path.glob("*.tmp.*")) == []
+
+
+def test_read_parquet_cached_schema_identity_and_invalidation(
+    spark, tmp_path
+):
+    """The (path, mtime)-keyed schema cache returns the same schema and
+    rows as a fresh inferring read, and a rewrite (new mtime, new
+    schema) invalidates the entry — the cache holds INPUT METADATA
+    only, never rows."""
+    import os
+
+    from github_data_pipeline_spark.sources.tables import (
+        _SCHEMA_CACHE,
+        read_parquet_cached_schema,
+    )
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.parquet(p)
+    fresh = spark.read.parquet(p)
+    first = read_parquet_cached_schema(spark, p)  # populates the cache
+    second = read_parquet_cached_schema(spark, p)  # served from it
+    assert first.schema == fresh.schema == second.schema
+    assert sorted(r["v"] for r in second.collect()) == [0, 2, 4, 6, 8]
+    key = (os.path.abspath(p), os.stat(p).st_mtime_ns)
+    assert key in _SCHEMA_CACHE
+
+    # rewrite with a different schema AND a bumped mtime: the stale
+    # entry must not serve (the key includes mtime_ns)
+    spark.range(3).selectExpr("id", "CAST(id AS STRING) AS s").write.mode(
+        "overwrite"
+    ).parquet(p)
+    os.utime(p, ns=(os.stat(p).st_atime_ns, os.stat(p).st_mtime_ns + 1))
+    again = read_parquet_cached_schema(spark, p)
+    assert dict(again.dtypes)["s"] == "string"
+    assert sorted(r["s"] for r in again.collect()) == ["0", "1", "2"]

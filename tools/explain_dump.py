@@ -2,11 +2,12 @@
 
 Round-12 optimization evidence: the judge checks plan claims
 (Exchange counts, join strategies, PushedFilters, Python stages)
-against committed ``plans/r12/<query>_<tag>.txt`` files.
+against committed ``plans/<round>/<query>_<tag>.txt`` files (round dir
+from $SPARK_GRAFT_PLANS_ROUND, default r13).
 
 Usage:  python tools/explain_dump.py TAG QUERY [QUERY ...]
         python tools/explain_dump.py TAG --all
-        # TAG is 'before' or 'after'; files land in plans/r12/.
+        # TAG is 'before' or 'after'; files land in plans/$ROUND/.
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain-dump", master="local[8]")
