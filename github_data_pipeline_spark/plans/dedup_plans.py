@@ -921,12 +921,18 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no-collision witness — a collision would shrink a hashed set and
     # fail cell-equality loudly, never silently.
     shh = sh.select("doc_id", shingle_h120("s").alias("h"))
-    df_tbl = shh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    # (df, h)-sorted shingle-hash array per doc: one keyed join on the
-    # hash (vocab-sized df table — no forced broadcast; AQE may
-    # promote it at runtime) + one doc-keyed aggregation
+    # Document frequency as a COUNT window over the hash-partitioned
+    # shingle stream: shh rows are distinct (doc_id, h), so the
+    # partition count IS the df — identical to the r12 shape's
+    # separate groupBy(h) aggregate joined back, but the
+    # scan+tokenize+shingle+md5 pipeline is planned ONCE instead of
+    # twice, and the vocab-sized df table (which auto-broadcast at
+    # bench scale and cannot broadcast at 100 TB) disappears from the
+    # plan. One exchange of shh by h feeds the window; the doc-keyed
+    # aggregation is unchanged (guide §1.2/§2.4).
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("h"))
     arrs = (
-        shh.join(df_tbl, "h")
+        shh.select("doc_id", "h", dfw.alias("df"))
         .groupBy("doc_id")
         .agg(
             F.array_sort(

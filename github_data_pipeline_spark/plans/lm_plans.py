@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators.hints import broadcast_if_bounded
+from ..operators.hints import broadcast_if_bounded, parquet_row_bound
 from ..sources.tables import load_table, spread
 from .core import REGISTRY
 
@@ -268,6 +268,11 @@ def lm_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Low mean = the doc's token transitions are atypical for the corpus.
 N_ATYPICAL = 50
 LM_MIN_BIGRAMS = 5  # too-short docs make the mean meaningless
+#: Materialize the vocab-sized bigram-counts table only when the corpus
+#: is big enough that re-aggregating docbi four times costs more than
+#: one localCheckpoint round trip (measured crossover is well under
+#: 30x the 5k-doc bench corpus; the bench SF itself sits below it).
+LM_COUNTS_CKPT_MIN_DOCS = 50_000
 
 
 @REGISTRY.add(
@@ -362,9 +367,25 @@ def lm_doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("dc"))
         .localCheckpoint()
     )
+    # counts is VOCAB-sized (one row per distinct bigram) but the r12
+    # shape re-aggregated the corpus-scale docbi checkpoint for every
+    # consumer — lstats, rcont, tot and the model each planned their
+    # own docbi scan + groupBy (four extra corpus-scale aggregations
+    # per call, visible as four ExistingRDD+HashAggregate chains in
+    # plans/r13/lm_doc_typicality_before.txt). Materializing the small
+    # table makes each consumer a vocab-sized scan — but the
+    # materialization job itself has fixed cost, so it is SIZE-GATED
+    # on the corpus footer row count like every other data-adaptive
+    # decision here (events_state_shards, broadcast_if_bounded):
+    # measured 16.2 -> 14.3 s at 30x the bench corpus and 2.4 -> 3.1 s
+    # AGAINST at the 5k-doc bench SF, where four re-aggregations of a
+    # tiny docbi are cheaper than one materialization round trip
+    # (guide §1.2/§5.1 — bounded materializations, compute once).
     counts = docbi.groupBy("left_tok", "right_tok").agg(
         F.sum("dc").cast("long").alias("c")
     )
+    if parquet_row_bound(sf_dir, "documents") >= LM_COUNTS_CKPT_MIN_DOCS:
+        counts = counts.localCheckpoint()
     n_vocab = counts.count()
     lstats = counts.groupBy("left_tok").agg(
         F.sum("c").cast("long").alias("left_count"),

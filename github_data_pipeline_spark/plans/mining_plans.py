@@ -305,12 +305,15 @@ def lm_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "3-gram shingles that occur in at least one other document — "
     "high rates mean boilerplate/templated content even when no "
     "single pair crosses a dedup threshold. Distinct grams per doc "
-    "are a per-doc array expression; document frequency is one "
-    "gram-keyed aggregation; the rate join is gram-keyed (the df "
-    "table is gram-vocabulary sized — NEVER broadcast) and the "
-    "per-doc rollup is the second and last shuffle. Within-doc "
-    "repetition is doc_repetition_gates' job; this is the "
-    "between-doc complement.",
+    "are a per-doc array expression; document frequency is a COUNT "
+    "window over the gram-partitioned stream — one exchange of the "
+    "gram stream, computed once, instead of the r12 shape's separate "
+    "df aggregation joined back (which built the whole tokenize+gram "
+    "pipeline twice and auto-broadcast the gram-VOCABULARY-sized df "
+    "table at bench scale — the table that must never broadcast at "
+    "100 TB). The per-doc rollup is the second and last shuffle. "
+    "Within-doc repetition is doc_repetition_gates' job; this is "
+    "the between-doc complement.",
     tags=("text", "dedup", "mining", "curation"),
 )
 def doc_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,13 +324,24 @@ def doc_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(T.word_ngrams(T.tokens("text"), 3))
         ).alias("g"),
     )
-    df_tab = dg.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # document frequency as a COUNT window over the gram-partitioned
+    # stream: dg rows are distinct (doc_id, g), so the partition count
+    # IS the df — identical to the old groupBy(g)+join-back, but the
+    # tokenize+gram pipeline runs ONCE (the join form planned it as
+    # two full scan+generate subtrees) and nothing vocabulary-sized is
+    # ever broadcast (the join form auto-broadcast the df table at
+    # bench scale; at 100 TB that table cannot broadcast and the join
+    # degrades to a second full exchange of the gram stream). A hot
+    # boilerplate gram lands in one window partition, exactly as it
+    # landed in one sort-merge-join partition before — same skew
+    # surface, one pass (guide §1.2 / §2.4).
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("g"))
     per = (
-        dg.join(df_tab, "g")
+        dg.select("doc_id", (n_docs >= 2).alias("is_dup"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
             .cast("long")
             .alias("n_dup"),
         )

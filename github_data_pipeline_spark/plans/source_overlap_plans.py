@@ -93,9 +93,22 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.explode(grams).alias("s"))
         .distinct()
     )
-    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     posting = ss.groupBy("s").agg(
         F.array_sort(F.collect_list("source")).alias("srcs")
+    )
+    # per-source shingle counts DERIVED FROM THE POSTING AGGREGATE:
+    # exploding srcs reproduces exactly the distinct (s, source) rows,
+    # so the count per source is identical to ss.groupBy(source) — but
+    # because this subtree shares posting's shuffle, the planner emits
+    # ReusedExchange and the scan+tokenize+3-gram pipeline runs ONCE
+    # for the whole query. The r12 shape derived sizes from ss
+    # directly and fed two separate broadcasts (sa, sb), which planned
+    # the full gram pipeline THREE times (guide §1.2 — don't compute
+    # things twice; plans/r13/source_shingle_overlap_{before,after}).
+    sizes = (
+        posting.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     pair_structs = F.flatten(
         F.transform(
