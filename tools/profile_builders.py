@@ -52,11 +52,11 @@ def main() -> int:
     out: dict[str, dict] = {}
     for _ in range(2):
         for n in names:
-            jobs_before = sc._jsc.sc().dagScheduler().nextJobId().get()
+            jobs_before = sc._jsc.sc().dagScheduler().nextJobId()
             t0 = time.time()
             registry[n].builder(spark, sf_dir)
             el = round(time.time() - t0, 3)
-            jobs_after = sc._jsc.sc().dagScheduler().nextJobId().get()
+            jobs_after = sc._jsc.sc().dagScheduler().nextJobId()
             _drop_leftover_rdd_blocks(spark)
             cur = out.get(n)
             if cur is None or el < cur["s"]:
