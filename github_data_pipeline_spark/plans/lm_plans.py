@@ -33,6 +33,35 @@ _TOKS = (
 )
 
 
+def _bigram_stream(d: DataFrame, *extra: str) -> DataFrame:
+    """(*extra, left_tok, right_tok) bigram stream of ``d.text``.
+
+    Built as a codegen generator — explode the position sequence, then
+    project both tokens with element_at — instead of the interpreted
+    ``transform(sequence(...), i -> struct(...))`` array the r12 form
+    exploded (guide §4.4/§1.2: higher-order functions evaluate
+    interpreted, outside whole-stage codegen; the struct array also
+    materializes per document before the explode). Row-identical by
+    construction: the same positions 1..size-1 yield the same
+    (left, right) pairs, and docs with fewer than two tokens emit
+    nothing in both forms (the where() here, the empty array there).
+    Same rework shape as repetition_plans.tagged_gram_stream (r12,
+    measured 1.7x there)."""
+    t = d.select(
+        *extra, T.tokens(F.lower(F.col("text"))).alias("toks")
+    ).where(F.size("toks") >= 2)
+    gen = t.select(
+        *extra,
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+    )
+    return gen.select(
+        *extra,
+        F.element_at("toks", F.col("i")).alias("left_tok"),
+        F.element_at("toks", F.col("i") + F.lit(1)).alias("right_tok"),
+    )
+
+
 @REGISTRY.add(
     "lm_bigram_counts",
     f"""
@@ -69,22 +98,8 @@ _TOKS = (
 )
 def lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents").select("text"))
-    toks = T.tokens(F.lower(F.col("text")))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("left_tok"),
-                F.element_at(toks, i + F.lit(1)).alias("right_tok"),
-            ),
-        ),
-    ).otherwise(F.array().cast(
-        "array<struct<left_tok:string,right_tok:string>>"
-    ))
     counts = (
-        d.select(F.explode(bigrams).alias("b"))
-        .select("b.left_tok", "b.right_tok")
+        _bigram_stream(d)
         .groupBy("left_tok", "right_tok")
         .agg(F.count(F.lit(1)).alias("bigram_count"))
     )
@@ -183,19 +198,6 @@ KN_D_NUM, KN_D_DEN = 3, 4  # discount D = 0.75
 )
 def lm_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents").select("text"))
-    toks = T.tokens(F.lower(F.col("text")))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("left_tok"),
-                F.element_at(toks, i + F.lit(1)).alias("right_tok"),
-            ),
-        ),
-    ).otherwise(F.array().cast(
-        "array<struct<left_tok:string,right_tok:string>>"
-    ))
     # The bigram count table is vocabulary-sized (sub-linear in the
     # corpus but UNBOUNDED). Materializing it once (localCheckpoint —
     # the corpus is scanned and gram-shuffled exactly once, at build)
@@ -205,8 +207,7 @@ def lm_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tested SF); over it they degrade to vocab-keyed shuffle joins
     # that scale, and AQE re-broadcasts at runtime if actually small.
     counts = (
-        d.select(F.explode(bigrams).alias("b"))
-        .select("b.left_tok", "b.right_tok")
+        _bigram_stream(d)
         .groupBy("left_tok", "right_tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint()
@@ -338,19 +339,6 @@ def lm_doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    toks = T.tokens(F.lower(F.col("text")))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("left_tok"),
-                F.element_at(toks, i + F.lit(1)).alias("right_tok"),
-            ),
-        ),
-    ).otherwise(
-        F.array().cast("array<struct<left_tok:string,right_tok:string>>")
-    )
     # The per-doc bigram table is the query's ONE corpus-scale
     # intermediate (it feeds both the model derivation and the scoring
     # join). Materializing it once (localCheckpoint) means the corpus
@@ -361,8 +349,7 @@ def lm_doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (swap localCheckpoint for a parquet intermediate); the scoring
     # join's model side is then size-gated on the EXACT vocab count.
     docbi = (
-        d.select("doc_id", F.explode(bigrams).alias("b"))
-        .select("doc_id", "b.left_tok", "b.right_tok")
+        _bigram_stream(d, "doc_id")
         .groupBy("doc_id", "left_tok", "right_tok")
         .agg(F.count(F.lit(1)).cast("long").alias("dc"))
         .localCheckpoint()
@@ -528,7 +515,6 @@ def lm_doc_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lm_kn_trigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents").select("text"))
-    toks = T.tokens(F.lower(F.col("text")))
 
     # ONE corpus scan (r7 verdict ask — was two, one per explode
     # order): the bigram stream is recoverable from the trigram stream
@@ -541,30 +527,27 @@ def lm_kn_trigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its own group — from which the trigram table (u IS NOT NULL) and
     # the full bigram table (sum over u) both derive vocab-side, so
     # the corpus is scanned and shuffled exactly once.
-    tri_structs = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("u"),
-                F.element_at(toks, i + F.lit(1)).alias("v"),
-                F.element_at(toks, i + F.lit(2)).alias("t"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<u:string,v:string,t:string>>"))
-    edge_struct = F.when(
-        F.size(toks) >= 2,
-        F.array(
-            F.struct(
-                F.lit(None).cast("string").alias("u"),
-                F.element_at(toks, 1).alias("v"),
-                F.element_at(toks, 2).alias("t"),
-            )
-        ),
-    ).otherwise(F.array().cast("array<struct<u:string,v:string,t:string>>"))
+    # Codegen generator form of the combined stream (same rework as
+    # _bigram_stream, guide §4.4): 0-based positions j = -1 .. L-3,
+    # where j = -1 is the edge row (get() returns NULL at -1, giving
+    # u = NULL with v = token 1, t = token 2) and j >= 0 is the
+    # trigram (token j+1, j+2, j+3) — row-identical to the old
+    # interpreted tri_structs + edge_struct concat (docs with two
+    # tokens emit only their edge row via sequence(-1, -1); docs with
+    # fewer emit nothing in both forms).
+    tks = d.select(
+        T.tokens(F.lower(F.col("text"))).alias("toks")
+    ).where(F.size("toks") >= 2)
+    gen = tks.select(
+        "toks",
+        F.explode(F.sequence(F.lit(-1), F.size("toks") - 3)).alias("j"),
+    )
     combined = (
-        d.select(F.explode(F.concat(tri_structs, edge_struct)).alias("g"))
-        .select("g.u", "g.v", "g.t")
+        gen.select(
+            F.get("toks", F.col("j")).alias("u"),
+            F.get("toks", F.col("j") + 1).alias("v"),
+            F.get("toks", F.col("j") + 2).alias("t"),
+        )
         .groupBy("u", "v", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         # both derived tables (tri: filter, bi: re-agg) consume this

@@ -205,29 +205,26 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lm_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents").select("text"))
-    toks = T.tokens(F.lower(F.col("text")))
-    bi_structs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("a"),
-                F.element_at(toks, i + F.lit(1)).alias("b"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    edge_struct = F.when(
-        F.size(toks) >= 1,
-        F.array(
-            F.struct(
-                F.element_at(toks, F.size(toks)).alias("a"),
-                F.lit(None).cast("string").alias("b"),
-            )
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    # Codegen generator form of the bigram+edge stream (the same
+    # rework as lm_plans._bigram_stream, guide §4.4 — the interpreted
+    # transform-struct arrays evaluated outside whole-stage codegen):
+    # positions i = 1 .. L over the 1-based token array; a is always
+    # in range, and the 0-based get(toks, i) is token i+1 — NULL at
+    # i = L, which IS the edge row (a = last token, b = NULL).
+    # Row-identical to the old bi_structs + edge_struct concat; docs
+    # with a single token emit exactly their edge row in both forms.
+    tks = d.select(
+        T.tokens(F.lower(F.col("text"))).alias("toks")
+    ).where(F.size("toks") >= 1)
+    gen = tks.select(
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks"))).alias("i"),
+    )
     combined = (
-        d.select(F.explode(F.concat(bi_structs, edge_struct)).alias("g"))
-        .select("g.a", "g.b")
+        gen.select(
+            F.element_at("toks", F.col("i")).alias("a"),
+            F.get("toks", F.col("i")).alias("b"),
+        )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("cab"))
         # vocab-sized; checkpoint pins the single corpus scan for the
