@@ -69,6 +69,7 @@ from ..operators.neardup import (  # noqa: E402
     SIMHASH_BUCKET_CAP,
     band_index,
     capped_bucket_pairs,
+    doc_shingle_stream,
     doc_shingles,
     lsh_candidates_capped,
     minhash_signatures,
@@ -358,20 +359,14 @@ _SIG_MATCHES_SQL = " + ".join(
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    grams = d.select(
-        "doc_id",
-        F.array_distinct(T.word_ngrams(T.tokens("text"), 3)).alias("g"),
-    )
-    # row-shaped signature path on purpose: sigs feeds THREE consumers
-    # (both verify sides + the band index), and the groupBy exchange is
-    # the boundary Catalyst reuses (ReusedExchange) so the n-gram
-    # arrays are computed once. The shuffle carries (doc_id, hash)
-    # longs only. The shuffle-free array-fold twin
-    # (minhash_signatures_from_arrays) wins when signatures are
-    # consumed once — the incremental daily-batch path uses it; here
-    # the measured warm time favors the reused exchange (2.1s vs 5.5s
-    # at sf0.1, interpreted HOF folds vs codegen'd partial mins).
-    sh = grams.select("doc_id", F.explode("g").alias("s"))
+    # codegen shingle stream, duplicates kept: the signature MIN is
+    # identical over multiset and set, so the per-doc array_distinct
+    # the r12 form paid (inside an interpreted HOF array build) buys
+    # nothing here — the stream explodes token positions and builds
+    # each shingle inside whole-stage codegen (doc_shingle_stream;
+    # guide §4.4). The groupBy exchange still carries only
+    # (doc_id, 16 partial mins) per task after map-side aggregation.
+    sh = doc_shingle_stream(d, distinct=False)
     # materialize the signature table ONCE: every downstream consumer
     # (band index, both verify sides) reads the checkpointed 17-column
     # row of longs instead of re-running the corpus-wide shingle

@@ -46,10 +46,10 @@ from pyspark.sql import functions as F
 
 from ..operators.neardup import (
     band_index,
-    doc_shingle_arrays,
+    doc_shingle_stream,
     incremental_lsh_candidates,
     lsh_candidates,
-    minhash_signatures_from_arrays,
+    minhash_signatures,
 )
 from ..sources.tables import load_table, spread
 from .core import REGISTRY
@@ -109,7 +109,7 @@ def lsh_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (checkpointed — it feeds the prior-pairs grouping AND the
     # incremental equi-join, and is what production persists bucketed)
     index = band_index(
-        minhash_signatures_from_arrays(doc_shingle_arrays(corpus))
+        minhash_signatures(doc_shingle_stream(corpus, distinct=False))
     ).localCheckpoint()
     prior = lsh_candidates(index).select(
         "doc_a", "doc_b", F.lit(0).cast("int").alias("from_increment")
@@ -241,7 +241,7 @@ def lsh_capped_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") <= thr)
     batch = d.filter(F.col("doc_id") > thr)
     index = band_index(
-        minhash_signatures_from_arrays(doc_shingle_arrays(corpus))
+        minhash_signatures(doc_shingle_stream(corpus, distinct=False))
     ).localCheckpoint()  # feeds prior pairs, stats, AND the inc join
     prior = lsh_candidates_capped(index, cap=STAR_CAP)
     inc, _new_bands, _merged = incremental_lsh_candidates_capped(
